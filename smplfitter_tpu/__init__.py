@@ -1,0 +1,17 @@
+"""smplfitter_tpu: TPU-native SMPL-family body model fitting.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the SMPLFitter
+reference library: body model forward passes, closed-form inverse fitting
+(pose, shape, translation, scale, kid factor), parameter conversion between
+model families, mirroring, hand replacement and gradient refinement — designed
+for TPU hardware (MXU-shaped GEMMs, level-batched kinematics, branch-free
+rotation numerics, batch sharding over device meshes).
+"""
+
+from __future__ import annotations
+
+__version__ = '0.1.0'
+
+from .models.bodymodel import BodyModel
+
+__all__ = ['BodyModel', '__version__']

@@ -1,0 +1,460 @@
+"""SMPL-family body model forward pass, TPU-native.
+
+Design: a pure functional core (:func:`forward`) over a ``flax.struct`` pytree of
+model tensors, wrapped by a thin OO facade (:class:`BodyModel`) that mirrors the
+reference API (/root/reference/src/smplfitter/np/bodymodel.py:74-220 for the
+semantics). Key TPU-first choices:
+
+ - Forward kinematics runs level-batched over the kinematic tree (<= 8 static
+   steps for SMPL instead of 24 sequential per-joint updates), a bit-exact
+   reformulation of the per-joint loop (cf. the reference flagship's precompute,
+   /root/reference/src/smplfitter/pt/bodyfitter.py:177-192).
+ - LBS folds the blended rotation AND the blended translation into one
+   (V, J) x (J, 12B) MXU GEMM, then finishes with a fused elementwise
+   multiply-reduce — no (B, V, J, 3) intermediates.
+ - No data-dependent control flow: rotation-input kind, return_vertices and
+   beta counts are resolved in Python at trace time, so the whole forward jits
+   into a single XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import rotation as rot_ops
+from ..ops.precision import matmul_precision
+from ..utils import modeldata as _modeldata
+
+
+@functools.lru_cache(maxsize=None)
+def tree_levels(kintree_parents: tuple) -> tuple:
+    """Partition joints 1..J-1 into kinematic-tree levels (root excluded).
+
+    All joints in a level have parents in strictly earlier levels, so each level
+    can be updated with one batched gather/matmul/scatter.
+    """
+    J = len(kintree_parents)
+    depth = [0] * J
+    for i in range(1, J):
+        depth[i] = depth[kintree_parents[i]] + 1
+    max_depth = max(depth) if J > 1 else 0
+    return tuple(
+        tuple(i for i in range(J) if depth[i] == d) for d in range(1, max_depth + 1)
+    )
+
+
+@struct.dataclass
+class BodyModelData:
+    """Device tensors + static metadata of one body model (a JAX pytree).
+
+    Static fields ride in the treedef, so jitted functions taking this pytree
+    specialize on them without retracing games.
+    """
+
+    v_template: jax.Array  # (V, 3)
+    shapedirs: jax.Array  # (V, 3, S)
+    posedirs: jax.Array  # (V, 3, (J-1)*9)
+    J_regressor_post_lbs: jax.Array  # (J, V)
+    J_template: jax.Array  # (J, 3)
+    J_shapedirs: jax.Array  # (J, 3, S)
+    kid_shapedir: jax.Array  # (V, 3)
+    kid_J_shapedir: jax.Array  # (J, 3)
+    weights: jax.Array  # (V, J)
+
+    kintree_parents: tuple = struct.field(pytree_node=False)
+    model_name: str = struct.field(pytree_node=False)
+    gender: str = struct.field(pytree_node=False)
+
+    @property
+    def num_joints(self) -> int:
+        return len(self.kintree_parents)
+
+    @property
+    def num_vertices(self) -> int:
+        return self.v_template.shape[0]
+
+    @property
+    def num_betas(self) -> int:
+        return self.shapedirs.shape[2]
+
+    @property
+    def levels(self) -> tuple:
+        return tree_levels(self.kintree_parents)
+
+
+def fk_rotations(bm: BodyModelData, rel_rotmats: jax.Array) -> jax.Array:
+    """Compose parent-relative rotations into global ones, level-batched.
+
+    rel_rotmats: (B, J, 3, 3) -> glob_rotmats: (B, J, 3, 3).
+    """
+    glob = rel_rotmats[:, :1]
+    chunks = [glob]
+    # Joints are scattered back in level order; build an inverse permutation once.
+    order = [0]
+    glob_by_joint = {0: 0}
+    for level in bm.levels:
+        js = np.array(level)
+        ps = np.array([bm.kintree_parents[i] for i in level])
+        parent_glob = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
+        # Gather positions of parents inside the already-computed concat order.
+        parent_pos = np.array([glob_by_joint[int(p)] for p in ps])
+        new = parent_glob[:, parent_pos] @ rel_rotmats[:, js]
+        for k, j in enumerate(level):
+            glob_by_joint[j] = len(order) + k
+        order.extend(level)
+        chunks = [parent_glob, new]
+    all_glob = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
+    inverse = np.argsort(np.array(order))
+    return all_glob[:, inverse]
+
+
+def fk_positions(
+    bm: BodyModelData, glob_rotmats: jax.Array, bones: jax.Array
+) -> jax.Array:
+    """Accumulate joint positions down the tree, level-batched.
+
+    ``bones``: (B, J, 3) parent-to-joint offsets in the shaped T-pose (root entry
+    is the root position itself). Returns (B, J, 3) global joint positions.
+    """
+    chunks = [bones[:, :1]]
+    order = [0]
+    pos_by_joint = {0: 0}
+    for level in bm.levels:
+        js = np.array(level)
+        ps = np.array([bm.kintree_parents[i] for i in level])
+        done = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
+        parent_pos = np.array([pos_by_joint[int(p)] for p in ps])
+        rotated = jnp.einsum(
+            'bnCc,bnc->bnC', glob_rotmats[:, ps], bones[:, js]
+        )
+        new = done[:, parent_pos] + rotated
+        for k, j in enumerate(level):
+            pos_by_joint[j] = len(order) + k
+        order.extend(level)
+        chunks = [done, new]
+    all_pos = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
+    inverse = np.argsort(np.array(order))
+    return all_pos[:, inverse]
+
+
+def forward(
+    bm: BodyModelData,
+    pose_rotvecs: Optional[jax.Array] = None,
+    shape_betas: Optional[jax.Array] = None,
+    trans: Optional[jax.Array] = None,
+    kid_factor: Optional[jax.Array] = None,
+    rel_rotmats: Optional[jax.Array] = None,
+    glob_rotmats: Optional[jax.Array] = None,
+    *,
+    return_vertices: bool = True,
+) -> dict:
+    """Pure-functional body model forward pass.
+
+    Same math as /root/reference/src/smplfitter/np/bodymodel.py:74-220; one of
+    pose_rotvecs / rel_rotmats / glob_rotmats selects the rotation input (a
+    trace-time decision).
+    """
+    with matmul_precision():
+        return _forward_impl(
+            bm,
+            pose_rotvecs,
+            shape_betas,
+            trans,
+            kid_factor,
+            rel_rotmats,
+            glob_rotmats,
+            return_vertices=return_vertices,
+        )
+
+
+def _forward_impl(
+    bm: BodyModelData,
+    pose_rotvecs: Optional[jax.Array] = None,
+    shape_betas: Optional[jax.Array] = None,
+    trans: Optional[jax.Array] = None,
+    kid_factor: Optional[jax.Array] = None,
+    rel_rotmats: Optional[jax.Array] = None,
+    glob_rotmats: Optional[jax.Array] = None,
+    *,
+    return_vertices: bool = True,
+) -> dict:
+    num_joints = bm.num_joints
+    parent_indices1 = np.array(bm.kintree_parents[1:])
+
+    batch_size = None
+    for arg in (pose_rotvecs, rel_rotmats, glob_rotmats, shape_betas, trans):
+        if arg is not None:
+            batch_size = arg.shape[0]
+            break
+    if batch_size is None:
+        raise ValueError('At least one batched input is required.')
+
+    if pose_rotvecs is not None:
+        rel_rotmats = rot_ops.rotvec2mat(pose_rotvecs.reshape(batch_size, num_joints, 3))
+    elif rel_rotmats is None and glob_rotmats is None:
+        rel_rotmats = jnp.broadcast_to(
+            jnp.eye(3, dtype=bm.v_template.dtype), (batch_size, num_joints, 3, 3)
+        )
+
+    if glob_rotmats is None:
+        glob_rotmats = fk_rotations(bm, rel_rotmats)
+
+    parent_glob_rotmats1 = glob_rotmats[:, parent_indices1]
+    if rel_rotmats is None:
+        rel_rotmats1 = jnp.einsum(
+            'bjki,bjkl->bjil', parent_glob_rotmats1, glob_rotmats[:, 1:]
+        )
+    else:
+        rel_rotmats1 = rel_rotmats[:, 1:]
+
+    if shape_betas is None:
+        shape_betas = jnp.zeros((batch_size, 0), bm.v_template.dtype)
+    num_betas = min(shape_betas.shape[1], bm.num_betas)
+
+    if kid_factor is None:
+        kid_factor = jnp.zeros((1,), bm.v_template.dtype)
+
+    j = (
+        bm.J_template
+        + jnp.einsum('jcs,bs->bjc', bm.J_shapedirs[:, :, :num_betas], shape_betas[:, :num_betas])
+        + jnp.einsum('jc,b->bjc', bm.kid_J_shapedir, kid_factor)
+    )
+
+    j_parent = jnp.concatenate([jnp.zeros_like(j[:, :1]), j[:, parent_indices1]], axis=1)
+    bones = j - j_parent  # root entry = root position
+    glob_positions = fk_positions(bm, glob_rotmats, bones)
+
+    if trans is None:
+        trans = jnp.zeros((1, 3), bm.v_template.dtype)
+
+    if not return_vertices:
+        return dict(joints=glob_positions + trans[:, None], orientations=glob_rotmats)
+
+    pose_feature = rel_rotmats1.reshape(batch_size, (num_joints - 1) * 9)
+    v_posed = (
+        bm.v_template
+        + jnp.einsum('vcp,bp->bvc', bm.shapedirs[:, :, :num_betas], shape_betas[:, :num_betas])
+        + jnp.einsum('vcp,bp->bvc', bm.posedirs, pose_feature)
+        + jnp.einsum('vc,b->bvc', bm.kid_shapedir, kid_factor)
+    )
+
+    # LBS: blend rotations and translations with ONE skinning GEMM.
+    translations = glob_positions - jnp.einsum('bjCc,bjc->bjC', glob_rotmats, j)
+    per_joint = jnp.concatenate(
+        [glob_rotmats.reshape(batch_size, num_joints, 9), translations], axis=2
+    )  # (B, J, 12)
+    blended = jnp.einsum('vj,bjx->bvx', bm.weights, per_joint)  # (B, V, 12)
+    rot_blend = blended[..., :9].reshape(batch_size, -1, 3, 3)
+    vertices = jnp.einsum('bvCc,bvc->bvC', rot_blend, v_posed) + blended[..., 9:]
+
+    return dict(
+        vertices=vertices + trans[:, None],
+        joints=glob_positions + trans[:, None],
+        orientations=glob_rotmats,
+    )
+
+
+class BodyModel:
+    """Facade mirroring the reference ``BodyModel`` API on the JAX/TPU core.
+
+    Parameters match /root/reference/src/smplfitter/np/bodymodel.py:34-44.
+    """
+
+    def __init__(
+        self,
+        model_name: str = 'smpl',
+        gender: str = 'neutral',
+        model_root: Optional[str] = None,
+        num_betas: Optional[int] = None,
+        vertex_subset_size: Optional[int] = None,
+        vertex_subset=None,
+        faces=None,
+        joint_regressor_post_lbs=None,
+        dtype=jnp.float32,
+    ):
+        self.model_name = model_name
+        self.gender = gender
+        data = _modeldata.initialize(
+            model_name,
+            gender,
+            model_root,
+            num_betas,
+            vertex_subset_size,
+            vertex_subset,
+            faces,
+            joint_regressor_post_lbs,
+        )
+        self._init_from_data(data, dtype)
+
+    @classmethod
+    def from_model_data(cls, data: _modeldata.ModelData, model_name='smpl',
+                        gender='neutral', dtype=jnp.float32) -> 'BodyModel':
+        """Construct directly from a :class:`ModelData` (e.g. a synthetic one)."""
+        obj = cls.__new__(cls)
+        obj.model_name = model_name
+        obj.gender = gender
+        obj._init_from_data(data, dtype)
+        return obj
+
+    def _init_from_data(self, data: _modeldata.ModelData, dtype) -> None:
+        self.data = BodyModelData(
+            v_template=jnp.asarray(data.v_template, dtype),
+            shapedirs=jnp.asarray(data.shapedirs, dtype),
+            posedirs=jnp.asarray(data.posedirs, dtype),
+            J_regressor_post_lbs=jnp.asarray(data.J_regressor_post_lbs, dtype),
+            J_template=jnp.asarray(data.J_template, dtype),
+            J_shapedirs=jnp.asarray(data.J_shapedirs, dtype),
+            kid_shapedir=jnp.asarray(data.kid_shapedir, dtype),
+            kid_J_shapedir=jnp.asarray(data.kid_J_shapedir, dtype),
+            weights=jnp.asarray(data.weights, dtype),
+            kintree_parents=tuple(int(p) for p in data.kintree_parents),
+            model_name=self.model_name,
+            gender=self.gender,
+        )
+        self.kintree_parents = list(self.data.kintree_parents)
+        self.faces = data.faces
+        self.num_joints = data.num_joints
+        self.num_vertices = data.num_vertices
+        self.num_betas = int(data.shapedirs.shape[2])
+        self.vertex_subset = data.vertex_subset
+        self.joint_names = data.joint_names
+
+    # Convenient array views (match reference attribute surface).
+    @property
+    def v_template(self):
+        return self.data.v_template
+
+    @property
+    def shapedirs(self):
+        return self.data.shapedirs
+
+    @property
+    def posedirs(self):
+        return self.data.posedirs
+
+    @property
+    def J_regressor_post_lbs(self):
+        return self.data.J_regressor_post_lbs
+
+    @property
+    def J_template(self):
+        return self.data.J_template
+
+    @property
+    def J_shapedirs(self):
+        return self.data.J_shapedirs
+
+    @property
+    def kid_shapedir(self):
+        return self.data.kid_shapedir
+
+    @property
+    def kid_J_shapedir(self):
+        return self.data.kid_J_shapedir
+
+    @property
+    def weights(self):
+        return self.data.weights
+
+    def __call__(
+        self,
+        pose_rotvecs=None,
+        shape_betas=None,
+        trans=None,
+        kid_factor=None,
+        rel_rotmats=None,
+        glob_rotmats=None,
+        *,
+        return_vertices: bool = True,
+    ) -> dict:
+        """Compute vertices, joints and orientations for a batch. See :func:`forward`."""
+        rot_inputs = [
+            name
+            for name, arg in [
+                ('pose_rotvecs', pose_rotvecs),
+                ('rel_rotmats', rel_rotmats),
+                ('glob_rotmats', glob_rotmats),
+            ]
+            if arg is not None
+        ]
+        if len(rot_inputs) > 1:
+            raise ValueError(
+                f'Only one rotation input may be provided. Got: {", ".join(rot_inputs)}.'
+            )
+        batch_sizes = [
+            jnp.asarray(x).shape[0]
+            for x in [pose_rotvecs, shape_betas, trans, rel_rotmats, glob_rotmats]
+            if x is not None
+        ]
+        if len(batch_sizes) == 0:
+            raise ValueError(
+                'At least one argument must be given to determine the batch size.'
+            )
+        if not all(b == batch_sizes[0] for b in batch_sizes[1:]):
+            raise ValueError('The batch sizes must be equal.')
+
+        args = dict(
+            pose_rotvecs=pose_rotvecs,
+            shape_betas=shape_betas,
+            trans=trans,
+            kid_factor=kid_factor,
+            rel_rotmats=rel_rotmats,
+            glob_rotmats=glob_rotmats,
+        )
+        args = {k: jnp.asarray(v) for k, v in args.items() if v is not None}
+        return forward(self.data, **args, return_vertices=return_vertices)
+
+    def single(self, *args, return_vertices: bool = True, **kwargs) -> dict:
+        """Unbatched wrapper: inputs without batch dim, outputs without batch dim."""
+        args = [jnp.expand_dims(jnp.asarray(x), axis=0) for x in args]
+        kwargs = {k: jnp.expand_dims(jnp.asarray(v), axis=0) for k, v in kwargs.items()}
+        if len(args) == 0 and len(kwargs) == 0:
+            kwargs['shape_betas'] = jnp.zeros((1, 0), self.data.v_template.dtype)
+        result = self(*args, return_vertices=return_vertices, **kwargs)
+        return {k: jnp.squeeze(v, axis=0) for k, v in result.items()}
+
+    def rototranslate(
+        self,
+        R,
+        t=None,
+        pose_rotvecs=None,
+        shape_betas=None,
+        trans=None,
+        kid_factor=0.0,
+        post_translate: bool = True,
+    ):
+        """Rotate/translate the body in parametric space, accounting for the
+        pelvis offset (cf. /root/reference/src/smplfitter/np/bodymodel.py:257-322).
+        """
+        R = jnp.asarray(R)
+        if t is None:
+            t = jnp.zeros(3, R.dtype)
+        if pose_rotvecs is None or shape_betas is None or trans is None:
+            raise ValueError('pose_rotvecs, shape_betas, and trans are required.')
+        pose_rotvecs = jnp.asarray(pose_rotvecs)
+        shape_betas = jnp.asarray(shape_betas)
+        trans = jnp.asarray(trans)
+
+        current_rotmat = rot_ops.rotvec2mat(pose_rotvecs[:3])
+        new_rotmat = R @ current_rotmat
+        new_pose_rotvec = jnp.concatenate(
+            [rot_ops.mat2rotvec(new_rotmat), pose_rotvecs[3:]], axis=0
+        )
+
+        pelvis = (
+            self.data.J_template[0]
+            + self.data.J_shapedirs[0, :, : shape_betas.shape[0]] @ shape_betas
+            + self.data.kid_J_shapedir[0] * kid_factor
+        )
+        eye = jnp.eye(3, dtype=R.dtype)
+        if post_translate:
+            new_trans = pelvis @ (R.T - eye) + trans @ R.T + t
+        else:
+            new_trans = pelvis @ (R.T - eye) + (trans - t) @ R.T
+        return new_pose_rotvec, new_trans

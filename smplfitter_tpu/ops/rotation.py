@@ -1,0 +1,299 @@
+"""Batched SO(3) numerics for TPU.
+
+Everything here is branch-free (``jnp.where`` only, no data-dependent Python
+control flow), static-shaped, and vmappable, so it traces cleanly under ``jax.jit``
+and inlines into larger fused XLA programs. The default rotation projection is a
+closed-form polar decomposition rather than an SVD: TPUs have no batched-small-SVD
+library routine, and the analytic route is pure VPU math with stable gradients.
+
+Functional parity targets (semantics, not code) in the reference:
+  - rotvec<->matrix conversions: /root/reference/src/smplfitter/np/rotation.py:43-102
+  - SO(3) projection: /root/reference/src/smplfitter/pt/rotation.py:26-110
+  - align_unit_vectors: /root/reference/src/smplfitter/np/rotation.py:26-40
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    'divide_no_nan',
+    'rotvec2mat',
+    'mat2rotvec',
+    'proj_SO3',
+    'proj_SO3_svd',
+    'proj_SO3_analytic',
+    'kabsch',
+    'align_unit_vectors',
+    'rot6d_to_rotmat',
+    'rotmat_to_rot6d',
+]
+
+
+def divide_no_nan(a: jax.Array, b: jax.Array) -> jax.Array:
+    """``a / b`` that returns 0 (with zero gradient) where ``b == 0``."""
+    zero = b == 0
+    safe_b = jnp.where(zero, jnp.ones_like(b), b)
+    return jnp.where(zero, jnp.zeros_like(a / safe_b), a / safe_b)
+
+
+def rotvec2mat(rotvec: jax.Array) -> jax.Array:
+    """Rodrigues formula: (..., 3) rotation vectors -> (..., 3, 3) matrices.
+
+    Branch-free: the zero-angle limit is handled by ``divide_no_nan`` on the axis
+    (axis -> 0 gives the identity matrix exactly).
+    """
+    angle = jnp.linalg.norm(rotvec, axis=-1, keepdims=True)
+    axis = divide_no_nan(rotvec, angle)
+
+    sin_axis = jnp.sin(angle) * axis
+    cos_angle = jnp.cos(angle)
+    cos1_axis = (1.0 - cos_angle) * axis
+
+    ax, ay, az = axis[..., 0], axis[..., 1], axis[..., 2]
+    c1x, c1y, _ = cos1_axis[..., 0], cos1_axis[..., 1], cos1_axis[..., 2]
+    sx, sy, sz = sin_axis[..., 0], sin_axis[..., 1], sin_axis[..., 2]
+
+    tmp = c1x * ay
+    m01 = tmp - sz
+    m10 = tmp + sz
+    tmp = c1x * az
+    m02 = tmp + sy
+    m20 = tmp - sy
+    tmp = c1y * az
+    m12 = tmp - sx
+    m21 = tmp + sx
+    diag = cos1_axis * axis + cos_angle
+    m00, m11, m22 = diag[..., 0], diag[..., 1], diag[..., 2]
+
+    flat = jnp.stack([m00, m01, m02, m10, m11, m12, m20, m21, m22], axis=-1)
+    return flat.reshape(*flat.shape[:-1], 3, 3)
+
+
+def mat2rotvec(rotmat: jax.Array) -> jax.Array:
+    """(..., 3, 3) rotation matrices -> (..., 3) rotation vectors.
+
+    Quaternion extraction with the four-branch numerically-stable selection,
+    expressed as nested ``where`` (branch-free).
+    """
+    flat = rotmat.reshape(*rotmat.shape[:-2], 9)
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = [flat[..., i] for i in range(9)]
+
+    p10p01 = r10 + r01
+    p10m01 = r10 - r01
+    p02p20 = r02 + r20
+    p02m20 = r02 - r20
+    p21p12 = r21 + r12
+    p21m12 = r21 - r12
+    p00p11 = r00 + r11
+    p00m11 = r00 - r11
+    one_p22 = 1.0 + r22
+    one_m22 = 1.0 - r22
+
+    trace = r00 + r11 + r22
+    cand0 = jnp.stack([p21m12, p02m20, p10m01, 1.0 + trace], axis=-1)
+    cand1 = jnp.stack([one_m22 + p00m11, p10p01, p02p20, p21m12], axis=-1)
+    cand2 = jnp.stack([p10p01, one_m22 - p00m11, p21p12, p02m20], axis=-1)
+    cand3 = jnp.stack([p02p20, p21p12, one_p22 - p00p11, p10m01], axis=-1)
+
+    trace_pos = (trace > 0.0)[..., None]
+    d00_large = jnp.logical_and(r00 > r11, r00 > r22)[..., None]
+    d11_large = (r11 > r22)[..., None]
+    q = jnp.where(trace_pos, cand0, jnp.where(d00_large, cand1, jnp.where(d11_large, cand2, cand3)))
+
+    xyz = q[..., :3]
+    w = q[..., 3:]
+    norm = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    return (divide_no_nan(jnp.full_like(norm, 2.0), norm) * jnp.arctan2(norm, w)) * xyz
+
+
+# ---------------------------------------------------------------------------
+# SO(3) projection (closest rotation in Frobenius norm)
+# ---------------------------------------------------------------------------
+
+
+def proj_SO3_svd(A: jax.Array) -> jax.Array:
+    """SVD-based projection with reflection fix. Reference path for testing."""
+    U, _, Vh = jnp.linalg.svd(A)
+    T = U @ Vh
+    has_reflection = (jnp.linalg.det(T) < 0)[..., None, None]
+    T_mirror = T - 2 * U[..., -1:] @ Vh[..., -1:, :]
+    return jnp.where(has_reflection, T_mirror, T)
+
+
+def _sym_eigvals3(M: jax.Array):
+    """Eigenvalues (descending) of symmetric (..., 3, 3) via the trigonometric cubic."""
+    a00, a11, a22 = M[..., 0, 0], M[..., 1, 1], M[..., 2, 2]
+    a01, a02, a12 = M[..., 0, 1], M[..., 0, 2], M[..., 1, 2]
+
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(p2 / 6.0)
+
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    det_shifted = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    )
+    r = jnp.clip(divide_no_nan(det_shifted, 2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+
+    lam1 = q + 2.0 * p * jnp.cos(phi)
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * math.pi / 3.0)
+    lam2 = 3.0 * q - lam1 - lam3
+    return lam1, lam2, lam3
+
+
+def _eigvec_raw(M: jax.Array, lam: jax.Array) -> jax.Array:
+    """Unnormalized eigenvector of symmetric M for eigenvalue lam.
+
+    Largest-norm cross product of row pairs of ``M - lam I`` (null-space vector).
+    Only well-conditioned for an extreme eigenvalue with a gap, which is how the
+    caller uses it.
+    """
+    N = M - lam[..., None, None] * jnp.eye(3, dtype=M.dtype)
+    r0, r1, r2 = N[..., 0, :], N[..., 1, :], N[..., 2, :]
+    c0 = jnp.cross(r0, r1)
+    c1 = jnp.cross(r1, r2)
+    c2 = jnp.cross(r2, r0)
+    n0 = jnp.sum(c0 * c0, -1, keepdims=True)
+    n1 = jnp.sum(c1 * c1, -1, keepdims=True)
+    n2 = jnp.sum(c2 * c2, -1, keepdims=True)
+    best01 = jnp.where(n0 >= n1, c0, c1)
+    nbest01 = jnp.where(n0 >= n1, n0, n1)
+    return jnp.where(nbest01 >= n2, best01, c2)
+
+
+def _any_orthogonal(u: jax.Array) -> jax.Array:
+    """A unit vector orthogonal to unit vector u, branch-free."""
+    au = jnp.abs(u)
+    a0, a1, a2 = au[..., 0], au[..., 1], au[..., 2]
+    is0 = jnp.logical_and(a0 <= a1, a0 <= a2)
+    is1 = jnp.logical_and(a1 <= a0, a1 <= a2)
+    e = jnp.stack(
+        [
+            is0.astype(u.dtype),
+            jnp.logical_and(is1, ~is0).astype(u.dtype),
+            jnp.logical_and(~is0, ~is1).astype(u.dtype),
+        ],
+        axis=-1,
+    )
+    w = jnp.cross(u, e)
+    return w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-30)
+
+
+def _normalize_or(x: jax.Array, fallback: jax.Array, eps: float) -> jax.Array:
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    ok = n > eps
+    xn = x / jnp.where(ok, n, jnp.ones_like(n))
+    return jnp.where(ok, xn, fallback)
+
+
+def proj_SO3_analytic(A: jax.Array) -> jax.Array:
+    """Closed-form polar decomposition of (..., 3, 3) onto SO(3).
+
+    Solves the symmetric eigenproblem of ``M = An^T An`` (``An = A/|A|_F``) with
+    Smith's trigonometric cubic, extracts the better-conditioned extreme
+    eigenvector via the null-space cross-product trick, gets the remaining pair
+    from the 2x2 restriction to the orthogonal complement (half-angle atan2), and
+    rebuilds ``R = U V^T`` with right-handed bases (``u3 = u1 x u2``), which bakes
+    in the reflection fix. Fully branch-free; internal math in float32 — the
+    Frobenius pre-normalization keeps every threshold relative.
+
+    This is the TPU-native analogue of the reference's compiled-mode projection
+    (/root/reference/src/smplfitter/pt/rotation.py:26-97): no SVD, no
+    data-dependent control flow, everything VPU-friendly elementwise math.
+    """
+    dtype = A.dtype
+    eps = 1e-9
+    fro = jnp.linalg.norm(A.reshape(*A.shape[:-2], 9), axis=-1)
+    An = A / jnp.maximum(fro, 1e-30)[..., None, None]
+
+    M = jnp.swapaxes(An, -1, -2) @ An  # symmetric PSD, trace == 1 after normalization
+    lam1, lam2, lam3 = _sym_eigvals3(M)
+
+    e0 = jnp.zeros_like(An[..., 0, :]).at[..., 0].set(1.0)
+
+    # Extreme eigenvector with the larger gap (never the ill-conditioned middle one).
+    use_top = (lam1 - lam2) >= (lam2 - lam3)
+    lam_ext = jnp.where(use_top, lam1, lam3)
+    v_a = _normalize_or(_eigvec_raw(M, lam_ext), e0, eps)
+
+    # Diagonalize the 2x2 restriction of M to the complement of v_a.
+    p = _any_orthogonal(v_a)
+    q = jnp.cross(v_a, p)
+    Mp = jnp.einsum('...ij,...j->...i', M, p)
+    Mq = jnp.einsum('...ij,...j->...i', M, q)
+    mpp = jnp.sum(p * Mp, -1)
+    mpq = jnp.sum(p * Mq, -1)
+    mqq = jnp.sum(q * Mq, -1)
+    th = 0.5 * jnp.arctan2(2.0 * mpq, mpp - mqq)
+    c = jnp.cos(th)[..., None]
+    s = jnp.sin(th)[..., None]
+    v_big = c * p + s * q
+    v_small = -s * p + c * q
+
+    use_top_b = use_top[..., None]
+    v1 = jnp.where(use_top_b, v_a, v_big)
+    v2 = jnp.where(use_top_b, v_big, v_small)
+    v3 = jnp.cross(v1, v2)
+
+    u1 = _normalize_or(jnp.einsum('...ij,...j->...i', An, v1), e0, eps)
+    u2 = jnp.einsum('...ij,...j->...i', An, v2)
+    u2 = u2 - jnp.sum(u2 * u1, -1, keepdims=True) * u1
+    u2 = _normalize_or(u2, _any_orthogonal(u1), eps)
+    u3 = jnp.cross(u1, u2)
+
+    U = jnp.stack([u1, u2, u3], axis=-1)
+    V = jnp.stack([v1, v2, v3], axis=-1)
+    R = U @ jnp.swapaxes(V, -1, -2)
+
+    # Fully degenerate A ~ 0 -> identity.
+    R = jnp.where((fro > 1e-20)[..., None, None], R, jnp.eye(3, dtype=dtype))
+    return R.astype(dtype)
+
+
+def proj_SO3(A: jax.Array) -> jax.Array:
+    """Project (..., 3, 3) onto SO(3). Default: branch-free analytic polar."""
+    return proj_SO3_analytic(A)
+
+
+def kabsch(X: jax.Array, Y: jax.Array) -> jax.Array:
+    """Optimal rotation aligning point sets: proj_SO3(X^T Y)."""
+    return proj_SO3(jnp.swapaxes(X, -1, -2) @ Y)
+
+
+def align_unit_vectors(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Closed-form rotation mapping unit vector ``a`` to unit vector ``b``.
+
+    Rodrigues on axis-angle ``angle * (a x b)/|a x b|`` with
+    ``angle = atan2(|a x b|, a . b)``. Parallel/antiparallel limits stay finite
+    (divide_no_nan -> zero rotvec -> identity).
+    """
+    cross = jnp.cross(a, b)
+    dot = jnp.sum(a * b, axis=-1, keepdims=True)
+    sin_a = jnp.linalg.norm(cross, axis=-1, keepdims=True)
+    angle = jnp.arctan2(sin_a, dot)
+    rotvec = divide_no_nan(cross * angle, sin_a)
+    return rotvec2mat(rotvec)
+
+
+def rot6d_to_rotmat(rot6d: jax.Array) -> jax.Array:
+    """6D rotation representation -> rotation matrix via Gram-Schmidt."""
+    a1 = rot6d[..., :3]
+    a2 = rot6d[..., 3:6]
+    b1 = a1 / (jnp.linalg.norm(a1, axis=-1, keepdims=True) + 1e-8)
+    b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = b2 / (jnp.linalg.norm(b2, axis=-1, keepdims=True) + 1e-8)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1)
+
+
+def rotmat_to_rot6d(rotmat: jax.Array) -> jax.Array:
+    """First two columns of a rotation matrix, concatenated."""
+    return jnp.concatenate([rotmat[..., :, 0], rotmat[..., :, 1]], axis=-1)

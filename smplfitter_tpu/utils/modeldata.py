@@ -1,0 +1,363 @@
+"""Loading and normalization of SMPL-family body model files.
+
+Host-side (NumPy) layer: everything here runs once at construction time and
+produces plain ``np.ndarray``s that the JAX model layer converts to device
+arrays. Semantics mirror the reference loader
+(/root/reference/src/smplfitter/common.py:219-395): filename/gender mapping for
+all seven model variants, chumpy-free unpickling of official .pkl files,
+scipy.sparse forward-compat, kid-blendshape construction, derivation of
+J_template/J_shapedirs when absent, the pose-blendshape zero-point correction,
+and vertex-subset slicing.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import os.path as osp
+import pickle
+import sys
+import types
+from dataclasses import dataclass
+
+import numpy as np
+
+# Joint name registries (public SMPL-family conventions, cf.
+# /root/reference/src/smplfitter/common.py:14-137).
+SMPL_JOINT_NAMES = [
+    'pelvis', 'left_hip', 'right_hip', 'spine1', 'left_knee', 'right_knee',
+    'spine2', 'left_ankle', 'right_ankle', 'spine3', 'left_foot', 'right_foot',
+    'neck', 'left_collar', 'right_collar', 'head', 'left_shoulder',
+    'right_shoulder', 'left_elbow', 'right_elbow', 'left_wrist', 'right_wrist',
+    'left_hand', 'right_hand',
+]
+
+_HAND_JOINT_NAMES = [
+    f'{finger}{i}'
+    for finger in ['index', 'middle', 'pinky', 'ring', 'thumb']
+    for i in (1, 2, 3)
+]
+
+SMPLH_JOINT_NAMES = (
+    SMPL_JOINT_NAMES[:22]
+    + [f'left_{n}' for n in _HAND_JOINT_NAMES]
+    + [f'right_{n}' for n in _HAND_JOINT_NAMES]
+)
+
+SMPLX_JOINT_NAMES = (
+    SMPL_JOINT_NAMES[:22]
+    + ['jaw', 'left_eye_smplhf', 'right_eye_smplhf']
+    + [f'left_{n}' for n in _HAND_JOINT_NAMES]
+    + [f'right_{n}' for n in _HAND_JOINT_NAMES]
+)
+
+MANO_JOINT_NAMES = ['wrist'] + _HAND_JOINT_NAMES
+
+JOINT_NAMES_BY_MODEL = {
+    'smpl': SMPL_JOINT_NAMES,
+    'smplx': SMPLX_JOINT_NAMES,
+    'smplxlh': SMPLX_JOINT_NAMES,
+    'smplxmoyo': SMPLX_JOINT_NAMES,
+    'smplh': SMPLH_JOINT_NAMES,
+    'smplh16': SMPLH_JOINT_NAMES,
+    'mano': MANO_JOINT_NAMES,
+}
+
+GENDER_MAPS = {
+    'smpl': dict(f='f', m='m', n='neutral'),
+    'smplx': dict(f='FEMALE', m='MALE', n='NEUTRAL'),
+    'smplxlh': dict(f='FEMALE', m='MALE', n='NEUTRAL'),
+    'smplxmoyo': dict(f='FEMALE', m='MALE', n='NEUTRAL'),
+    'smplh': dict(f='female', m='male'),
+    'smplh16': dict(f='female', m='male', n='neutral'),
+    'mano': {},
+}
+
+
+@dataclass
+class ModelData:
+    """All arrays and metadata needed to instantiate a body model."""
+
+    v_template: np.ndarray  # (V, 3)
+    shapedirs: np.ndarray  # (V, 3, S)
+    posedirs: np.ndarray  # (V, 3, (J-1)*9)
+    J_regressor_post_lbs: np.ndarray  # (J, V)
+    J_template: np.ndarray  # (J, 3)
+    J_shapedirs: np.ndarray  # (J, 3, S)
+    kid_shapedir: np.ndarray  # (V, 3)
+    kid_J_shapedir: np.ndarray  # (J, 3)
+    weights: np.ndarray  # (V, J)
+    kintree_parents: list  # len J
+    faces: np.ndarray
+    num_joints: int
+    num_vertices: int
+    vertex_subset: np.ndarray
+    joint_names: list
+
+
+def resolve_body_models_dir() -> str:
+    """Resolve the body-models directory from env vars, like the reference.
+
+    Order: $SMPLFITTER_BODY_MODELS, then $DATA_ROOT/body_models, then
+    ./body_models (cf. /root/reference/src/smplfitter/common.py:229-239).
+    """
+    body_models_dir = os.getenv('SMPLFITTER_BODY_MODELS')
+    if body_models_dir is not None:
+        return body_models_dir
+    data_root = os.getenv('DATA_ROOT')
+    if data_root is not None:
+        return osp.join(data_root, 'body_models')
+    return 'body_models'
+
+
+def model_filename(model_name: str, gender: str) -> str:
+    gmap = GENDER_MAPS.get(model_name)
+    if gmap is None:
+        raise ValueError(f'Unknown model name: {model_name}')
+    if model_name != 'mano':
+        key = gender[0].lower()
+        if key not in gmap:
+            available = [{'f': 'female', 'm': 'male', 'n': 'neutral'}[k] for k in gmap]
+            raise ValueError(
+                f"Gender '{gender}' is not available for model '{model_name}'. "
+                f"Available: {', '.join(repr(g) for g in available)}."
+            )
+        gender_str = gmap[key]
+    if model_name == 'smpl':
+        return f'basicmodel_{gender_str}_lbs_10_207_0_v1.1.0.pkl'
+    elif model_name in ('smplx', 'smplxlh', 'smplxmoyo'):
+        return f'SMPLX_{gender_str}.npz'
+    elif model_name == 'smplh':
+        return f'SMPLH_{gender_str}.pkl'
+    elif model_name == 'smplh16':
+        return osp.join(gender_str, 'model.npz')
+    elif model_name == 'mano':
+        return 'MANO_RIGHT.pkl'
+    raise ValueError(f'Unknown model name: {model_name}')
+
+
+def initialize(
+    model_name: str = 'smpl',
+    gender: str = 'neutral',
+    model_root: str | None = None,
+    num_betas: int | None = None,
+    vertex_subset_size: int | None = None,
+    vertex_subset: np.ndarray | None = None,
+    faces: np.ndarray | None = None,
+    joint_regressor_post_lbs: np.ndarray | None = None,
+) -> ModelData:
+    """Load and normalize a body model file into a :class:`ModelData`."""
+    if model_root is None:
+        model_root = osp.join(resolve_body_models_dir(), model_name)
+
+    filename = model_filename(model_name, gender)
+    filepath = osp.join(model_root, filename)
+    try:
+        if filename.endswith('.npz'):
+            raw = dict(np.load(filepath))
+        else:
+            with open(filepath, 'rb') as f, chumpy_stub_modules(), scipy_sparse_forward_compat():
+                raw = pickle.load(f, encoding='latin1')
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f'Body model file not found: {filepath}\n'
+            f'Point smplfitter_tpu at your model files via one of:\n'
+            f"  1. BodyModel('{model_name}', '{gender}', model_root=...)\n"
+            f'  2. export SMPLFITTER_BODY_MODELS=/your/path/body_models\n'
+            f'  3. export DATA_ROOT=/your/path  (uses $DATA_ROOT/body_models/)\n'
+            f'Models must be obtained from the official MPI sites '
+            f'(smpl/smpl-x/mano .is.tue.mpg.de); they are not redistributable.'
+        ) from None
+
+    res: dict = {}
+    res['shapedirs'] = np.asarray(raw['shapedirs'], dtype=np.float64)
+    res['posedirs'] = np.asarray(raw['posedirs'], dtype=np.float64)
+    res['v_template'] = np.asarray(raw['v_template'], dtype=np.float64)
+
+    j_reg = raw['J_regressor']
+    if not isinstance(j_reg, np.ndarray):
+        j_reg = j_reg.toarray()
+    res['J_regressor'] = np.asarray(j_reg, dtype=np.float64)
+
+    res['weights'] = np.asarray(raw['weights'], dtype=np.float64)
+    res['faces'] = np.asarray(raw['f']).astype(np.int32)
+    res['kintree_parents'] = np.asarray(raw['kintree_table'][0], dtype=np.int32).tolist()
+    num_joints = len(res['kintree_parents'])
+    num_vertices = len(res['v_template'])
+
+    # Kid blendshape pulls the mesh towards the (mean-centered) SMIL template.
+    if model_name.lower().startswith('smpl'):
+        kid_path = osp.join(model_root, 'kid_template.npy')
+        try:
+            v_template_smil = np.load(kid_path).astype(np.float64)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f'Kid template not found: {kid_path}\n'
+                f'Obtain it from the AGORA project (agora.is.tue.mpg.de).'
+            ) from None
+        res['kid_shapedir'] = (
+            v_template_smil - np.mean(v_template_smil, axis=0) - res['v_template']
+        )
+        res['kid_J_shapedir'] = res['J_regressor'] @ res['kid_shapedir']
+    else:
+        res['kid_shapedir'] = np.zeros_like(res['v_template'])
+        res['kid_J_shapedir'] = np.zeros((num_joints, 3))
+
+    if 'J_shapedirs' in raw:
+        res['J_shapedirs'] = np.asarray(raw['J_shapedirs'], dtype=np.float64)
+    else:
+        res['J_shapedirs'] = np.einsum('jv,vcs->jcs', res['J_regressor'], res['shapedirs'])
+
+    if 'J_template' in raw:
+        res['J_template'] = np.asarray(raw['J_template'], dtype=np.float64)
+    else:
+        res['J_template'] = res['J_regressor'] @ res['v_template']
+
+    # Pose-blendshape zero-point correction: shift v_template so the pose feature
+    # can be the raw flattened rotation matrices instead of (R - I)
+    # (cf. /root/reference/src/smplfitter/common.py:346-350).
+    res['v_template'] = res['v_template'] - np.einsum(
+        'vcx,x->vc',
+        res['posedirs'],
+        np.tile(np.eye(3, dtype=np.float64), [num_joints - 1, 1]).reshape(-1),
+    )
+
+    if vertex_subset_size is not None:
+        subset_path = osp.join(model_root, f'vertex_subset_{vertex_subset_size}.npz')
+        if not osp.exists(subset_path):
+            from .decimation import decimate
+
+            i_verts, dec_faces = decimate(res['v_template'], res['faces'], vertex_subset_size)
+            np.savez(subset_path, i_verts=i_verts, faces=dec_faces)
+        subset_dict = np.load(subset_path)
+        vertex_subset = subset_dict['i_verts']
+        faces = subset_dict['faces']
+        regressor_path = osp.join(
+            model_root, f'vertex_subset_joint_regr_post_lbs_{vertex_subset_size}.npy'
+        )
+        if osp.exists(regressor_path):
+            joint_regressor_post_lbs = np.load(regressor_path)
+        else:
+            joint_regressor_post_lbs = res['J_regressor'][:, vertex_subset]
+
+    if vertex_subset is None:
+        vertex_subset = np.arange(num_vertices, dtype=np.int64)
+    else:
+        vertex_subset = np.asarray(vertex_subset, dtype=np.int64)
+
+    if faces is None:
+        faces = res['faces']
+
+    if joint_regressor_post_lbs is None:
+        joint_regressor_post_lbs = res['J_regressor']
+
+    return ModelData(
+        v_template=res['v_template'][vertex_subset],
+        shapedirs=res['shapedirs'][vertex_subset, :, :num_betas],
+        posedirs=res['posedirs'][vertex_subset],
+        J_regressor_post_lbs=np.asarray(joint_regressor_post_lbs, dtype=np.float64),
+        J_template=res['J_template'],
+        J_shapedirs=res['J_shapedirs'][:, :, :num_betas],
+        kid_shapedir=res['kid_shapedir'][vertex_subset],
+        kid_J_shapedir=res['kid_J_shapedir'],
+        weights=res['weights'][vertex_subset],
+        kintree_parents=res['kintree_parents'],
+        faces=faces,
+        num_joints=num_joints,
+        num_vertices=len(vertex_subset),
+        vertex_subset=vertex_subset,
+        joint_names=JOINT_NAMES_BY_MODEL.get(model_name, []),
+    )
+
+
+def load_pickle(path: str):
+    with open(path, 'rb') as f, scipy_sparse_forward_compat():
+        return pickle.load(f, encoding='latin1')
+
+
+def load_vertex_converter_csr(vertex_converter_path: str):
+    """Load a barycentric vertex-transfer sparse matrix (scipy CSR).
+
+    The stored matrix has twice the needed columns; only the left half is used
+    (cf. /root/reference/src/smplfitter/common.py:425-429).
+    """
+    scipy_csr = load_pickle(vertex_converter_path)['mtx'].tocsr().astype(np.float32)
+    return scipy_csr[:, : scipy_csr.shape[1] // 2]
+
+
+def csr_to_dense_gather(csr, max_nnz_per_row: int | None = None):
+    """Convert a scipy CSR matrix to fixed-width gather form (indices, weights).
+
+    Barycentric transfer rows have at most ~3 nonzeros, so the sparse matmul
+    becomes a dense (rows, k) gather + weighted sum — fully jit-able on TPU,
+    unlike host-side scipy sparse products (this fixes the reference JAX
+    backend's host round-trip, /root/reference/src/smplfitter/jax/bodyconverter.py:139-145).
+
+    Returns (indices (rows, k) int32, weights (rows, k) float32).
+    """
+    csr = csr.tocsr()
+    nnz_per_row = np.diff(csr.indptr)
+    k = int(nnz_per_row.max()) if max_nnz_per_row is None else max_nnz_per_row
+    rows = csr.shape[0]
+    indices = np.zeros((rows, k), dtype=np.int32)
+    weights = np.zeros((rows, k), dtype=np.float32)
+    for r in range(rows):
+        start, end = csr.indptr[r], csr.indptr[r + 1]
+        n = min(end - start, k)
+        indices[r, :n] = csr.indices[start : start + n]
+        weights[r, :n] = csr.data[start : start + n]
+    return indices, weights
+
+
+@contextlib.contextmanager
+def scipy_sparse_forward_compat():
+    """Allow unpickling files that reference removed scipy.sparse submodules."""
+    import scipy.sparse
+
+    saved = {}
+    for name in ['coo', 'csr', 'csc']:
+        mod_path = f'scipy.sparse.{name}'
+        saved[mod_path] = sys.modules.get(mod_path)
+        sys.modules[mod_path] = scipy.sparse
+    try:
+        yield
+    finally:
+        for mod_path, old_val in saved.items():
+            if old_val is None:
+                sys.modules.pop(mod_path, None)
+            else:
+                sys.modules[mod_path] = old_val
+
+
+@contextlib.contextmanager
+def chumpy_stub_modules():
+    """Register minimal chumpy stubs so official .pkl files unpickle without chumpy."""
+
+    class _ChStub:
+        def __array__(self, dtype=None):
+            return np.array(self.x, dtype=dtype)
+
+    class _SelectStub:
+        def __array__(self, dtype=None):
+            result = np.array(self.a, dtype=dtype).ravel()[self.idxs]
+            preferred = getattr(self, 'preferred_shape', None)
+            return result.reshape(preferred) if preferred is not None else result
+
+    stubs = {
+        'chumpy': types.ModuleType('chumpy'),
+        'chumpy.ch': types.ModuleType('chumpy.ch'),
+        'chumpy.reordering': types.ModuleType('chumpy.reordering'),
+    }
+    stubs['chumpy.ch'].Ch = _ChStub
+    stubs['chumpy.reordering'].Select = _SelectStub
+
+    saved = {mod_path: sys.modules.get(mod_path) for mod_path in stubs}
+    sys.modules.update(stubs)
+    try:
+        yield
+    finally:
+        for mod_path, old_val in saved.items():
+            if old_val is None:
+                sys.modules.pop(mod_path, None)
+            else:
+                sys.modules[mod_path] = old_val
