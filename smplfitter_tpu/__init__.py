@@ -13,5 +13,16 @@ from __future__ import annotations
 __version__ = '0.1.0'
 
 from .models.bodymodel import BodyModel
+from .models.bodyfitter import BodyFitter
+from .api import get_cached_body_model, get_cached_fit_fn
+from .ops.precision import set_matmul_precision, get_matmul_precision
 
-__all__ = ['BodyModel', '__version__']
+__all__ = [
+    'BodyModel',
+    'BodyFitter',
+    'get_cached_body_model',
+    'get_cached_fit_fn',
+    'set_matmul_precision',
+    'get_matmul_precision',
+    '__version__',
+]

@@ -1,0 +1,100 @@
+"""Cached construction and jit-compiled fit closures.
+
+The TPU analogue of the reference deployment wrappers
+(/root/reference/src/smplfitter/pt/__init__.py:36-132): hashable config tuples
+key an lru_cache of jitted fit functions, so repeated calls with the same
+config reuse both the model arrays and the compiled XLA executable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models.bodymodel import BodyModel
+from .models.bodyfitter import BodyFitter
+
+
+@functools.lru_cache()
+def get_cached_body_model(
+    model_name: str = 'smpl', gender: str = 'neutral', model_root: Optional[str] = None
+) -> BodyModel:
+    """Return a cached BodyModel instance (shared; do not modify in place)."""
+    return BodyModel(model_name=model_name, gender=gender, model_root=model_root)
+
+
+@functools.lru_cache()
+def get_cached_fit_fn(
+    body_model_name: str = 'smpl',
+    gender: str = 'neutral',
+    num_betas: int = 10,
+    enable_kid: bool = False,
+    requested_keys: tuple = ('pose_rotvecs', 'shape_betas', 'trans'),
+    beta_regularizer: float = 1.0,
+    beta_regularizer2: float = 0.0,
+    num_iter: int = 3,
+    vertex_subset: Optional[tuple] = None,
+    vertex_subset_size: Optional[int] = None,
+    share_beta: bool = False,
+    final_adjust_rots: bool = True,
+    scale_target: bool = False,
+    scale_fit: bool = False,
+    scale_regularizer: float = 0.0,
+    kid_regularizer: Optional[float] = None,
+):
+    """Build a jit-compiled fit closure for a fixed configuration.
+
+    The returned function accepts ``(verts, joints=None, vertex_weights=None,
+    joint_weights=None)`` with arbitrary leading batch dims and returns the
+    requested keys reshaped accordingly. Passing/omitting the optional args
+    selects among a small number of cached XLA executables.
+    """
+    body_model = BodyModel(
+        model_name=body_model_name,
+        gender=gender,
+        num_betas=num_betas,
+        vertex_subset=None if vertex_subset is None else list(vertex_subset),
+        vertex_subset_size=vertex_subset_size,
+    )
+    fitter = BodyFitter(body_model, enable_kid=enable_kid)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fit_fn(verts, joints=None, vertex_weights=None, joint_weights=None):
+        return fitter.fit(
+            verts,
+            target_joints=joints,
+            vertex_weights=vertex_weights,
+            joint_weights=joint_weights,
+            num_iter=num_iter,
+            beta_regularizer=beta_regularizer,
+            beta_regularizer2=beta_regularizer2,
+            scale_regularizer=scale_regularizer,
+            kid_regularizer=kid_regularizer,
+            share_beta=share_beta,
+            final_adjust_rots=final_adjust_rots,
+            scale_target=scale_target,
+            scale_fit=scale_fit,
+            requested_keys=requested_keys,
+        )
+
+    V = body_model.num_vertices
+    J = body_model.num_joints
+
+    def wrapped(verts, joints=None, vertex_weights=None, joint_weights=None):
+        verts = jnp.asarray(verts)
+        lead = verts.shape[:-2]
+        verts_resh = verts.reshape(-1, V, 3)
+        joints_resh = None if joints is None else jnp.asarray(joints).reshape(-1, J, 3)
+        vw_resh = (
+            None if vertex_weights is None else jnp.asarray(vertex_weights).reshape(-1, V)
+        )
+        jw_resh = (
+            None if joint_weights is None else jnp.asarray(joint_weights).reshape(-1, J)
+        )
+        res = fit_fn(verts_resh, joints_resh, vw_resh, jw_resh)
+        return {k: v.reshape(*lead, *v.shape[1:]) for k, v in res.items()}
+
+    return wrapped

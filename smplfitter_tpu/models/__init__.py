@@ -1,1 +1,2 @@
 from .bodymodel import BodyModel
+from .bodyfitter import BodyFitter

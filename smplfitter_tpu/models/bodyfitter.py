@@ -1,0 +1,1173 @@
+"""Closed-form SMPL-family body fitting, TPU-native.
+
+Recovers pose rotations, shape betas, translation (and optionally scale and kid
+factor) from target vertices/joints by alternating two closed-form solves
+(cf. the algorithm description in the reference,
+/root/reference/src/smplfitter/np/bodyfitter.py:186-424):
+
+ 1. per-body-part orientation fit (Kabsch on joints / closed-form swing+twist on
+    bones / Kabsch on vertices for leaves), computed loop-free from per-part
+    sufficient statistics (:func:`part_sums`);
+ 2. shape+translation linear least squares through the body model extended with
+    forward-mode Jacobians w.r.t. the betas.
+
+TPU-first design decisions:
+ - ALL static structure (part buckets, membership matrices, kinematic-tree
+   levels, scatter permutations) is precomputed on the host with NumPy in
+   :class:`FitterPlan` — the jitted fit graph contains only gathers, GEMMs and
+   batched 3x3 algebra with static shapes. No eager device compute at init
+   (eager dispatch on TPU is pathologically slow).
+ - The kinematic tree is walked level-batched (<= 8 static steps for SMPL),
+   including the final rotation adjustment when part structure allows
+   (cf. /root/reference/src/smplfitter/pt/bodyfitter.py:1471-1544), with an
+   unrolled per-joint fallback for hand models.
+ - SO(3) projections use the branch-free analytic polar decomposition
+   (ops/rotation.py) — one fused VPU computation for all parts at once.
+ - All fit flags (num_iter, share_beta, scale_*, requested_keys, presence of
+   joints/weights) are Python-level: they specialize the trace, mirroring the
+   reference's TorchScript/tf.function static-signature approach.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import rotation as rot_ops
+from ..ops.lstsq import lstsq, lstsq_partial_share
+from ..ops.precision import matmul_precision
+from .bodymodel import BodyModel, BodyModelData, forward, tree_levels
+
+
+# ---------------------------------------------------------------------------
+# Static fit plan
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class FitterPlan:
+    """Precomputed static dispatch structure + constant tensors for fitting.
+
+    Tensor fields are device arrays (pytree leaves); index structure that must
+    be static (bucket membership, level partitions) lives in aux fields.
+    Mirrors the reference flagship's precompute
+    (/root/reference/src/smplfitter/pt/bodyfitter.py:25-233) re-derived for JAX.
+    """
+
+    # --- device tensors ---
+    part_matrix: jax.Array  # (J, N_used) one-hot part membership over used verts
+    part_counts: jax.Array  # (1, J, 1)
+    center_matrix: jax.Array  # (J, J) children-mean averaging
+    mjp_joint_membership: jax.Array  # (n_multi, J)
+    mjp_joint_counts: jax.Array  # (1, n_multi, 1)
+    mjp_center_matrix: jax.Array  # (n_multi, J)
+    J_template_ext: jax.Array  # (J, 3, 1+S[+1])
+    bone_ext: jax.Array  # (J, 3, 1+S[+1]) parent-relative extended bones
+    default_mesh: jax.Array  # (V, 3) T-pose vertices
+
+    # --- static structure ---
+    used_vertex_indices: tuple = struct.field(pytree_node=False)
+    multi_joint_parts: tuple = struct.field(pytree_node=False)
+    bone_parts: tuple = struct.field(pytree_node=False)
+    leaf_parts: tuple = struct.field(pytree_node=False)
+    bone_pairs: tuple = struct.field(pytree_node=False)  # ((j0, j1), ...)
+    assemble_indices: tuple = struct.field(pytree_node=False)
+    adjustable_parts: tuple = struct.field(pytree_node=False)
+    children_and_self: tuple = struct.field(pytree_node=False)
+    is_smpl_family: bool = struct.field(pytree_node=False)
+    n_betas: int = struct.field(pytree_node=False)
+    enable_kid: bool = struct.field(pytree_node=False)
+    leveladj_supported: bool = struct.field(pytree_node=False)
+    adj_levels: tuple = struct.field(pytree_node=False)  # adjustable parts per level
+    adj_n_joints: int = struct.field(pytree_node=False)
+
+
+def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = None,
+               dtype=jnp.float32) -> FitterPlan:
+    """Host-side (NumPy) construction of the static fit plan."""
+    weights = np.asarray(bm.weights)
+    J = bm.num_joints
+    V = bm.num_vertices
+    n_betas = bm.num_betas if num_betas is None else min(num_betas, bm.num_betas)
+    is_smpl_family = bm.model_name.startswith('smpl')
+
+    part_assignment = np.argmax(weights, axis=1)
+    if is_smpl_family:
+        # Toe parts copy the feet: their vertices are folded into the foot parts.
+        part_assignment = np.where(part_assignment == 10, 7, part_assignment)
+        part_assignment = np.where(part_assignment == 11, 8, part_assignment)
+
+    children_and_self = [[i] for i in range(J)]
+    for i in range(1, J):
+        children_and_self[bm.kintree_parents[i]].append(i)
+
+    # Bucket parts by joint count: >=3 Kabsch on joints, ==2 swing+twist bone,
+    # ==1 Kabsch on vertices. SMPL toes (10, 11) are excluded (copy feet).
+    multi_joint_parts, bone_parts, leaf_parts = [], [], []
+    for i in range(J):
+        if is_smpl_family and i in (10, 11):
+            continue
+        n = len(children_and_self[i])
+        if n >= 3:
+            multi_joint_parts.append(i)
+        elif n == 2:
+            bone_parts.append(i)
+        else:
+            leaf_parts.append(i)
+
+    adjustable_parts = (
+        [1, 2, 4, 5, 7, 8, 16, 17, 18, 19] if is_smpl_family else list(range(J))
+    )
+
+    stat_parts = sorted(set(bone_parts + leaf_parts + adjustable_parts))
+    used_mask = np.zeros(V, dtype=bool)
+    for i in stat_parts:
+        used_mask[part_assignment == i] = True
+    used_vertex_indices = np.where(used_mask)[0]
+
+    part_matrix = np.zeros((J, len(used_vertex_indices)), dtype=np.float32)
+    part_matrix[part_assignment[used_vertex_indices], np.arange(len(used_vertex_indices))] = 1.0
+
+    center_matrix = np.zeros((J, J), dtype=np.float32)
+    for i in range(J):
+        js = children_and_self[i]
+        center_matrix[i, js] = 1.0 / len(js)
+
+    mjp_joint_membership = np.zeros((len(multi_joint_parts), J), dtype=np.float32)
+    for k, i in enumerate(multi_joint_parts):
+        mjp_joint_membership[k, children_and_self[i]] = 1.0
+
+    bone_pairs = tuple(
+        (children_and_self[i][0], children_and_self[i][1]) for i in bone_parts
+    )
+
+    # R_concat = [R_multi, R_leaf, R_bone] scattered back to per-part order;
+    # SMPL toes take the feet slots.
+    concat_order = multi_joint_parts + leaf_parts + bone_parts
+    inverse_perm = [0] * J
+    for pos, jj in enumerate(concat_order):
+        inverse_perm[jj] = pos
+    if is_smpl_family:
+        inverse_perm[10] = inverse_perm[7]
+        inverse_perm[11] = inverse_perm[8]
+
+    # Extended joint template: position column + per-beta columns (+ kid column).
+    J_template = np.asarray(bm.J_template, np.float64)
+    J_shapedirs = np.asarray(bm.J_shapedirs, np.float64)[:, :, :n_betas]
+    cols = [J_template.reshape(J, 3, 1), J_shapedirs]
+    if enable_kid:
+        cols.append(np.asarray(bm.kid_J_shapedir, np.float64).reshape(J, 3, 1))
+    J_template_ext = np.concatenate(cols, axis=2)
+    parents_with_root = [0] + list(bm.kintree_parents[1:])
+    bone_ext = J_template_ext - J_template_ext[parents_with_root]
+
+    # T-pose mesh, computed on host: with identity rotations the pose feature
+    # exactly cancels the loader's zero-point shift.
+    v_template = np.asarray(bm.v_template, np.float64)
+    posedirs = np.asarray(bm.posedirs, np.float64)
+    eye_feat = np.tile(np.eye(3), (J - 1, 1)).reshape(-1)
+    default_mesh = v_template + posedirs @ eye_feat
+
+    # Level-batched final adjustment requires all adjustable parts to contain
+    # the same number of joints (fixed-width joint gather per level).
+    joint_counts = {len(children_and_self[i]) for i in adjustable_parts}
+    leveladj_supported = is_smpl_family and len(joint_counts) == 1
+    levels = tree_levels(bm.kintree_parents)
+    adjustable_set = set(adjustable_parts)
+    adj_levels = tuple(
+        tuple(i for i in level if i in adjustable_set) for level in levels
+    )
+    adj_n_joints = joint_counts.pop() if leveladj_supported else 0
+
+    return FitterPlan(
+        part_matrix=jnp.asarray(part_matrix, dtype),
+        part_counts=jnp.asarray(part_matrix.sum(axis=1).reshape(1, J, 1), dtype),
+        center_matrix=jnp.asarray(center_matrix, dtype),
+        mjp_joint_membership=jnp.asarray(mjp_joint_membership, dtype),
+        mjp_joint_counts=jnp.asarray(
+            mjp_joint_membership.sum(axis=1).reshape(1, -1, 1), dtype
+        ),
+        mjp_center_matrix=jnp.asarray(center_matrix[multi_joint_parts], dtype),
+        J_template_ext=jnp.asarray(J_template_ext, dtype),
+        bone_ext=jnp.asarray(bone_ext, dtype),
+        default_mesh=jnp.asarray(default_mesh, dtype),
+        used_vertex_indices=tuple(int(i) for i in used_vertex_indices),
+        multi_joint_parts=tuple(multi_joint_parts),
+        bone_parts=tuple(bone_parts),
+        leaf_parts=tuple(leaf_parts),
+        bone_pairs=bone_pairs,
+        assemble_indices=tuple(inverse_perm),
+        adjustable_parts=tuple(adjustable_parts),
+        children_and_self=tuple(tuple(c) for c in children_and_self),
+        is_smpl_family=is_smpl_family,
+        n_betas=n_betas,
+        enable_kid=enable_kid,
+        leveladj_supported=leveladj_supported,
+        adj_levels=adj_levels,
+        adj_n_joints=adj_n_joints,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weights):
+    """Per-part weighted sums: raw = sum w t a^T (B, J, 3, 3), s_t = sum w t,
+    s_a = sum w a, s_w = sum w. The centered cross-covariance about any centers
+    (c_t, c_a) follows as ``raw - s_t c_a^T - c_t s_a^T + s_w c_t c_a^T``.
+
+    One (J, N) x (N, 9B) membership GEMM does all parts at once — the loop-free
+    formulation of /root/reference/src/smplfitter/np/bodyfitter.py:160-184.
+    """
+    idx = np.array(plan.used_vertex_indices)
+    t = target_vertices[:, idx]
+    a = reference_vertices[:, idx]
+    if vertex_weights is not None:
+        w = vertex_weights[:, idx]
+        a = a * w[..., None]
+        t_sum_side = t * w[..., None]
+        s_w = plan.part_matrix @ w[..., None]
+    else:
+        t_sum_side = t
+        s_w = plan.part_counts
+    B = max(t.shape[0], a.shape[0])
+    N = t.shape[1]
+    outer = (t[..., :, None] * a[..., None, :]).reshape(B, N, 9)
+    raw = (plan.part_matrix @ outer).reshape(B, -1, 3, 3)
+    s_t = plan.part_matrix @ t_sum_side
+    s_a = plan.part_matrix @ a
+    return raw, s_t, s_a, s_w
+
+
+def _centered_cov(raw, s_t, s_a, s_w, c_t, c_a):
+    """Centered cross-covariance from raw sums and centers (broadcasting)."""
+    return (
+        raw
+        - s_t[..., None] * c_a[..., None, :]
+        - c_t[..., None] * s_a[..., None, :]
+        + s_w[..., None] * (c_t[..., None] * c_a[..., None, :])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Orientation fits
+# ---------------------------------------------------------------------------
+
+
+def fit_global_rotations(
+    bm: BodyModelData,
+    plan: FitterPlan,
+    target_vertices,
+    target_joints,
+    reference_vertices,
+    reference_joints,
+    vertex_weights,
+    joint_weights,
+):
+    """Per-part global orientations via bucketed Kabsch / swing+twist.
+
+    Semantics per /root/reference/src/smplfitter/np/bodyfitter.py:871-964. For
+    bone parts, with ``H = R_swing A^T`` (A the centered vertex cross-covariance)
+    the optimal twist about the target bone direction b is
+    ``atan2(b . vee(H), tr(H) - b^T H b)``.
+    """
+    if target_joints is None or reference_joints is None:
+        target_joints = bm.J_regressor_post_lbs @ target_vertices
+        reference_joints = bm.J_regressor_post_lbs @ reference_vertices
+
+    B = target_vertices.shape[0]
+
+    raw, s_t, s_a, s_w = part_sums(plan, target_vertices, reference_vertices, vertex_weights)
+    mt = plan.center_matrix @ target_joints  # (B, J, 3)
+    ma = plan.center_matrix @ reference_joints  # (B_ref, J, 3)
+    A_vert = _centered_cov(raw, s_t, s_a, s_w, mt, ma)  # (B, J, 3, 3)
+
+    # Joint-point cross-covariances for the multi-joint parts.
+    rj = reference_joints
+    if joint_weights is not None:
+        rj = rj * joint_weights[..., None]
+        tj_sum_side = target_joints * joint_weights[..., None]
+        s_wj = plan.mjp_joint_membership @ joint_weights[..., None]
+    else:
+        tj_sum_side = target_joints
+        s_wj = plan.mjp_joint_counts
+    outer_j = (target_joints[..., :, None] * rj[..., None, :]).reshape(
+        B, target_joints.shape[1], 9
+    )
+    raw_j = (plan.mjp_joint_membership @ outer_j).reshape(B, -1, 3, 3)
+    mtj = plan.mjp_center_matrix @ target_joints
+    maj = plan.mjp_center_matrix @ reference_joints
+    s_tj = plan.mjp_joint_membership @ tj_sum_side
+    s_aj = plan.mjp_joint_membership @ rj
+    A_multi = _centered_cov(raw_j, s_tj, s_aj, s_wj, mtj, maj)
+
+    # Kabsch bucket (multi-joint + leaf parts): one batched analytic projection.
+    leaf_idx = np.array(plan.leaf_parts, dtype=np.int32)
+    A_kabsch = jnp.concatenate([A_multi, A_vert[:, leaf_idx]], axis=1)
+    R_kabsch = rot_ops.proj_SO3(A_kabsch)
+
+    # Bone bucket: swing aligns the bone, twist recovered from vertices.
+    bp = np.array(plan.bone_pairs, dtype=np.int32).reshape(-1, 2)
+    b_ref = reference_joints[:, bp[:, 1]] - reference_joints[:, bp[:, 0]]
+    b_tgt = target_joints[:, bp[:, 1]] - target_joints[:, bp[:, 0]]
+    b_ref_n = rot_ops.divide_no_nan(b_ref, jnp.linalg.norm(b_ref, axis=-1, keepdims=True))
+    b_tgt_n = rot_ops.divide_no_nan(b_tgt, jnp.linalg.norm(b_tgt, axis=-1, keepdims=True))
+    R_swing = rot_ops.align_unit_vectors(b_ref_n, b_tgt_n)
+
+    bone_idx = np.array(plan.bone_parts, dtype=np.int32)
+    H = R_swing @ jnp.swapaxes(A_vert[:, bone_idx], -1, -2)
+    trH = jnp.trace(H, axis1=-2, axis2=-1)
+    bHb = jnp.einsum('bni,bnij,bnj->bn', b_tgt_n, H, b_tgt_n)
+    vee = jnp.stack(
+        [
+            H[..., 1, 2] - H[..., 2, 1],
+            H[..., 2, 0] - H[..., 0, 2],
+            H[..., 0, 1] - H[..., 1, 0],
+        ],
+        axis=-1,
+    )
+    twist_angle = jnp.arctan2(jnp.sum(b_tgt_n * vee, axis=-1), trH - bHb)
+    R_twist = rot_ops.rotvec2mat(b_tgt_n * twist_angle[..., None])
+    R_bone = R_twist @ R_swing
+
+    R_concat = jnp.concatenate([R_kabsch, R_bone], axis=1)
+    return R_concat[:, np.array(plan.assemble_indices)]
+
+
+def fit_global_rotations_dependent(
+    bm: BodyModelData,
+    plan: FitterPlan,
+    target_vertices,
+    target_joints,
+    reference_vertices,
+    reference_joints,
+    vertex_weights,
+    joint_weights,
+    glob_rots_prev,
+    shape_betas,
+    scale_corr,
+    trans,
+    kid_factor,
+):
+    """Final rotation adjustment: refine parts sequentially down the tree,
+    re-anchoring each at its recomputed proximal joint to absorb bone-length
+    mismatch. Level-batched when the model's part structure allows (SMPL
+    family), per-joint unrolled otherwise.
+
+    Semantics per /root/reference/src/smplfitter/np/bodyfitter.py:966-1052 and
+    the level-batched reformulation /root/reference/src/smplfitter/pt/bodyfitter.py:1471-1595.
+    """
+    true_reference_joints = reference_joints
+    if target_joints is None or reference_joints is None:
+        target_joints = bm.J_regressor_post_lbs @ target_vertices
+        reference_joints = bm.J_regressor_post_lbs @ reference_vertices
+    if true_reference_joints is None:
+        true_reference_joints = reference_joints
+
+    j = bm.J_template + jnp.einsum(
+        'jcs,bs->bjc', bm.J_shapedirs[:, :, : plan.n_betas], shape_betas[:, : plan.n_betas]
+    )
+    if kid_factor is not None:
+        j = j + jnp.einsum('jc,b->bjc', bm.kid_J_shapedir, kid_factor)
+    if scale_corr is not None:
+        j = j * scale_corr[:, None, None]
+
+    parent_indices = np.array(bm.kintree_parents[1:])
+    j_parent = jnp.concatenate([jnp.zeros_like(j[:, :1]), j[:, parent_indices]], axis=1)
+    bones = j - j_parent
+
+    raw, s_t, s_a, s_w = part_sums(plan, target_vertices, reference_vertices, vertex_weights)
+
+    batch = target_vertices.shape[0]
+    num_joints = bm.num_joints
+    rots = glob_rots_prev
+    positions = jnp.zeros((batch, num_joints, 3), dtype=j.dtype)
+    positions = positions.at[:, 0].set(j[:, 0] + trans)
+
+    def refine_parts(adj, positions, rots):
+        """Refine the orientation of the given adjustable parts (batched)."""
+        adj_arr = np.array(adj, dtype=np.int32)
+        c_t = positions[:, adj_arr]  # (B, n, 3)
+        c_a = true_reference_joints[:, adj_arr]
+        A_vert = _centered_cov(
+            raw[:, adj_arr], s_t[:, adj_arr], s_a[:, adj_arr], s_w[:, adj_arr], c_t, c_a
+        )
+        joint_sel = np.array([plan.children_and_self[i] for i in adj], dtype=np.int32)
+        n, k = joint_sel.shape
+        estim = target_joints[:, joint_sel.reshape(-1)].reshape(batch, n, k, 3) - c_t[:, :, None]
+        default = reference_joints[:, joint_sel.reshape(-1)].reshape(-1, n, k, 3) - c_a[:, :, None]
+        if joint_weights is not None:
+            jw = joint_weights[:, joint_sel.reshape(-1)].reshape(-1, n, k)
+            default = default * jw[..., None]
+        A_joint = jnp.swapaxes(estim, -1, -2) @ default
+        new_rots = rot_ops.proj_SO3(A_vert + A_joint) @ glob_rots_prev[:, adj_arr]
+        return rots.at[:, adj_arr].set(new_rots)
+
+    if plan.leveladj_supported:
+        adjustable_in_levels = {i for lvl in plan.adj_levels for i in lvl}
+        last_level = max(
+            (k for k, lvl in enumerate(plan.adj_levels) if lvl), default=-1
+        )
+        levels = tree_levels(bm.kintree_parents)
+        for k, level in enumerate(levels):
+            if k > last_level:
+                break
+            js = np.array(level)
+            ps = np.array([bm.kintree_parents[i] for i in level])
+            rotated = jnp.einsum('bnCc,bnc->bnC', rots[:, ps], bones[:, js])
+            positions = positions.at[:, js].set(positions[:, ps] + rotated)
+            adj = plan.adj_levels[k]
+            if adj:
+                rots = refine_parts(adj, positions, rots)
+        if plan.is_smpl_family:
+            rots = rots.at[:, np.array([10, 11])].set(rots[:, np.array([7, 8])])
+        del adjustable_in_levels
+        return rots
+
+    # Sequential per-joint fallback (hand/face models where every part adjusts).
+    glob_rots = []
+    glob_positions = []
+    for i in range(num_joints):
+        if i == 0:
+            glob_position = j[:, i] + trans
+        else:
+            i_parent = bm.kintree_parents[i]
+            glob_position = glob_positions[i_parent] + jnp.einsum(
+                'bCc,bc->bC', glob_rots[i_parent], bones[:, i]
+            )
+        glob_positions.append(glob_position)
+
+        if plan.is_smpl_family and i == 10:
+            glob_rots.append(glob_rots[7])
+            continue
+        if plan.is_smpl_family and i == 11:
+            glob_rots.append(glob_rots[8])
+            continue
+        if i not in plan.adjustable_parts:
+            glob_rots.append(glob_rots_prev[:, i])
+            continue
+
+        c_t = glob_position
+        c_a = true_reference_joints[:, i]
+        A_vert = _centered_cov(raw[:, i], s_t[:, i], s_a[:, i], s_w[:, i], c_t, c_a)
+        joint_sel = np.array(plan.children_and_self[i])
+        estim = target_joints[:, joint_sel] - c_t[:, None]
+        default = reference_joints[:, joint_sel] - c_a[:, None]
+        if joint_weights is not None:
+            default = default * joint_weights[:, joint_sel][..., None]
+        A_joint = jnp.swapaxes(estim, -1, -2) @ default
+        glob_rots.append(rot_ops.proj_SO3(A_vert + A_joint) @ glob_rots_prev[:, i])
+
+    return jnp.stack(glob_rots, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Shape solve
+# ---------------------------------------------------------------------------
+
+
+def fk_positions_ext(bm: BodyModelData, plan: FitterPlan, glob_rotmats):
+    """Level-batched FK of the extended joint positions (position + beta-Jacobian
+    [+ kid] columns): (B, J, 3, n_ext)."""
+    batch = glob_rotmats.shape[0]
+    n_ext = plan.J_template_ext.shape[2]
+    root = jnp.broadcast_to(plan.J_template_ext[0], (batch, 3, n_ext))
+    chunks = [root[:, None]]
+    order = [0]
+    pos_by_joint = {0: 0}
+    for level in tree_levels(bm.kintree_parents):
+        js = np.array(level)
+        ps = np.array([bm.kintree_parents[i] for i in level])
+        done = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
+        parent_pos = np.array([pos_by_joint[int(p)] for p in ps])
+        new = done[:, parent_pos] + jnp.einsum(
+            'bnCc,ncs->bnCs', glob_rotmats[:, ps], plan.bone_ext[js]
+        )
+        for k, jj in enumerate(level):
+            pos_by_joint[jj] = len(order) + k
+        order.extend(level)
+        chunks = [done, new]
+    all_pos = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
+    return all_pos[:, np.argsort(np.array(order))]
+
+
+def fit_shape(
+    bm: BodyModelData,
+    plan: FitterPlan,
+    glob_rotmats,
+    target_vertices,
+    target_joints=None,
+    vertex_weights=None,
+    joint_weights=None,
+    beta_regularizer: float = 1.0,
+    beta_regularizer2: float = 0.0,
+    scale_regularizer: float = 0.0,
+    kid_regularizer: Optional[float] = None,
+    share_beta: bool = False,
+    scale_target: bool = False,
+    scale_fit: bool = False,
+    beta_regularizer_reference=None,
+    kid_regularizer_reference=None,
+    requested_keys=(),
+):
+    """Shape/translation (and optional kid/scale) linear solve for fixed rotations.
+
+    The SMPL forward pass is affine in beta; this runs the forward pass extended
+    with forward-mode Jacobians w.r.t. beta, stacks all vertex/joint residuals
+    into one weighted ridge system, centers by the weighted mean (keeping the
+    Gramian well-conditioned in f32), and solves via Cholesky. Semantics follow
+    /root/reference/src/smplfitter/np/bodyfitter.py:673-869 with the weighted
+    centering of the pt general solve (pt/bodyfitter.py:1199-1212).
+    """
+    if scale_target and scale_fit:
+        raise ValueError('Only one of scale_target and scale_fit can be True')
+
+    batch = target_vertices.shape[0]
+    n_betas = plan.n_betas
+    num_joints = bm.num_joints
+    parent_indices = np.array(bm.kintree_parents[1:])
+    dtype = target_vertices.dtype
+
+    parent_glob = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.eye(3, dtype=dtype), (batch, 1, 3, 3)),
+            glob_rotmats[:, parent_indices],
+        ],
+        axis=1,
+    )
+    rel_rotmats = jnp.einsum('bjki,bjkl->bjil', parent_glob, glob_rotmats)
+
+    glob_positions_ext = fk_positions_ext(bm, plan, glob_rotmats)
+    translations_ext = glob_positions_ext - jnp.einsum(
+        'bjCc,jcs->bjCs', glob_rotmats, plan.J_template_ext
+    )
+
+    rot_params = rel_rotmats[:, 1:].reshape(batch, (num_joints - 1) * 9)
+    v_posed = bm.v_template + jnp.einsum('vcp,bp->bvc', bm.posedirs, rot_params)
+
+    # Blended rotations once; reused for position and Jacobian.
+    rot_blend = jnp.einsum(
+        'vj,bjx->bvx', bm.weights, glob_rotmats.reshape(batch, num_joints, 9)
+    ).reshape(batch, -1, 3, 3)
+    v_rotated = jnp.einsum('bvCc,bvc->bvC', rot_blend, v_posed)
+
+    shapedirs = (
+        jnp.concatenate([bm.shapedirs[:, :, :n_betas], bm.kid_shapedir[:, :, None]], axis=2)
+        if plan.enable_kid
+        else bm.shapedirs[:, :, :n_betas]
+    )
+    v_grad_rotated = jnp.einsum('bvCc,vcs->bvCs', rot_blend, shapedirs)
+
+    v_ext = jnp.concatenate([v_rotated[:, :, :, None], v_grad_rotated], axis=3)
+    v_ext = v_ext + jnp.einsum('vj,bjcs->bvcs', bm.weights, translations_ext)
+
+    if target_joints is None:
+        target_both = target_vertices
+        pos_both = v_ext[..., 0]
+        jac_both = v_ext[..., 1:]
+    else:
+        target_both = jnp.concatenate([target_vertices, target_joints], axis=1)
+        pos_both = jnp.concatenate([v_ext[..., 0], glob_positions_ext[..., 0]], axis=1)
+        jac_both = jnp.concatenate([v_ext[..., 1:], glob_positions_ext[..., 1:]], axis=1)
+
+    if scale_target:
+        A = jnp.concatenate([jac_both, -target_both[..., None]], axis=3)
+    elif scale_fit:
+        A = jnp.concatenate([jac_both, pos_both[..., None]], axis=3)
+    else:
+        A = jac_both
+    b = target_both - pos_both
+
+    if target_joints is not None and vertex_weights is not None and joint_weights is not None:
+        weights = jnp.concatenate([vertex_weights, joint_weights], axis=1)
+    elif target_joints is None and vertex_weights is not None:
+        weights = vertex_weights
+    else:
+        weights = jnp.ones(A.shape[:2], dtype=dtype)
+
+    # Weighted-mean centering before the normal equations (conditioning).
+    w_sum = jnp.sum(weights, axis=1)[:, None, None, None]
+    w_sum_safe = jnp.where(w_sum == 0, jnp.ones_like(w_sum), w_sum)
+    mean_A = jnp.sum(weights[..., None, None] * A, axis=1, keepdims=True) / w_sum_safe
+    mean_b = jnp.sum(weights[..., None] * b, axis=1, keepdims=True) / w_sum_safe[..., 0]
+    A = A - mean_A
+    b = b - mean_b
+
+    n_params = n_betas + (1 if plan.enable_kid else 0) + (1 if scale_target or scale_fit else 0)
+    A = A.reshape(batch, -1, n_params)
+    b = b.reshape(batch, -1, 1)
+    w = jnp.repeat(weights, 3, axis=1)
+
+    l2 = jnp.concatenate(
+        [
+            jnp.full((2,), beta_regularizer2, dtype),
+            jnp.full((n_betas - 2,), beta_regularizer, dtype),
+        ]
+    )
+    if beta_regularizer_reference is None:
+        l2_ref = jnp.zeros((batch, n_betas), dtype)
+    else:
+        ref = beta_regularizer_reference.astype(dtype)
+        n_given = ref.shape[1]
+        if n_given < n_betas:
+            ref = jnp.pad(ref, ((0, 0), (0, n_betas - n_given)))
+        l2_ref = ref[:, :n_betas]
+
+    if plan.enable_kid:
+        if kid_regularizer is None:
+            kid_regularizer = beta_regularizer
+        l2 = jnp.concatenate([l2, jnp.full((1,), kid_regularizer, dtype)])
+        if kid_regularizer_reference is None:
+            kid_ref = jnp.zeros((batch, 1), dtype)
+        else:
+            kid_ref = kid_regularizer_reference.reshape(batch, 1).astype(dtype)
+        l2_ref = jnp.concatenate([l2_ref, kid_ref], axis=1)
+
+    if scale_target or scale_fit:
+        l2 = jnp.concatenate([l2, jnp.full((1,), scale_regularizer, dtype)])
+        l2_ref = jnp.concatenate([l2_ref, jnp.zeros((batch, 1), dtype)], axis=1)
+
+    l2_rhs = (l2 * l2_ref)[..., None]
+
+    if share_beta:
+        x = lstsq_partial_share(
+            A, b, w, l2, l2_rhs, n_shared=n_betas + (1 if plan.enable_kid else 0)
+        )
+    else:
+        x = lstsq(A, b, w, l2, l2_rhs)
+
+    x = x[..., 0]
+    new_trans = mean_b[:, 0] - jnp.einsum('bcp,bp->bc', mean_A[:, 0], x)
+    new_shape = x[:, :n_betas]
+    new_kid_factor = None
+    new_scale_corr = None
+
+    if plan.enable_kid:
+        new_kid_factor = x[:, n_betas]
+    if scale_target or scale_fit:
+        new_scale_corr = x[:, -1] + 1
+        if scale_fit:
+            new_shape = new_shape / new_scale_corr[..., None]
+            if new_kid_factor is not None:
+                new_kid_factor = new_kid_factor / new_scale_corr
+
+    result = dict(
+        shape_betas=new_shape,
+        kid_factor=new_kid_factor,
+        trans=new_trans,
+        relative_orientations=rel_rotmats,
+        scale_corr=new_scale_corr,
+        joints=None,
+        vertices=None,
+    )
+
+    full_x = new_shape
+    if plan.enable_kid and new_kid_factor is not None:
+        full_x = jnp.concatenate([full_x, new_kid_factor[:, None]], axis=1)
+
+    if 'joints' in requested_keys:
+        result['joints'] = (
+            glob_positions_ext[..., 0]
+            + jnp.einsum('bvcs,bs->bvc', glob_positions_ext[..., 1:], full_x)
+            + new_trans[:, None]
+        )
+    if 'vertices' in requested_keys:
+        result['vertices'] = (
+            v_ext[..., 0]
+            + jnp.einsum('bvcs,bs->bvc', v_ext[..., 1:], full_x)
+            + new_trans[:, None]
+        )
+    return result
+
+
+def fit_scale_and_translation(
+    target_vertices,
+    reference_vertices,
+    target_joints=None,
+    reference_joints=None,
+    vertex_weights=None,
+    joint_weights=None,
+    scale: bool = False,
+):
+    """Weighted Procrustes scale + translation between fixed point sets.
+
+    Semantics per /root/reference/src/smplfitter/np/bodyfitter.py:1055-1098.
+    """
+    if target_joints is None or reference_joints is None:
+        target_both = target_vertices
+        reference_both = reference_vertices
+        weights_both = (
+            vertex_weights
+            if vertex_weights is not None
+            else jnp.ones(target_vertices.shape[:2], target_vertices.dtype)
+        )
+    else:
+        target_both = jnp.concatenate([target_vertices, target_joints], axis=1)
+        reference_both = jnp.concatenate([reference_vertices, reference_joints], axis=1)
+        if vertex_weights is not None and joint_weights is not None:
+            weights_both = jnp.concatenate([vertex_weights, joint_weights], axis=1)
+        else:
+            weights_both = jnp.ones(target_both.shape[:2], target_vertices.dtype)
+
+    weights_both = weights_both / jnp.sum(weights_both, axis=1, keepdims=True)
+    mean_t = jnp.sum(target_both * weights_both[..., None], axis=1)
+    mean_r = jnp.sum(reference_both * weights_both[..., None], axis=1)
+
+    if scale:
+        t_cen = target_both - mean_t[:, None]
+        r_cen = reference_both - mean_r[:, None]
+        ssq_r = jnp.sum(r_cen**2 * weights_both[..., None], axis=(1, 2))
+        ssq_t = jnp.sum(t_cen**2 * weights_both[..., None], axis=(1, 2))
+        scale_factor = jnp.sqrt(ssq_t / ssq_r)
+        trans = mean_t - scale_factor[:, None] * mean_r
+        return scale_factor, trans
+    return None, mean_t - mean_r
+
+
+# ---------------------------------------------------------------------------
+# Facade
+# ---------------------------------------------------------------------------
+
+
+def _center_targets(target_vertices, target_joints):
+    if target_joints is None:
+        target_mean = jnp.mean(target_vertices, axis=1)
+        return target_vertices - target_mean[:, None], None, target_mean
+    target_mean = jnp.mean(
+        jnp.concatenate([target_vertices, target_joints], axis=1), axis=1
+    )
+    return (
+        target_vertices - target_mean[:, None],
+        target_joints - target_mean[:, None],
+        target_mean,
+    )
+
+
+class BodyFitter:
+    """Fits body model parameters to target vertices and optionally joints.
+
+    API mirrors the reference fitter
+    (/root/reference/src/smplfitter/pt/bodyfitter.py:282-838). All flag
+    arguments are trace-time static; wrap calls in ``jax.jit`` (or use
+    :func:`smplfitter_tpu.get_cached_fit_fn`) for performance.
+    """
+
+    def __init__(self, body_model: BodyModel, enable_kid: bool = False,
+                 num_betas: Optional[int] = None):
+        self.body_model = body_model
+        self.enable_kid = enable_kid
+        self.plan = build_plan(body_model.data, enable_kid, num_betas)
+        self.n_betas = self.plan.n_betas
+
+    # -- main fit -----------------------------------------------------------
+
+    def fit(
+        self,
+        target_vertices,
+        target_joints=None,
+        vertex_weights=None,
+        joint_weights=None,
+        num_iter: int = 1,
+        beta_regularizer: float = 1.0,
+        beta_regularizer2: float = 0.0,
+        scale_regularizer: float = 0.0,
+        kid_regularizer: Optional[float] = None,
+        share_beta: bool = False,
+        final_adjust_rots: bool = True,
+        scale_target: bool = False,
+        scale_fit: bool = False,
+        initial_pose_rotvecs=None,
+        initial_shape_betas=None,
+        initial_kid_factor=None,
+        requested_keys=('pose_rotvecs',),
+    ) -> dict:
+        """Full alternating fit. Returns a dict filtered by ``requested_keys``
+        (plus always shape_betas, trans, orientations)."""
+        with matmul_precision():
+            return self._fit(
+                jnp.asarray(target_vertices),
+                None if target_joints is None else jnp.asarray(target_joints),
+                None if vertex_weights is None else jnp.asarray(vertex_weights),
+                None if joint_weights is None else jnp.asarray(joint_weights),
+                num_iter,
+                beta_regularizer,
+                beta_regularizer2,
+                scale_regularizer,
+                kid_regularizer,
+                share_beta,
+                final_adjust_rots,
+                scale_target,
+                scale_fit,
+                initial_pose_rotvecs,
+                initial_shape_betas,
+                initial_kid_factor,
+                tuple(requested_keys),
+            )
+
+    def _fit(
+        self,
+        target_vertices,
+        target_joints,
+        vertex_weights,
+        joint_weights,
+        num_iter,
+        beta_regularizer,
+        beta_regularizer2,
+        scale_regularizer,
+        kid_regularizer,
+        share_beta,
+        final_adjust_rots,
+        scale_target,
+        scale_fit,
+        initial_pose_rotvecs,
+        initial_shape_betas,
+        initial_kid_factor,
+        requested_keys,
+    ) -> dict:
+        bm = self.body_model.data
+        plan = self.plan
+        target_vertices, target_joints, target_mean = _center_targets(
+            target_vertices, target_joints
+        )
+
+        if initial_pose_rotvecs is not None or initial_shape_betas is not None:
+            initial_forw = forward(
+                bm,
+                shape_betas=initial_shape_betas,
+                kid_factor=initial_kid_factor,
+                pose_rotvecs=initial_pose_rotvecs,
+            )
+            glob_rotmats = (
+                fit_global_rotations(
+                    bm,
+                    plan,
+                    target_vertices,
+                    target_joints,
+                    initial_forw['vertices'],
+                    initial_forw['joints'] if target_joints is not None else None,
+                    vertex_weights,
+                    joint_weights,
+                )
+                @ initial_forw['orientations']
+            )
+        else:
+            glob_rotmats = fit_global_rotations(
+                bm,
+                plan,
+                target_vertices,
+                target_joints,
+                plan.default_mesh[None],
+                bm.J_template[None] if target_joints is not None else None,
+                vertex_weights,
+                joint_weights,
+            )
+
+        for _ in range(num_iter - 1):
+            result = fit_shape(
+                bm,
+                plan,
+                glob_rotmats,
+                target_vertices,
+                target_joints,
+                vertex_weights,
+                joint_weights,
+                beta_regularizer,
+                beta_regularizer2,
+                scale_regularizer=0.0,
+                kid_regularizer=kid_regularizer,
+                share_beta=share_beta,
+                scale_target=False,
+                scale_fit=False,
+                beta_regularizer_reference=initial_shape_betas,
+                kid_regularizer_reference=initial_kid_factor,
+                requested_keys=('vertices', 'joints')
+                if target_joints is not None
+                else ('vertices',),
+            )
+            glob_rotmats = (
+                fit_global_rotations(
+                    bm,
+                    plan,
+                    target_vertices,
+                    target_joints,
+                    result['vertices'],
+                    result['joints'] if target_joints is not None else None,
+                    vertex_weights,
+                    joint_weights,
+                )
+                @ glob_rotmats
+            )
+
+        result = fit_shape(
+            bm,
+            plan,
+            glob_rotmats,
+            target_vertices,
+            target_joints,
+            vertex_weights,
+            joint_weights,
+            beta_regularizer,
+            beta_regularizer2,
+            scale_regularizer,
+            kid_regularizer,
+            share_beta,
+            scale_target,
+            scale_fit,
+            beta_regularizer_reference=initial_shape_betas,
+            kid_regularizer_reference=initial_kid_factor,
+            requested_keys=('vertices', 'joints')
+            if (target_joints is not None or final_adjust_rots)
+            else ('vertices',),
+        )
+
+        if final_adjust_rots:
+            ref_verts = result['vertices']
+            ref_joints = result['joints']
+            ref_trans = result['trans']
+            if scale_target:
+                factor = result['scale_corr'][:, None, None]
+                glob_rotmats = fit_global_rotations_dependent(
+                    bm, plan,
+                    target_vertices * factor,
+                    target_joints * factor if target_joints is not None else None,
+                    ref_verts, ref_joints, vertex_weights, joint_weights,
+                    glob_rotmats, result['shape_betas'], None, ref_trans,
+                    result['kid_factor'],
+                )
+            elif scale_fit:
+                factor = result['scale_corr'][:, None, None]
+                glob_rotmats = fit_global_rotations_dependent(
+                    bm, plan,
+                    target_vertices, target_joints,
+                    factor * ref_verts + (1 - factor) * ref_trans[:, None],
+                    factor * ref_joints + (1 - factor) * ref_trans[:, None],
+                    vertex_weights, joint_weights,
+                    glob_rotmats, result['shape_betas'], result['scale_corr'],
+                    ref_trans, result['kid_factor'],
+                )
+            else:
+                glob_rotmats = fit_global_rotations_dependent(
+                    bm, plan,
+                    target_vertices, target_joints,
+                    ref_verts, ref_joints, vertex_weights, joint_weights,
+                    glob_rotmats, result['shape_betas'], None, ref_trans,
+                    result['kid_factor'],
+                )
+
+        if 'joints' in requested_keys or 'vertices' in requested_keys:
+            forw = forward(
+                bm,
+                glob_rotmats=glob_rotmats,
+                shape_betas=result['shape_betas'],
+                trans=result['trans'],
+                kid_factor=(
+                    result['kid_factor'] if result['kid_factor'] is not None else None
+                ),
+            )
+
+        if scale_target:
+            result['trans'] = result['trans'] + target_mean * result['scale_corr'][:, None]
+        elif scale_fit:
+            result['trans'] = result['trans'] + target_mean / result['scale_corr'][:, None]
+        else:
+            result['trans'] = result['trans'] + target_mean
+        if 'joints' in requested_keys:
+            result['joints'] = forw['joints'] + target_mean[:, None]
+        if 'vertices' in requested_keys:
+            result['vertices'] = forw['vertices'] + target_mean[:, None]
+
+        result['orientations'] = glob_rotmats
+        self._add_rotation_formats(result, glob_rotmats, requested_keys)
+
+        if 'joints' not in requested_keys:
+            result.pop('joints', None)
+        if 'vertices' not in requested_keys:
+            result.pop('vertices', None)
+        return {k: v for k, v in result.items() if v is not None}
+
+    # -- known-pose / known-shape -------------------------------------------
+
+    def fit_with_known_pose(
+        self,
+        pose_rotvecs,
+        target_vertices,
+        target_joints=None,
+        vertex_weights=None,
+        joint_weights=None,
+        beta_regularizer: float = 1.0,
+        beta_regularizer2: float = 0.0,
+        scale_regularizer: float = 0.0,
+        kid_regularizer: Optional[float] = None,
+        share_beta: bool = False,
+        scale_target: bool = False,
+        scale_fit: bool = False,
+        beta_regularizer_reference=None,
+        kid_regularizer_reference=None,
+        requested_keys=('shape_betas',),
+    ) -> dict:
+        """Fit shape/translation (and optionally scale) for a known pose."""
+        with matmul_precision():
+            bm = self.body_model.data
+            pose_rotvecs = jnp.asarray(pose_rotvecs)
+            target_vertices = jnp.asarray(target_vertices)
+            if target_joints is not None:
+                target_joints = jnp.asarray(target_joints)
+            target_vertices, target_joints, target_mean = _center_targets(
+                target_vertices, target_joints
+            )
+            from .bodymodel import fk_rotations
+
+            rel = rot_ops.rotvec2mat(pose_rotvecs.reshape(-1, bm.num_joints, 3))
+            glob_rotmats = fk_rotations(bm, rel)
+
+            result = fit_shape(
+                bm,
+                self.plan,
+                glob_rotmats,
+                target_vertices,
+                target_joints,
+                vertex_weights,
+                joint_weights,
+                beta_regularizer,
+                beta_regularizer2,
+                scale_regularizer,
+                kid_regularizer,
+                share_beta,
+                scale_target,
+                scale_fit,
+                beta_regularizer_reference=beta_regularizer_reference,
+                kid_regularizer_reference=kid_regularizer_reference,
+            )
+            result['trans'] = result['trans'] + target_mean
+            result['orientations'] = glob_rotmats
+            result.pop('joints', None)
+            result.pop('vertices', None)
+            return {k: v for k, v in result.items() if v is not None}
+
+    def fit_with_known_shape(
+        self,
+        shape_betas,
+        target_vertices,
+        target_joints=None,
+        vertex_weights=None,
+        joint_weights=None,
+        kid_factor=None,
+        num_iter: int = 1,
+        final_adjust_rots: bool = True,
+        initial_pose_rotvecs=None,
+        scale_fit: bool = False,
+        requested_keys=('pose_rotvecs',),
+    ) -> dict:
+        """Fit pose/translation for known shape betas."""
+        with matmul_precision():
+            bm = self.body_model.data
+            plan = self.plan
+            shape_betas = jnp.asarray(shape_betas)[:, : self.n_betas]
+            target_vertices = jnp.asarray(target_vertices)
+            if target_joints is not None:
+                target_joints = jnp.asarray(target_joints)
+            target_vertices, target_joints, target_mean = _center_targets(
+                target_vertices, target_joints
+            )
+
+            initial_forw = forward(
+                bm, shape_betas=shape_betas, kid_factor=kid_factor,
+                pose_rotvecs=initial_pose_rotvecs,
+            )
+            glob_rotmats = (
+                fit_global_rotations(
+                    bm, plan,
+                    target_vertices, target_joints,
+                    initial_forw['vertices'],
+                    initial_forw['joints'] if target_joints is not None else None,
+                    vertex_weights, joint_weights,
+                )
+                @ initial_forw['orientations']
+            )
+
+            for _ in range(num_iter - 1):
+                forw = forward(
+                    bm, glob_rotmats=glob_rotmats, shape_betas=shape_betas,
+                    kid_factor=kid_factor,
+                )
+                glob_rotmats = (
+                    fit_global_rotations(
+                        bm, plan,
+                        target_vertices, target_joints,
+                        forw['vertices'],
+                        forw['joints'] if target_joints is not None else None,
+                        vertex_weights, joint_weights,
+                    )
+                    @ glob_rotmats
+                )
+
+            forw = forward(
+                bm, glob_rotmats=glob_rotmats, shape_betas=shape_betas,
+                kid_factor=kid_factor,
+            )
+            ref_verts = forw['vertices']
+            ref_joints = forw['joints']
+            ref_scale_corr, trans = fit_scale_and_translation(
+                target_vertices, ref_verts, target_joints, ref_joints,
+                vertex_weights, joint_weights, scale=scale_fit,
+            )
+
+            if final_adjust_rots:
+                if scale_fit and ref_scale_corr is not None:
+                    glob_rotmats = fit_global_rotations_dependent(
+                        bm, plan,
+                        target_vertices, target_joints,
+                        ref_scale_corr[:, None, None] * ref_verts + trans[:, None],
+                        ref_scale_corr[:, None, None] * ref_joints + trans[:, None],
+                        vertex_weights, joint_weights,
+                        glob_rotmats, shape_betas, ref_scale_corr, trans, kid_factor,
+                    )
+                else:
+                    glob_rotmats = fit_global_rotations_dependent(
+                        bm, plan,
+                        target_vertices, target_joints,
+                        ref_verts + trans[:, None], ref_joints + trans[:, None],
+                        vertex_weights, joint_weights,
+                        glob_rotmats, shape_betas, None, trans, kid_factor,
+                    )
+
+            result = dict(
+                shape_betas=shape_betas,
+                trans=trans + target_mean,
+                orientations=glob_rotmats,
+            )
+            if kid_factor is not None:
+                result['kid_factor'] = kid_factor
+            if scale_fit and ref_scale_corr is not None:
+                result['scale_corr'] = ref_scale_corr
+            self._add_rotation_formats(result, glob_rotmats, tuple(requested_keys))
+            return result
+
+    # -- helpers --------------------------------------------------------------
+
+    def _add_rotation_formats(self, result, glob_rotmats, requested_keys) -> None:
+        if 'relative_orientations' in requested_keys or 'pose_rotvecs' in requested_keys:
+            bm = self.body_model.data
+            parent_indices = np.array(bm.kintree_parents[1:])
+            batch = glob_rotmats.shape[0]
+            parent_glob = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        jnp.eye(3, dtype=glob_rotmats.dtype), (batch, 1, 3, 3)
+                    ),
+                    glob_rotmats[:, parent_indices],
+                ],
+                axis=1,
+            )
+            rel = jnp.einsum('bjki,bjkl->bjil', parent_glob, glob_rotmats)
+            result['relative_orientations'] = rel
+            if 'pose_rotvecs' in requested_keys:
+                rotvecs = rot_ops.mat2rotvec(rel)
+                result['pose_rotvecs'] = rotvecs.reshape(batch, -1)

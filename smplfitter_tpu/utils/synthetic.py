@@ -163,7 +163,9 @@ def make_raw_model(
     basis = np.sin(v_template @ freqs.T + phases)  # (V, n_modes)
     mode_mix = rng.normal(0, 1, size=(n_modes, 3, num_betas))
     shapedirs = np.einsum('vm,mcs->vcs', basis, mode_mix) * 0.02
-    shapedirs[:, :, 0] += v_template * 0.05  # beta0 ~ overall size
+    # beta0 ~ height stretch (y only — deliberately NOT uniform scale, so the
+    # scale_target/scale_fit estimation stays identifiable in tests).
+    shapedirs[:, 1, 0] += v_template[:, 1] * 0.05
 
     # Pose correctives: small, random but smooth.
     P = (J - 1) * 9

@@ -1,0 +1,326 @@
+"""Fitter tests: round-trip recovery, flag variants, parity with the reference.
+
+Mirrors the reference test strategy (tests/test_fitter_common.py there): generate
+on-manifold targets with the model's own forward pass, fit, forward again, and
+check reconstruction error — no stored fixtures needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import random_params
+
+
+@pytest.fixture(scope='session')
+def smpl_fitter(smpl_model):
+    from smplfitter_tpu import BodyFitter
+
+    return BodyFitter(smpl_model)
+
+
+def _roundtrip_errors(model, fit, res):
+    res_fit = model(
+        pose_rotvecs=fit['pose_rotvecs'],
+        shape_betas=fit['shape_betas'],
+        trans=fit['trans'],
+        kid_factor=fit.get('kid_factor'),
+    )
+    verts_err = np.linalg.norm(
+        np.asarray(res['vertices']) - np.asarray(res_fit['vertices']), axis=-1
+    )
+    joints_err = np.linalg.norm(
+        np.asarray(res['joints']) - np.asarray(res_fit['joints']), axis=-1
+    )
+    return float(np.mean(verts_err)), float(np.mean(joints_err))
+
+
+class TestFitBasic:
+    def test_roundtrip(self, smpl_model, smpl_fitter):
+        pose, betas, trans = random_params(2, seed=42, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        fit = smpl_fitter.fit(
+            target_vertices=res['vertices'],
+            target_joints=res['joints'],
+            num_iter=3,
+            beta_regularizer=0.0,
+            requested_keys=['pose_rotvecs', 'shape_betas'],
+        )
+        v_err, j_err = _roundtrip_errors(smpl_model, fit, res)
+        # Threshold calibrated to the reference fitter on the same synthetic
+        # model (it achieves the identical error; see TestFitterParity).
+        assert v_err < 2.5e-2, f'vertex error {v_err}'
+        assert j_err < 2.5e-2, f'joint error {j_err}'
+
+    def test_roundtrip_vertices_only(self, smpl_model, smpl_fitter):
+        pose, betas, trans = random_params(2, seed=43, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        fit = smpl_fitter.fit(
+            target_vertices=res['vertices'],
+            num_iter=3,
+            beta_regularizer=0.0,
+            requested_keys=['pose_rotvecs', 'shape_betas'],
+        )
+        v_err, _ = _roundtrip_errors(smpl_model, fit, res)
+        # Joint regressor on the synthetic model is approximate; looser bound.
+        assert v_err < 5e-2, f'vertex error {v_err}'
+
+    def test_share_beta(self, smpl_model, smpl_fitter):
+        rng = np.random.default_rng(44)
+        pose = rng.normal(0, 0.1, (4, 72)).astype(np.float32)
+        betas = np.broadcast_to(
+            rng.normal(0, 1, (1, 10)).astype(np.float32), (4, 10)
+        ).copy()
+        trans = rng.normal(0, 0.5, (4, 3)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        fit = smpl_fitter.fit(
+            target_vertices=res['vertices'],
+            target_joints=res['joints'],
+            num_iter=3,
+            beta_regularizer=0.0,
+            share_beta=True,
+            requested_keys=['pose_rotvecs', 'shape_betas'],
+        )
+        beta_std = np.std(np.asarray(fit['shape_betas']), axis=0)
+        assert np.all(beta_std < 1e-6), 'betas must be identical across batch'
+        v_err, _ = _roundtrip_errors(smpl_model, fit, res)
+        assert v_err < 5e-2  # reference achieves 2.96e-2 on this synthetic model
+
+    def test_requested_keys_vertices(self, smpl_model, smpl_fitter):
+        pose, betas, trans = random_params(2, seed=45, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        fit = smpl_fitter.fit(
+            target_vertices=res['vertices'],
+            target_joints=res['joints'],
+            num_iter=2,
+            beta_regularizer=0.0,
+            requested_keys=['pose_rotvecs', 'shape_betas', 'vertices', 'joints'],
+        )
+        # Returned vertices/joints must be the forward pass of the returned params.
+        res_fit = smpl_model(
+            pose_rotvecs=fit['pose_rotvecs'],
+            shape_betas=fit['shape_betas'],
+            trans=fit['trans'],
+        )
+        np.testing.assert_allclose(
+            np.asarray(fit['vertices']), np.asarray(res_fit['vertices']), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(fit['joints']), np.asarray(res_fit['joints']), atol=1e-3
+        )
+
+    def test_jit(self, smpl_model, smpl_fitter):
+        import jax
+
+        pose, betas, trans = random_params(2, seed=46, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+
+        @jax.jit
+        def fit_fn(tv, tj):
+            return smpl_fitter.fit(
+                tv, tj, num_iter=3, beta_regularizer=0.0,
+                requested_keys=['pose_rotvecs', 'shape_betas'],
+            )
+
+        fit = fit_fn(res['vertices'], res['joints'])
+        eager = smpl_fitter.fit(
+            res['vertices'], res['joints'], num_iter=3, beta_regularizer=0.0,
+            requested_keys=['pose_rotvecs', 'shape_betas'],
+        )
+        np.testing.assert_allclose(
+            np.asarray(fit['shape_betas']), np.asarray(eager['shape_betas']), atol=1e-4
+        )
+        v_err, _ = _roundtrip_errors(smpl_model, fit, res)
+        assert v_err < 5e-2
+
+
+class TestFitScale:
+    """Scale estimation. On the synthetic model the random shape space can
+    partly absorb uniform scale, so absolute scale recovery (a real-SMPL
+    property, tested env-gated elsewhere) is not identifiable here — instead we
+    check exact parity with the reference fitter and that the scaled
+    reconstruction matches the target as well as the reference's does."""
+
+    @pytest.mark.parametrize('mode', ['scale_target', 'scale_fit'])
+    def test_scale_parity(self, smpl_model, smpl_fitter, reference_np, mode):
+        ref_fitter = reference_np.BodyFitter(reference_np.BodyModel('smpl', 'neutral'))
+        pose, betas, trans = random_params(2, seed=47, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        factor = 1.1
+        tv = np.asarray(res['vertices']) * factor
+        tj = np.asarray(res['joints']) * factor
+        kwargs = dict(
+            num_iter=3,
+            beta_regularizer=0.0,
+            requested_keys=['pose_rotvecs', 'shape_betas', 'scale_corr'],
+            **{mode: True},
+        )
+        ours = smpl_fitter.fit(target_vertices=tv, target_joints=tj, **kwargs)
+        ref = ref_fitter.fit(target_vertices=tv, target_joints=tj, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(ours['scale_corr']), ref['scale_corr'], atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours['shape_betas']), ref['shape_betas'], atol=5e-3
+        )
+        np.testing.assert_allclose(np.asarray(ours['trans']), ref['trans'], atol=2e-3)
+
+
+class TestKnownPoseShape:
+    def test_known_pose(self, smpl_model, smpl_fitter):
+        pose, betas, trans = random_params(2, seed=49, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        fit = smpl_fitter.fit_with_known_pose(
+            pose_rotvecs=pose,
+            target_vertices=res['vertices'],
+            target_joints=res['joints'],
+            beta_regularizer=0.0,
+        )
+        np.testing.assert_allclose(np.asarray(fit['shape_betas']), betas, atol=5e-2)
+        res_fit = smpl_model(
+            pose_rotvecs=pose, shape_betas=fit['shape_betas'], trans=fit['trans']
+        )
+        err = np.linalg.norm(
+            np.asarray(res['vertices']) - np.asarray(res_fit['vertices']), axis=-1
+        ).mean()
+        assert err < 2.5e-2
+
+    def test_known_shape(self, smpl_model, smpl_fitter):
+        pose, betas, trans = random_params(2, seed=50, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        fit = smpl_fitter.fit_with_known_shape(
+            shape_betas=betas,
+            target_vertices=res['vertices'],
+            target_joints=res['joints'],
+            num_iter=3,
+        )
+        res_fit = smpl_model(
+            pose_rotvecs=fit['pose_rotvecs'], shape_betas=betas, trans=fit['trans']
+        )
+        err = np.linalg.norm(
+            np.asarray(res['vertices']) - np.asarray(res_fit['vertices']), axis=-1
+        ).mean()
+        assert err < 2.5e-2
+
+
+class TestKid:
+    def test_kid_roundtrip(self, smpl_model, body_models_dir):
+        from smplfitter_tpu import BodyFitter
+
+        fitter = BodyFitter(smpl_model, enable_kid=True)
+        pose, betas, trans = random_params(2, seed=51, pose_std=0.1)
+        kid = np.array([0.4, 0.8], np.float32)
+        res = smpl_model(
+            pose_rotvecs=pose, shape_betas=betas, trans=trans, kid_factor=kid
+        )
+        fit = fitter.fit(
+            target_vertices=res['vertices'],
+            target_joints=res['joints'],
+            num_iter=3,
+            beta_regularizer=0.0,
+            kid_regularizer=0.0,
+            requested_keys=['pose_rotvecs', 'shape_betas'],
+        )
+        assert 'kid_factor' in fit
+        v_err, _ = _roundtrip_errors(smpl_model, fit, res)
+        assert v_err < 2.5e-2
+
+
+class TestWarmStart:
+    def test_initial_params(self, smpl_model, smpl_fitter):
+        pose, betas, trans = random_params(2, seed=52, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        fit = smpl_fitter.fit(
+            target_vertices=res['vertices'],
+            target_joints=res['joints'],
+            num_iter=2,
+            beta_regularizer=1e-2,
+            beta_regularizer2=1e-2,
+            initial_pose_rotvecs=pose,
+            initial_shape_betas=betas,
+            requested_keys=['pose_rotvecs', 'shape_betas'],
+        )
+        v_err, _ = _roundtrip_errors(smpl_model, fit, res)
+        assert v_err < 2.5e-2
+
+
+class TestWeights:
+    def test_vertex_weights(self, smpl_model, smpl_fitter):
+        pose, betas, trans = random_params(2, seed=53, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        vw = np.ones((2, smpl_model.num_vertices), np.float32)
+        jw = np.ones((2, 24), np.float32)
+        fit = smpl_fitter.fit(
+            target_vertices=res['vertices'],
+            target_joints=res['joints'],
+            vertex_weights=vw,
+            joint_weights=jw,
+            num_iter=3,
+            beta_regularizer=0.0,
+            requested_keys=['pose_rotvecs', 'shape_betas'],
+        )
+        v_err, _ = _roundtrip_errors(smpl_model, fit, res)
+        assert v_err < 2.5e-2
+
+
+class TestFitterParity:
+    """Direct output parity against the reference NumPy fitter on the same
+    synthetic model and targets."""
+
+    @pytest.fixture(scope='class')
+    def ref_pair(self, reference_np):
+        model = reference_np.BodyModel('smpl', 'neutral')
+        fitter = reference_np.BodyFitter(model)
+        return model, fitter
+
+    def test_fit_outputs_match(self, smpl_model, smpl_fitter, ref_pair):
+        ref_model, ref_fitter = ref_pair
+        pose, betas, trans = random_params(2, seed=54, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv = np.asarray(res['vertices'])
+        tj = np.asarray(res['joints'])
+        kwargs = dict(
+            num_iter=3,
+            beta_regularizer=0.0,
+            requested_keys=['pose_rotvecs', 'shape_betas', 'trans'],
+        )
+        ours = smpl_fitter.fit(target_vertices=tv, target_joints=tj, **kwargs)
+        ref = ref_fitter.fit(target_vertices=tv, target_joints=tj, **kwargs)
+
+        np.testing.assert_allclose(
+            np.asarray(ours['shape_betas']), ref['shape_betas'], atol=2e-3
+        )
+        np.testing.assert_allclose(np.asarray(ours['trans']), ref['trans'], atol=2e-3)
+        # Compare poses through the forward pass (rotvec representation may
+        # differ by 2pi-equivalent vectors).
+        ours_fwd = smpl_model(
+            pose_rotvecs=ours['pose_rotvecs'],
+            shape_betas=ours['shape_betas'],
+            trans=ours['trans'],
+        )
+        ref_fwd = ref_model(
+            pose_rotvecs=ref['pose_rotvecs'],
+            shape_betas=ref['shape_betas'],
+            trans=ref['trans'],
+        )
+        err = np.linalg.norm(
+            np.asarray(ours_fwd['vertices']) - ref_fwd['vertices'], axis=-1
+        )
+        assert err.mean() < 1e-3, f'fit-vs-reference v2v {err.mean()}'
+
+    def test_known_pose_matches(self, smpl_model, smpl_fitter, ref_pair):
+        ref_model, ref_fitter = ref_pair
+        pose, betas, trans = random_params(2, seed=55, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv = np.asarray(res['vertices'])
+        ours = smpl_fitter.fit_with_known_pose(
+            pose_rotvecs=pose, target_vertices=tv, beta_regularizer=0.0
+        )
+        ref = ref_fitter.fit_with_known_pose(
+            pose_rotvecs=pose, target_vertices=tv, beta_regularizer=0.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours['shape_betas']), ref['shape_betas'], atol=2e-3
+        )
+        np.testing.assert_allclose(np.asarray(ours['trans']), ref['trans'], atol=2e-3)
