@@ -14,12 +14,20 @@ __version__ = '0.1.0'
 
 from .models.bodymodel import BodyModel
 from .models.bodyfitter import BodyFitter
+from .models.bodyconverter import BodyConverter
+from .models.bodyflipper import BodyFlipper
+from .models.bodyfitter_opt import BodyFitterOpt
+from .models.handreplacer import HandReplacer
 from .api import get_cached_body_model, get_cached_fit_fn
 from .ops.precision import set_matmul_precision, get_matmul_precision
 
 __all__ = [
     'BodyModel',
     'BodyFitter',
+    'BodyConverter',
+    'BodyFlipper',
+    'BodyFitterOpt',
+    'HandReplacer',
     'get_cached_body_model',
     'get_cached_fit_fn',
     'set_matmul_precision',

@@ -1,2 +1,6 @@
 from .bodymodel import BodyModel
 from .bodyfitter import BodyFitter
+from .bodyconverter import BodyConverter
+from .bodyflipper import BodyFlipper
+from .bodyfitter_opt import BodyFitterOpt
+from .handreplacer import HandReplacer

@@ -261,6 +261,36 @@ def write_deftrafo(
     return path
 
 
+def ensure_cached_models(
+    cache_dir: str | None = None,
+    num_vertices_smpl: int = 6890,
+    num_vertices_smplx: int = 10475,
+    full: bool = False,
+) -> str:
+    """Write (once) and return a cached synthetic body_models directory.
+
+    Used by benchmarks and the graft entry points, where real licensed model
+    files are unavailable but real tensor SHAPES matter (V=6890 SMPL /
+    V=10475 SMPL-X by default, so FLOP counts match the real models).
+    """
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.expanduser('~'), '.cache', 'smplfitter_tpu',
+            f'synthetic_v{num_vertices_smpl}_{num_vertices_smplx}' + ('_full' if full else ''),
+        )
+    marker = osp.join(cache_dir, '.complete')
+    if not osp.exists(marker):
+        if full:
+            write_full_test_environment(
+                cache_dir, num_vertices_smpl, num_vertices_smplx
+            )
+        else:
+            write_model_files(cache_dir, 'smpl', num_vertices_smpl)
+        with open(marker, 'w') as f:
+            f.write('ok')
+    return cache_dir
+
+
 def write_full_test_environment(
     body_models_dir: str,
     num_vertices_smpl: int = 768,
@@ -307,4 +337,12 @@ def write_full_test_environment(
         closest_faces=closest,
         bc=bc,
     )
+
+    # Hand vertex ids (MANO<->SMPLX correspondence format): the smplx vertices
+    # whose dominant skinning weight is a hand joint (25..54).
+    assign = np.argmax(smplx.weights, axis=1)
+    left_ids = np.where((assign >= 25) & (assign < 40))[0].astype(np.int64)
+    right_ids = np.where((assign >= 40) & (assign < 55))[0].astype(np.int64)
+    with open(osp.join(body_models_dir, 'smplx', 'MANO_SMPLX_vertex_ids.pkl'), 'wb') as f:
+        pickle.dump(dict(left_hand=left_ids, right_hand=right_ids), f)
     return body_models_dir

@@ -1,0 +1,113 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Checks that (a) the fit compiles and runs with batch-sharded inputs, (b) the
+results match the unsharded computation, and (c) share_beta — whose
+summed-Gramian reduction is THE cross-chip collective of this workload —
+produces identical shared betas across devices.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import random_params
+
+
+@pytest.fixture(scope='session')
+def mesh():
+    from smplfitter_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) == 8, 'conftest must provide 8 virtual devices'
+    return make_mesh()
+
+
+class TestShardedFit:
+    def test_sharded_matches_unsharded(self, smpl_model, mesh):
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.parallel import make_sharded_fit_fn, shard_batch
+
+        fitter = BodyFitter(smpl_model)
+        pose, betas, trans = random_params(16, seed=60, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv = np.asarray(res['vertices'])
+        tj = np.asarray(res['joints'])
+
+        fit_fn = make_sharded_fit_fn(
+            fitter,
+            mesh,
+            num_iter=2,
+            beta_regularizer=0.0,
+            requested_keys=('pose_rotvecs', 'shape_betas'),
+        )
+        tv_sharded, tj_sharded = shard_batch((tv, tj), mesh)
+        sharded = fit_fn(tv_sharded, tj_sharded)
+
+        plain = fitter.fit(
+            tv, tj, num_iter=2, beta_regularizer=0.0,
+            requested_keys=('pose_rotvecs', 'shape_betas'),
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded['shape_betas']),
+            np.asarray(plain['shape_betas']),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded['trans']), np.asarray(plain['trans']), atol=1e-4
+        )
+
+    def test_share_beta_cross_device(self, smpl_model, mesh):
+        """share_beta couples all instances: the Gramian sum becomes an
+        all-reduce across the 8 devices. Betas must be identical batch-wide."""
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.parallel import make_sharded_fit_fn, shard_batch
+
+        fitter = BodyFitter(smpl_model)
+        rng = np.random.default_rng(61)
+        pose = rng.normal(0, 0.1, (16, 72)).astype(np.float32)
+        betas = np.broadcast_to(
+            rng.normal(0, 1, (1, 10)).astype(np.float32), (16, 10)
+        ).copy()
+        trans = rng.normal(0, 0.5, (16, 3)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv, tj = shard_batch(
+            (np.asarray(res['vertices']), np.asarray(res['joints'])), mesh
+        )
+
+        fit_fn = make_sharded_fit_fn(
+            fitter,
+            mesh,
+            num_iter=2,
+            beta_regularizer=0.0,
+            share_beta=True,
+            requested_keys=('shape_betas',),
+        )
+        out = fit_fn(tv, tj)
+        fit_betas = np.asarray(out['shape_betas'])
+        assert np.all(np.std(fit_betas, axis=0) < 1e-6)
+
+        plain = fitter.fit(
+            np.asarray(res['vertices']), np.asarray(res['joints']),
+            num_iter=2, beta_regularizer=0.0, share_beta=True,
+            requested_keys=('shape_betas',),
+        )
+        np.testing.assert_allclose(
+            fit_betas, np.asarray(plain['shape_betas']), atol=1e-4
+        )
+
+    def test_forward_sharded(self, smpl_model, mesh):
+        from smplfitter_tpu.parallel import batch_sharding, shard_batch
+
+        pose, betas, trans = random_params(16, seed=62)
+        fwd = jax.jit(
+            lambda p, b, t: smpl_model(pose_rotvecs=p, shape_betas=b, trans=t)
+        )
+        sharded_args = shard_batch((pose, betas, trans), mesh)
+        out = fwd(*sharded_args)
+        plain = fwd(pose, betas, trans)
+        np.testing.assert_allclose(
+            np.asarray(out['vertices']), np.asarray(plain['vertices']), atol=1e-5
+        )
+        # The output really is sharded over devices.
+        assert len(out['vertices'].sharding.device_set) == 8
