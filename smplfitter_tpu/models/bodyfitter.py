@@ -88,9 +88,10 @@ class FitterPlan:
 
 
 def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = None,
-               dtype=jnp.float32) -> FitterPlan:
-    """Host-side (NumPy) construction of the static fit plan."""
-    weights = np.asarray(bm.weights)
+               dtype=jnp.float32, host=None) -> FitterPlan:
+    """Host-side (NumPy) construction of the static fit plan. ``host`` is an
+    optional host-resident ModelData to avoid device->host transfers."""
+    weights = np.asarray(host.weights if host is not None else bm.weights)
     J = bm.num_joints
     V = bm.num_vertices
     n_betas = bm.num_betas if num_betas is None else min(num_betas, bm.num_betas)
@@ -157,19 +158,20 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
         inverse_perm[11] = inverse_perm[8]
 
     # Extended joint template: position column + per-beta columns (+ kid column).
-    J_template = np.asarray(bm.J_template, np.float64)
-    J_shapedirs = np.asarray(bm.J_shapedirs, np.float64)[:, :, :n_betas]
+    src = host if host is not None else bm
+    J_template = np.asarray(src.J_template, np.float64)
+    J_shapedirs = np.asarray(src.J_shapedirs, np.float64)[:, :, :n_betas]
     cols = [J_template.reshape(J, 3, 1), J_shapedirs]
     if enable_kid:
-        cols.append(np.asarray(bm.kid_J_shapedir, np.float64).reshape(J, 3, 1))
+        cols.append(np.asarray(src.kid_J_shapedir, np.float64).reshape(J, 3, 1))
     J_template_ext = np.concatenate(cols, axis=2)
     parents_with_root = [0] + list(bm.kintree_parents[1:])
     bone_ext = J_template_ext - J_template_ext[parents_with_root]
 
     # T-pose mesh, computed on host: with identity rotations the pose feature
     # exactly cancels the loader's zero-point shift.
-    v_template = np.asarray(bm.v_template, np.float64)
-    posedirs = np.asarray(bm.posedirs, np.float64)
+    v_template = np.asarray(src.v_template, np.float64)
+    posedirs = np.asarray(src.posedirs, np.float64)
     eye_feat = np.tile(np.eye(3), (J - 1, 1)).reshape(-1)
     default_mesh = v_template + posedirs @ eye_feat
 
@@ -516,6 +518,7 @@ def fit_shape(
     beta_regularizer_reference=None,
     kid_regularizer_reference=None,
     requested_keys=(),
+    gram=None,
 ):
     """Shape/translation (and optional kid/scale) linear solve for fixed rotations.
 
@@ -528,6 +531,33 @@ def fit_shape(
     """
     if scale_target and scale_fit:
         raise ValueError('Only one of scale_target and scale_fit can be True')
+
+    if gram is not None and vertex_weights is None:
+        # Fast path: moment-tensor Gramian assembly — no (B, V, S) Jacobian is
+        # ever materialized. Note fit_shape only honors joint_weights when
+        # vertex weights are also given (reference semantics, see the weights
+        # selection below), so the fast path never needs them.
+        from .shape_gram import fit_shape_gram
+
+        return fit_shape_gram(
+            bm,
+            plan,
+            gram,
+            glob_rotmats,
+            target_vertices,
+            target_joints,
+            None,
+            beta_regularizer,
+            beta_regularizer2,
+            scale_regularizer,
+            kid_regularizer,
+            share_beta,
+            scale_target,
+            scale_fit,
+            beta_regularizer_reference,
+            kid_regularizer_reference,
+            requested_keys,
+        )
 
     batch = target_vertices.shape[0]
     n_betas = plan.n_betas
@@ -761,10 +791,20 @@ class BodyFitter:
 
     def __init__(self, body_model: BodyModel, enable_kid: bool = False,
                  num_betas: Optional[int] = None):
+        from .shape_gram import build_gram_data
+
         self.body_model = body_model
         self.enable_kid = enable_kid
-        self.plan = build_plan(body_model.data, enable_kid, num_betas)
+        host = getattr(body_model, 'model_data', None)
+        self.plan = build_plan(body_model.data, enable_kid, num_betas, host=host)
         self.n_betas = self.plan.n_betas
+        src = host if host is not None else body_model.data
+        self.gram = build_gram_data(
+            np.asarray(src.weights),
+            np.asarray(src.shapedirs),
+            np.asarray(src.kid_shapedir) if enable_kid else None,
+            self.n_betas,
+        )
 
     # -- main fit -----------------------------------------------------------
 
@@ -890,6 +930,7 @@ class BodyFitter:
                 requested_keys=('vertices', 'joints')
                 if target_joints is not None
                 else ('vertices',),
+                gram=self.gram,
             )
             glob_rotmats = (
                 fit_global_rotations(
@@ -925,6 +966,7 @@ class BodyFitter:
             requested_keys=('vertices', 'joints')
             if (target_joints is not None or final_adjust_rots)
             else ('vertices',),
+            gram=self.gram,
         )
 
         if final_adjust_rots:
@@ -1044,6 +1086,7 @@ class BodyFitter:
                 scale_fit,
                 beta_regularizer_reference=beta_regularizer_reference,
                 kid_regularizer_reference=kid_regularizer_reference,
+                gram=self.gram,
             )
             result['trans'] = result['trans'] + target_mean
             result['orientations'] = glob_rotmats

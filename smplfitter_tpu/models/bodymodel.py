@@ -303,6 +303,9 @@ class BodyModel:
         return obj
 
     def _init_from_data(self, data: _modeldata.ModelData, dtype) -> None:
+        # Host-side copy kept for fitter precompute (avoids device->host
+        # transfers at fitter init — costly over a TPU tunnel).
+        self.model_data = data
         self.data = BodyModelData(
             v_template=jnp.asarray(data.v_template, dtype),
             shapedirs=jnp.asarray(data.shapedirs, dtype),

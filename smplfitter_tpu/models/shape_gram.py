@@ -1,0 +1,358 @@
+"""Moment-tensor shape solve: the TPU-native fast path of ``fit_shape``.
+
+The general shape solve (models/bodyfitter.py:fit_shape) materializes the
+stacked beta-Jacobian design matrix — a (B, V, 3, S+1) tensor (≈3.5 GB at
+batch 4096) written and re-read several times. On TPU that is pure HBM
+bandwidth waste: the Jacobian has LOW-RANK STRUCTURE in the joints,
+
+    jac_v = R̄_v · SD_v + T̄_v,   R̄_v = Σ_j w_vj R_j,   T̄_v = Σ_j w_vj T_j,
+
+so every vertex-summed quantity of the normal equations factors through
+joint-pair MOMENTS of the (static) skinning weights and shape directions:
+
+    G = Σ_v jac_vᵀ jac_v = Σ_{j,k} (R_jᵀR_k) : Ksd[j,k] + cross(Lsd) + q ⊙ TᵀT
+
+with Ksd/Lsd/q precomputed once per model. The per-call cost collapses to a
+few small einsums plus ONE large MXU GEMM for the target-dependent right-hand
+side — no (B, V, S) tensor ever exists. The translation is eliminated jointly
+(augmented [betas, scale, trans] system), which is algebraically identical to
+the reference's weighted-mean centering (/root/reference/src/smplfitter/pt/
+bodyfitter.py:976-993 solves the same system by explicit centering in f64;
+the augmented formulation avoids the cancellation that forced f64 there).
+
+Covers every fit_shape configuration except per-vertex runtime weights (which
+break the static moments — those calls fall back to the general solve, like
+the reference's gram/general split at pt/bodyfitter.py:922).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.lstsq import cholesky_solve
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@struct.dataclass
+class GramData:
+    """Joint-pair moments of skinning weights x shape directions (per model)."""
+
+    W1: jax.Array  # (J,)            Σ_v w_vj
+    q: jax.Array  # (J, J)           Σ_v w_vj w_vk
+    sd1: jax.Array  # (J, 3, E)      Σ_v w_vj SD_v
+    Lsd: jax.Array  # (J, J, 3, E)   Σ_v w_vj w_vk SD_v
+    Ksd: jax.Array  # (J*J*9, E*E)   Σ_v w_vj w_vk SD_v ⊗ SD_v (flattened)
+    Msd: jax.Array  # (V, J*3*E)     w_vj SD_v[c,e]  — rhs GEMM operand
+    n_ext: int = struct.field(pytree_node=False)  # E = n_betas (+1 if kid)
+
+
+def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
+                    kid_shapedir: Optional[np.ndarray], n_betas: int,
+                    dtype=jnp.float32) -> GramData:
+    """Host-side (f64) moment precompute. ``weights`` (V, J), ``shapedirs``
+    (V, 3, S); kid column appended when ``kid_shapedir`` is given."""
+    w = np.asarray(weights, np.float64)
+    SD = np.asarray(shapedirs, np.float64)[:, :, :n_betas]
+    if kid_shapedir is not None:
+        SD = np.concatenate([SD, np.asarray(kid_shapedir, np.float64)[:, :, None]], axis=2)
+    V, J = w.shape
+    E = SD.shape[2]
+
+    # Msd[v, (j,c,e)] = w_vj SD_v[c,e]
+    Msd = (w[:, :, None, None] * SD[:, None, :, :]).reshape(V, J * 3 * E)
+    # Ksd[(j,c,e),(k,d,f)] = Σ_v Msd Msdᵀ, then regrouped to (j,k,c,e,d,f).
+    K = Msd.T @ Msd  # (J3E, J3E)
+    K = K.reshape(J, 3, E, J, 3, E).transpose(0, 3, 1, 2, 4, 5)  # (J,J,3,E,3,E)
+    Ksd = K.transpose(0, 1, 2, 4, 3, 5).reshape(J * J * 9, E * E)  # (j,k,c,d),(e,f)
+    # Lsd[j,k,c,e] = Σ_v w_vk Msd[v,(j,c,e)]
+    Lsd = (Msd.T @ w).reshape(J, 3, E, J).transpose(0, 3, 1, 2)
+    sd1 = np.einsum('vj,vce->jce', w, SD)
+    q = w.T @ w
+    W1 = w.sum(axis=0)
+
+    return GramData(
+        W1=jnp.asarray(W1, dtype),
+        q=jnp.asarray(q, dtype),
+        sd1=jnp.asarray(sd1, dtype),
+        Lsd=jnp.asarray(Lsd, dtype),
+        Ksd=jnp.asarray(Ksd, dtype),
+        Msd=jnp.asarray(Msd, dtype),
+        n_ext=E,
+    )
+
+
+def _vertex_moment_rhs(gram: GramData, field):
+    """Y[b, j, c, e, a] = Σ_v w_vj SD_v[c,e] field_v[a] — the one large MXU GEMM
+    of the shape solve (everything else is per-instance small contractions)."""
+    B = field.shape[0]
+    J = gram.q.shape[0]
+    E = gram.n_ext
+    Y = jnp.einsum('vp,bva->bpa', gram.Msd, field, precision=_HI)
+    return Y.reshape(B, J, 3, E, 3)
+
+
+def fit_shape_gram(
+    bm,
+    plan,
+    gram: GramData,
+    glob_rotmats: jax.Array,
+    target_vertices: jax.Array,
+    target_joints: Optional[jax.Array],
+    joint_weights: Optional[jax.Array],
+    beta_regularizer: float,
+    beta_regularizer2: float,
+    scale_regularizer: float,
+    kid_regularizer: Optional[float],
+    share_beta: bool,
+    scale_target: bool,
+    scale_fit: bool,
+    beta_regularizer_reference,
+    kid_regularizer_reference,
+    requested_keys=(),
+) -> dict:
+    """Drop-in replacement for the vertex block of ``fit_shape`` (no per-vertex
+    runtime weights). Returns the same result dict."""
+    from .bodyfitter import fk_positions_ext  # local import to avoid cycle
+
+    if scale_target and scale_fit:
+        raise ValueError('Only one of scale_target and scale_fit can be True')
+
+    batch = target_vertices.shape[0]
+    J = bm.num_joints
+    E = gram.n_ext
+    n_betas = plan.n_betas
+    dtype = target_vertices.dtype
+    parent_indices = np.array(bm.kintree_parents[1:])
+
+    parent_glob = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.eye(3, dtype=dtype), (batch, 1, 3, 3)),
+            glob_rotmats[:, parent_indices],
+        ],
+        axis=1,
+    )
+    rel_rotmats = jnp.einsum('bjki,bjkl->bjil', parent_glob, glob_rotmats, precision=_HI)
+
+    # FK of extended joint positions; split into position and Jacobian columns.
+    pos_ext = fk_positions_ext(bm, plan, glob_rotmats)  # (B, J, 3, 1+E)
+    p_j = pos_ext[..., 0]  # (B, J, 3)
+    P_j = pos_ext[..., 1:]  # (B, J, 3, E)
+    jte = plan.J_template_ext[..., 0]  # (J, 3)
+    JTE = plan.J_template_ext[..., 1:]  # (J, 3, E)
+    t_j = p_j - jnp.einsum('bjac,jc->bja', glob_rotmats, jte, precision=_HI)
+    T_j = P_j - jnp.einsum('bjac,jce->bjae', glob_rotmats, JTE, precision=_HI)
+
+    # Per-vertex position at beta=0 (standard LBS) and the residual.
+    rot_params = rel_rotmats[:, 1:].reshape(batch, (J - 1) * 9)
+    v_posed = bm.v_template + jnp.einsum(
+        'vcp,bp->bvc', bm.posedirs, rot_params, precision=_HI
+    )
+    per_joint = jnp.concatenate([glob_rotmats.reshape(batch, J, 9), t_j], axis=2)
+    blended = jnp.einsum('vj,bjx->bvx', bm.weights, per_joint, precision=_HI)
+    rot_blend = blended[..., :9].reshape(batch, -1, 3, 3)
+    pos = (
+        jnp.einsum('bvac,bvc->bva', rot_blend, v_posed, precision=_HI)
+        + blended[..., 9:]
+    )
+    b = target_vertices - pos  # (B, V, 3)
+
+    # --- Gramian of the vertex block through the joint-pair moments ---
+    X = jnp.einsum('bjac,bkad->bjkcd', glob_rotmats, glob_rotmats, precision=_HI)
+    term1 = (
+        X.reshape(batch, J * J * 9) @ gram.Ksd
+    ).reshape(batch, E, E)
+    Z = jnp.einsum('bjac,jkce->bkae', glob_rotmats, gram.Lsd, precision=_HI)
+    term2 = jnp.einsum('bkae,bkaf->bef', Z, T_j, precision=_HI)
+    Zq = jnp.einsum('jk,bkae->bjae', gram.q, T_j, precision=_HI)
+    term3 = jnp.einsum('bjae,bjaf->bef', Zq, T_j, precision=_HI)
+    G = term1 + term2 + jnp.swapaxes(term2, -1, -2) + term3  # (B, E, E)
+
+    SA = (
+        jnp.einsum('bjac,jce->bae', glob_rotmats, gram.sd1, precision=_HI)
+        + jnp.einsum('j,bjae->bae', gram.W1, T_j, precision=_HI)
+    )  # (B, 3, E)
+    Sb = jnp.sum(b, axis=1)  # (B, 3)
+    W = jnp.full((batch,), float(bm.num_vertices), dtype)
+
+    # --- rhs via the single large moment GEMM ---
+    def jac_dot(field):
+        """Σ_v jac_vᵀ field_v  -> (B, E)."""
+        Y = _vertex_moment_rhs(gram, field)  # (B, J, 3, E, 3)
+        partA = jnp.einsum('bjac,bjcea->be', glob_rotmats, Y, precision=_HI)
+        y = jnp.einsum('vj,bva->bja', bm.weights, field, precision=_HI)
+        partB = jnp.einsum('bjae,bja->be', T_j, y, precision=_HI)
+        return partA + partB, y
+
+    r, y_b = jac_dot(b)
+
+    # --- joints block (small, direct) ---
+    if target_joints is not None:
+        bJ = target_joints - p_j
+        jw = joint_weights if joint_weights is not None else jnp.ones((batch, J), dtype)
+        wjac = P_j * jw[..., None, None]
+        G = G + jnp.einsum('bjae,bjaf->bef', wjac, P_j, precision=_HI)
+        r = r + jnp.einsum('bjae,bja->be', wjac, bJ, precision=_HI)
+        SA = SA + jnp.sum(wjac, axis=1)
+        Sb = Sb + jnp.sum(bJ * jw[..., None], axis=1)
+        W = W + jnp.sum(jw, axis=1)
+
+    # --- optional scale column ---
+    scale_col = scale_target or scale_fit
+    if scale_col:
+        if scale_target:
+            col_vert = -target_vertices
+            col_joint = -target_joints if target_joints is not None else None
+        else:
+            col_vert = pos
+            col_joint = p_j if target_joints is not None else None
+        g_cross, y_col = jac_dot(col_vert)  # (B, E)
+        col_sq = jnp.sum(col_vert * col_vert, axis=(1, 2))
+        col_b = jnp.sum(col_vert * b, axis=(1, 2))
+        SA_col = jnp.sum(col_vert, axis=1)  # (B, 3)
+        if col_joint is not None:
+            jwj = jw[..., None]
+            g_cross = g_cross + jnp.einsum(
+                'bjae,bja->be', P_j * jwj[..., None], col_joint, precision=_HI
+            )
+            col_sq = col_sq + jnp.sum(col_joint * col_joint * jwj, axis=(1, 2))
+            col_b = col_b + jnp.sum(col_joint * bJ * jwj, axis=(1, 2))
+            SA_col = SA_col + jnp.sum(col_joint * jwj, axis=1)
+
+    # --- regularizers ---
+    l2 = jnp.concatenate(
+        [
+            jnp.full((2,), beta_regularizer2, dtype),
+            jnp.full((n_betas - 2,), beta_regularizer, dtype),
+        ]
+    )
+    if beta_regularizer_reference is None:
+        l2_ref = jnp.zeros((batch, n_betas), dtype)
+    else:
+        ref = jnp.asarray(beta_regularizer_reference).astype(dtype)
+        if ref.shape[1] < n_betas:
+            ref = jnp.pad(ref, ((0, 0), (0, n_betas - ref.shape[1])))
+        l2_ref = ref[:, :n_betas]
+    if plan.enable_kid:
+        if kid_regularizer is None:
+            kid_regularizer = beta_regularizer
+        l2 = jnp.concatenate([l2, jnp.full((1,), kid_regularizer, dtype)])
+        if kid_regularizer_reference is None:
+            kid_ref = jnp.zeros((batch, 1), dtype)
+        else:
+            kid_ref = jnp.asarray(kid_regularizer_reference).reshape(batch, 1).astype(dtype)
+        l2_ref = jnp.concatenate([l2_ref, kid_ref], axis=1)
+    if scale_col:
+        l2 = jnp.concatenate([l2, jnp.full((1,), scale_regularizer, dtype)])
+        l2_ref = jnp.concatenate([l2_ref, jnp.zeros((batch, 1), dtype)], axis=1)
+    l2_rhs = l2 * l2_ref  # (B, P)
+
+    # --- assemble the augmented [betas(+kid)(+scale), trans] system ---
+    P = E + (1 if scale_col else 0)
+    n_aug = P + 3
+    G_aug = jnp.zeros((batch, n_aug, n_aug), dtype)
+    G_aug = G_aug.at[:, :E, :E].set(G)
+    r_aug = jnp.zeros((batch, n_aug), dtype)
+    r_aug = r_aug.at[:, :E].set(r)
+    if scale_col:
+        G_aug = G_aug.at[:, :E, E].set(g_cross)
+        G_aug = G_aug.at[:, E, :E].set(g_cross)
+        G_aug = G_aug.at[:, E, E].set(col_sq)
+        G_aug = G_aug.at[:, E, P:].set(SA_col)
+        G_aug = G_aug.at[:, P:, E].set(SA_col)
+        r_aug = r_aug.at[:, E].set(col_b)
+    G_aug = G_aug.at[:, :E, P:].set(jnp.swapaxes(SA, -1, -2))
+    G_aug = G_aug.at[:, P:, :E].set(SA)
+    eyeW = W[:, None, None] * jnp.eye(3, dtype=dtype)
+    G_aug = G_aug.at[:, P:, P:].set(eyeW)
+    r_aug = r_aug.at[:, P:].set(Sb)
+
+    G_aug = G_aug + jnp.diag(jnp.concatenate([l2, jnp.zeros((3,), dtype)]))
+    r_aug = r_aug + jnp.concatenate([l2_rhs, jnp.zeros((batch, 3), dtype)], axis=1)
+
+    if share_beta:
+        sol = _solve_partial_share(G_aug, r_aug, n_shared=E)
+    else:
+        chol = jnp.linalg.cholesky(G_aug)
+        sol = cholesky_solve(chol, r_aug[..., None])[..., 0]
+
+    new_shape = sol[:, :n_betas]
+    new_kid_factor = sol[:, n_betas] if plan.enable_kid else None
+    new_scale_corr = sol[:, E] + 1 if scale_col else None
+    new_trans = sol[:, P:]
+
+    if scale_fit:
+        new_shape = new_shape / new_scale_corr[..., None]
+        if new_kid_factor is not None:
+            new_kid_factor = new_kid_factor / new_scale_corr
+
+    result = dict(
+        shape_betas=new_shape,
+        kid_factor=new_kid_factor,
+        trans=new_trans,
+        relative_orientations=rel_rotmats,
+        scale_corr=new_scale_corr,
+        joints=None,
+        vertices=None,
+    )
+
+    # Reconstruction uses the scale-divided betas, matching the general solve
+    # (and the reference, np/bodyfitter.py:836-868).
+    full_x = new_shape
+    if plan.enable_kid:
+        full_x = jnp.concatenate([full_x, new_kid_factor[:, None]], axis=1)
+    if 'joints' in requested_keys:
+        result['joints'] = (
+            p_j
+            + jnp.einsum('bjae,be->bja', P_j, full_x, precision=_HI)
+            + new_trans[:, None]
+        )
+    if 'vertices' in requested_keys:
+        # vertices = pos + jac·x + trans, with jac·x = R̄ (SD x) + skin(T x).
+        u = jnp.einsum('vce,be->bvc', _sd_ext(bm, plan), full_x, precision=_HI)
+        tx = jnp.einsum('bjae,be->bja', T_j, full_x, precision=_HI)
+        result['vertices'] = (
+            pos
+            + jnp.einsum('bvac,bvc->bva', rot_blend, u, precision=_HI)
+            + jnp.einsum('vj,bja->bva', bm.weights, tx, precision=_HI)
+            + new_trans[:, None]
+        )
+    return result
+
+
+def _sd_ext(bm, plan):
+    if plan.enable_kid:
+        return jnp.concatenate(
+            [bm.shapedirs[:, :, : plan.n_betas], bm.kid_shapedir[:, :, None]], axis=2
+        )
+    return bm.shapedirs[:, :, : plan.n_betas]
+
+
+def _solve_partial_share(G_aug: jax.Array, r_aug: jax.Array, n_shared: int) -> jax.Array:
+    """Gramian-level block elimination: first ``n_shared`` params shared
+    batch-wide, the rest per-instance. The shared-Schur sums over the batch are
+    THE cross-device all-reduce under batch sharding."""
+    Gss = G_aug[:, :n_shared, :n_shared]
+    Gsi = G_aug[:, :n_shared, n_shared:]
+    Gii = G_aug[:, n_shared:, n_shared:]
+    rs = r_aug[:, :n_shared]
+    ri = r_aug[:, n_shared:]
+
+    chol_ii = jnp.linalg.cholesky(Gii)
+    Ci = cholesky_solve(chol_ii, jnp.swapaxes(Gsi, -1, -2))  # (B, ni, ns)
+    di = cholesky_solve(chol_ii, ri[..., None])[..., 0]  # (B, ni)
+
+    S = jnp.sum(Gss - Gsi @ Ci, axis=0)
+    rhs_s = jnp.sum(rs - jnp.einsum('bse,be->bs', Gsi, di, precision=_HI), axis=0)
+    chol_s = jnp.linalg.cholesky(S)
+    xs = cholesky_solve(chol_s[None], rhs_s[None, :, None])[0, :, 0]  # (ns,)
+
+    xi = di - jnp.einsum('bis,s->bi', Ci, xs)
+    batch = G_aug.shape[0]
+    xs_b = jnp.broadcast_to(xs, (batch, n_shared))
+    return jnp.concatenate([xs_b, xi], axis=1)
