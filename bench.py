@@ -5,9 +5,16 @@ full 6890 vertices, num_iter=3, final rotation adjustment on, batch 4096 —
 9,481 fits/s on an RTX 3090. Synthetic model weights at real tensor shapes
 (licensed files are not redistributable; FLOP counts are identical).
 
+Measurement notes (hard-won on the tunneled-TPU environment):
+ - every rep uses DISTINCT device-resident inputs — the remote runtime
+   memoizes repeated identical executions, which would fake the timing;
+ - throughput is measured pipelined (enqueue all reps, sync once): the
+   per-dispatch round-trip latency (~25 ms over the tunnel) overlaps with
+   execution, as it does in production serving. Per-call latency is also
+   reported on stderr.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is vs the reference's 9,481 fits/s. Also reports the round-trip
-v2v error as a fit-quality guard (must stay in the few-mm regime).
+vs_baseline is vs the reference's 9,481 fits/s.
 """
 
 from __future__ import annotations
@@ -22,14 +29,12 @@ import numpy as np
 BASELINE_FITS_PER_SEC = 9481.0  # reference PT backend, RTX 3090, README.md:15
 BATCH = int(os.getenv('BENCH_BATCH', '4096'))
 NUM_ITER = 3
-WARMUP = 2
-REPS = int(os.getenv('BENCH_REPS', '5'))
+REPS = int(os.getenv('BENCH_REPS', '8'))
 
 
 def main() -> None:
     import jax
 
-    # Persistent compilation cache: repeated bench runs skip XLA recompiles.
     jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_compilation_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
@@ -41,14 +46,15 @@ def main() -> None:
     fitter = smplfitter_tpu.BodyFitter(bm)
 
     rng = np.random.default_rng(0)
-    pose = rng.normal(0, 0.3, (BATCH, 72)).astype(np.float32)
-    betas = rng.normal(0, 1, (BATCH, 10)).astype(np.float32)
-    trans = rng.normal(0, 0.5, (BATCH, 3)).astype(np.float32)
-
     fwd = jax.jit(lambda p, b, t: bm(pose_rotvecs=p, shape_betas=b, trans=t))
-    res = jax.block_until_ready(fwd(pose, betas, trans))
-    target_vertices = res['vertices']
-    target_joints = res['joints']
+    targets = []
+    for _ in range(REPS):
+        pose = rng.normal(0, 0.3, (BATCH, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (BATCH, 10)).astype(np.float32)
+        trans = rng.normal(0, 0.5, (BATCH, 3)).astype(np.float32)
+        res = fwd(pose, betas, trans)
+        targets.append((res['vertices'], res['joints']))
+    jax.block_until_ready(targets)
 
     fit_fn = jax.jit(
         lambda tv, tj: fitter.fit(
@@ -61,20 +67,23 @@ def main() -> None:
         )
     )
 
-    # Warmup (includes compile).
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fit_fn(target_vertices, target_joints))
+    out = jax.block_until_ready(fit_fn(*targets[0]))
     compile_s = time.perf_counter() - t0
-    for _ in range(WARMUP - 1):
-        out = jax.block_until_ready(fit_fn(target_vertices, target_joints))
 
-    times = []
-    for _ in range(REPS):
+    # Per-call latency (sync every call, distinct inputs).
+    lat = []
+    for tv, tj in targets[1:]:
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fit_fn(target_vertices, target_joints))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    fits_per_sec = BATCH / best
+        out = jax.block_until_ready(fit_fn(tv, tj))
+        lat.append(time.perf_counter() - t0)
+
+    # Pipelined throughput (enqueue all, sync once).
+    t0 = time.perf_counter()
+    outs = [fit_fn(tv, tj) for tv, tj in targets]
+    jax.block_until_ready(outs)
+    wall = time.perf_counter() - t0
+    fits_per_sec = REPS * BATCH / wall
 
     # Fit-quality guard: reconstruct from fitted params and measure v2v.
     refit = jax.block_until_ready(
@@ -83,7 +92,7 @@ def main() -> None:
     v2v = float(
         np.mean(
             np.linalg.norm(
-                np.asarray(refit['vertices']) - np.asarray(target_vertices), axis=-1
+                np.asarray(refit['vertices']) - np.asarray(targets[-1][0]), axis=-1
             )
         )
     )
@@ -99,9 +108,9 @@ def main() -> None:
         )
     )
     print(
-        f'# batch={BATCH} best={best * 1e3:.1f}ms mean={np.mean(times) * 1e3:.1f}ms '
-        f'compile={compile_s:.0f}s v2v_roundtrip={v2v * 1e3:.2f}mm '
-        f'device={jax.devices()[0].device_kind}',
+        f'# batch={BATCH} pipelined={wall / REPS * 1e3:.1f}ms/batch '
+        f'latency_min={min(lat) * 1e3:.1f}ms compile={compile_s:.0f}s '
+        f'v2v_roundtrip={v2v * 1e3:.2f}mm device={jax.devices()[0].device_kind}',
         file=sys.stderr,
     )
 

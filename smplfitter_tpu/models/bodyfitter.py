@@ -229,22 +229,25 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
     formulation of /root/reference/src/smplfitter/np/bodyfitter.py:160-184.
     """
     idx = np.array(plan.used_vertex_indices)
-    t = target_vertices[:, idx]
-    a = reference_vertices[:, idx]
+    # Vertex-minor layout: (B, 3, N) keeps the large N dimension in lanes, so
+    # the outer-product intermediate is (B, 9, N) (≈1.8x tile padding) instead
+    # of (B, N, 9) whose 9-lane minor dim would pad ~14x on TPU.
+    tT = jnp.swapaxes(target_vertices, 1, 2)[:, :, idx]  # (B, 3, N)
+    aT = jnp.swapaxes(reference_vertices, 1, 2)[:, :, idx]
     if vertex_weights is not None:
         w = vertex_weights[:, idx]
-        a = a * w[..., None]
-        t_sum_side = t * w[..., None]
-        s_w = plan.part_matrix @ w[..., None]
+        aT = aT * w[:, None, :]
+        t_sum_side = tT * w[:, None, :]
+        s_w = (w @ plan.part_matrix.T)[..., None]
     else:
-        t_sum_side = t
+        t_sum_side = tT
         s_w = plan.part_counts
-    B = max(t.shape[0], a.shape[0])
-    N = t.shape[1]
-    outer = (t[..., :, None] * a[..., None, :]).reshape(B, N, 9)
-    raw = (plan.part_matrix @ outer).reshape(B, -1, 3, 3)
-    s_t = plan.part_matrix @ t_sum_side
-    s_a = plan.part_matrix @ a
+    B = max(tT.shape[0], aT.shape[0])
+    N = tT.shape[2]
+    outer = (tT[:, :, None, :] * aT[:, None, :, :]).reshape(B, 9, N)
+    raw = jnp.einsum('jn,bxn->bjx', plan.part_matrix, outer).reshape(B, -1, 3, 3)
+    s_t = jnp.swapaxes(jnp.einsum('jn,bcn->bcj', plan.part_matrix, t_sum_side), 1, 2)
+    s_a = jnp.swapaxes(jnp.einsum('jn,bcn->bcj', plan.part_matrix, aT), 1, 2)
     return raw, s_t, s_a, s_w
 
 

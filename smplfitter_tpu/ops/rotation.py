@@ -258,9 +258,181 @@ def proj_SO3_analytic(A: jax.Array) -> jax.Array:
     return R.astype(dtype)
 
 
+def proj_SO3_scalar(A: jax.Array) -> jax.Array:
+    """Scalarized analytic polar decomposition — the TPU fast path.
+
+    Same math as :func:`proj_SO3_analytic`, but computed in structure-of-arrays
+    form: the nine matrix components live in flat (N,) arrays, so the entire
+    projection fuses into one VPU kernel. Matrix-shaped (..., 3, 3)
+    intermediates would be tiled to (8, 128) on TPU — a ~40x memory/bandwidth
+    blow-up between fusion breaks — which this layout avoids entirely.
+    """
+    dtype = A.dtype
+    batch_shape = A.shape[:-2]
+    F = A.reshape(-1, 9)
+    a00, a01, a02, a10, a11, a12, a20, a21, a22 = [F[:, i] for i in range(9)]
+
+    fro2 = (
+        a00 * a00 + a01 * a01 + a02 * a02
+        + a10 * a10 + a11 * a11 + a12 * a12
+        + a20 * a20 + a21 * a21 + a22 * a22
+    )
+    fro = jnp.sqrt(fro2)
+    inv = 1.0 / jnp.maximum(fro, 1e-30)
+    a00, a01, a02 = a00 * inv, a01 * inv, a02 * inv
+    a10, a11, a12 = a10 * inv, a11 * inv, a12 * inv
+    a20, a21, a22 = a20 * inv, a21 * inv, a22 * inv
+
+    # M = An^T An (symmetric, trace 1): six unique components.
+    m00 = a00 * a00 + a10 * a10 + a20 * a20
+    m11 = a01 * a01 + a11 * a11 + a21 * a21
+    m22 = a02 * a02 + a12 * a12 + a22 * a22
+    m01 = a00 * a01 + a10 * a11 + a20 * a21
+    m02 = a00 * a02 + a10 * a12 + a20 * a22
+    m12 = a01 * a02 + a11 * a12 + a21 * a22
+
+    # Smith's trigonometric eigenvalues.
+    qv = (m00 + m11 + m22) / 3.0
+    p1 = m01 * m01 + m02 * m02 + m12 * m12
+    b00, b11, b22 = m00 - qv, m11 - qv, m22 - qv
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(p2 / 6.0)
+    det_shifted = (
+        b00 * (b11 * b22 - m12 * m12)
+        - m01 * (m01 * b22 - m12 * m02)
+        + m02 * (m01 * m12 - b11 * m02)
+    )
+    rr = jnp.clip(divide_no_nan(det_shifted, 2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(rr) / 3.0
+    lam1 = qv + 2.0 * p * jnp.cos(phi)
+    lam3 = qv + 2.0 * p * jnp.cos(phi + 2.0 * math.pi / 3.0)
+    lam2 = 3.0 * qv - lam1 - lam3
+
+    def cross(x, y):
+        return (
+            x[1] * y[2] - x[2] * y[1],
+            x[2] * y[0] - x[0] * y[2],
+            x[0] * y[1] - x[1] * y[0],
+        )
+
+    def dot(x, y):
+        return x[0] * y[0] + x[1] * y[1] + x[2] * y[2]
+
+    def norm2(x):
+        return dot(x, x)
+
+    def normalize_or(x, fallback, eps):
+        n2 = norm2(x)
+        ok = n2 > eps * eps
+        invn = jax.lax.rsqrt(jnp.where(ok, n2, jnp.ones_like(n2)))
+        return tuple(jnp.where(ok, xi * invn, fi) for xi, fi in zip(x, fallback))
+
+    def matvec_sym(v):  # M @ v with symmetric M
+        return (
+            m00 * v[0] + m01 * v[1] + m02 * v[2],
+            m01 * v[0] + m11 * v[1] + m12 * v[2],
+            m02 * v[0] + m12 * v[1] + m22 * v[2],
+        )
+
+    def matvec_A(v):  # An @ v
+        return (
+            a00 * v[0] + a01 * v[1] + a02 * v[2],
+            a10 * v[0] + a11 * v[1] + a12 * v[2],
+            a20 * v[0] + a21 * v[1] + a22 * v[2],
+        )
+
+    eps = 1e-9
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+    e0 = (one, zero, zero)
+
+    use_top = (lam1 - lam2) >= (lam2 - lam3)
+    lam_ext = jnp.where(use_top, lam1, lam3)
+
+    # Null vector of (M - lam I): best-conditioned cross product of row pairs.
+    r0 = (m00 - lam_ext, m01, m02)
+    r1 = (m01, m11 - lam_ext, m12)
+    r2 = (m02, m12, m22 - lam_ext)
+    c0 = cross(r0, r1)
+    c1 = cross(r1, r2)
+    c2 = cross(r2, r0)
+    n0, n1, n2 = norm2(c0), norm2(c1), norm2(c2)
+    pick01 = n0 >= n1
+    best = tuple(jnp.where(pick01, x, y) for x, y in zip(c0, c1))
+    nbest = jnp.where(pick01, n0, n1)
+    pick = nbest >= n2
+    raw = tuple(jnp.where(pick, x, y) for x, y in zip(best, c2))
+    v_a = normalize_or(raw, e0, eps)
+
+    # A unit vector orthogonal to v_a (cross with least-aligned basis axis).
+    av0, av1, av2 = jnp.abs(v_a[0]), jnp.abs(v_a[1]), jnp.abs(v_a[2])
+    is0 = jnp.logical_and(av0 <= av1, av0 <= av2)
+    is1 = jnp.logical_and(av1 <= av0, av1 <= av2)
+    e = (
+        is0.astype(dtype),
+        jnp.logical_and(is1, ~is0).astype(dtype),
+        jnp.logical_and(~is0, ~is1).astype(dtype),
+    )
+    pvec = cross(v_a, e)
+    pinv = jax.lax.rsqrt(jnp.maximum(norm2(pvec), 1e-30))
+    pvec = tuple(x * pinv for x in pvec)
+    qvec = cross(v_a, pvec)
+
+    Mp = matvec_sym(pvec)
+    Mq = matvec_sym(qvec)
+    mpp = dot(pvec, Mp)
+    mpq = dot(pvec, Mq)
+    mqq = dot(qvec, Mq)
+    th = 0.5 * jnp.arctan2(2.0 * mpq, mpp - mqq)
+    cth, sth = jnp.cos(th), jnp.sin(th)
+    v_big = tuple(cth * pi + sth * qi for pi, qi in zip(pvec, qvec))
+    v_small = tuple(-sth * pi + cth * qi for pi, qi in zip(pvec, qvec))
+
+    v1 = tuple(jnp.where(use_top, x, y) for x, y in zip(v_a, v_big))
+    v2 = tuple(jnp.where(use_top, x, y) for x, y in zip(v_big, v_small))
+    v3 = cross(v1, v2)
+
+    u1 = normalize_or(matvec_A(v1), e0, eps)
+    u2r = matvec_A(v2)
+    proj = dot(u2r, u1)
+    u2r = tuple(x - proj * u for x, u in zip(u2r, u1))
+    # Fallback for u2: a unit vector orthogonal to u1.
+    au0, au1_, au2_ = jnp.abs(u1[0]), jnp.abs(u1[1]), jnp.abs(u1[2])
+    j0 = jnp.logical_and(au0 <= au1_, au0 <= au2_)
+    j1 = jnp.logical_and(au1_ <= au0, au1_ <= au2_)
+    eu = (
+        j0.astype(dtype),
+        jnp.logical_and(j1, ~j0).astype(dtype),
+        jnp.logical_and(~j0, ~j1).astype(dtype),
+    )
+    fb = cross(u1, eu)
+    fbinv = jax.lax.rsqrt(jnp.maximum(norm2(fb), 1e-30))
+    fb = tuple(x * fbinv for x in fb)
+    u2 = normalize_or(u2r, fb, eps)
+    u3 = cross(u1, u2)
+
+    # R = U V^T with U = [u1 u2 u3], V = [v1 v2 v3] as columns.
+    def r_entry(urow, vrow):
+        return urow[0] * vrow[0] + urow[1] * vrow[1] + urow[2] * vrow[2]
+
+    U_rows = [(u1[i], u2[i], u3[i]) for i in range(3)]
+    V_rows = [(v1[i], v2[i], v3[i]) for i in range(3)]
+    entries = [r_entry(U_rows[i], V_rows[j]) for i in range(3) for j in range(3)]
+
+    # Fully degenerate A ~ 0 -> identity.
+    ok = fro > 1e-20
+    eye_flat = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    entries = [
+        jnp.where(ok, x, jnp.full_like(x, ident)) for x, ident in zip(entries, eye_flat)
+    ]
+    R = jnp.stack(entries, axis=-1).reshape(*batch_shape, 3, 3)
+    return R.astype(dtype)
+
+
 def proj_SO3(A: jax.Array) -> jax.Array:
-    """Project (..., 3, 3) onto SO(3). Default: branch-free analytic polar."""
-    return proj_SO3_analytic(A)
+    """Project (..., 3, 3) onto SO(3). Default: branch-free scalarized analytic
+    polar decomposition (one fused VPU kernel on TPU)."""
+    return proj_SO3_scalar(A)
 
 
 def kabsch(X: jax.Array, Y: jax.Array) -> jax.Array:
