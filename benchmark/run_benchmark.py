@@ -1,0 +1,181 @@
+"""Benchmark harness: throughput sweeps stored in SQLite.
+
+Functional analogue of the reference harness
+(/root/reference/benchmark/run_benchmark.py): sweeps forward/fit configurations
+over batch sizes, measures throughput with proper device synchronization, and
+stores rows in ``results.db``. Adapted to the remote-TPU environment: every
+repetition uses distinct device-resident inputs (the runtime memoizes repeated
+identical executions) and throughput is measured pipelined.
+
+Usage:
+  python benchmark/run_benchmark.py --suite forward fit --batch-sizes 32 1024 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sqlite3
+import time
+
+import numpy as np
+
+
+def init_db(path: str):
+    conn = sqlite3.connect(path)
+    conn.execute(
+        'CREATE TABLE IF NOT EXISTS results ('
+        ' ts REAL, suite TEXT, config TEXT, batch_size INTEGER,'
+        ' items_per_sec REAL, ms_per_batch REAL, device TEXT)'
+    )
+    return conn
+
+
+def record(conn, suite, config, batch_size, items_per_sec, ms_per_batch, device):
+    conn.execute(
+        'INSERT INTO results VALUES (?,?,?,?,?,?,?)',
+        (time.time(), suite, json.dumps(config), batch_size, items_per_sec,
+         ms_per_batch, device),
+    )
+    conn.commit()
+
+
+def measure_pipelined(fn, argsets, reps_inner: int = 1):
+    """Pipelined throughput over distinct argsets; returns seconds per call."""
+    import jax
+
+    jax.block_until_ready(fn(*argsets[0]))  # compile
+    t0 = time.perf_counter()
+    outs = [fn(*args) for args in argsets for _ in range(reps_inner)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / (len(argsets) * reps_inner)
+
+
+def make_inputs(bm, batch, n_sets, rng, pose_std=0.3):
+    import jax
+    import jax.numpy as jnp
+
+    fwd = jax.jit(
+        lambda p, b: bm(pose_rotvecs=p, shape_betas=b)
+    )
+    sets = []
+    for _ in range(n_sets):
+        pose = rng.normal(0, pose_std, (batch, bm.num_joints * 3)).astype(np.float32)
+        betas = rng.normal(0, 1, (batch, bm.num_betas)).astype(np.float32)
+        res = fwd(jnp.asarray(pose), jnp.asarray(betas))
+        sets.append((pose, betas, res))
+    jax.block_until_ready([s[2] for s in sets])
+    return sets
+
+
+def bench_forward(conn, bm, batch_sizes, n_sets, device):
+    import jax
+    import jax.numpy as jnp
+
+    for return_vertices in (True, False):
+        fwd = jax.jit(
+            lambda p, b: bm(pose_rotvecs=p, shape_betas=b,
+                            return_vertices=return_vertices)
+        )
+        for batch in batch_sizes:
+            rng = np.random.default_rng(batch)
+            sets = make_inputs(bm, batch, n_sets, rng)
+            argsets = [(jnp.asarray(p), jnp.asarray(b)) for p, b, _ in sets]
+            sec = measure_pipelined(fwd, argsets)
+            cfg = dict(return_vertices=return_vertices)
+            record(conn, 'forward', cfg, batch, batch / sec, sec * 1e3, device)
+            print(f'forward vertices={return_vertices} b={batch}: '
+                  f'{batch / sec:,.0f}/s ({sec * 1e3:.2f} ms)')
+
+
+def bench_fit(conn, bm, fitter, batch_sizes, n_sets, device, methods):
+    import jax
+
+    for method in methods:
+        for batch in batch_sizes:
+            rng = np.random.default_rng(batch)
+            sets = make_inputs(bm, batch, n_sets, rng)
+            if method == 'fit':
+                f = jax.jit(
+                    lambda tv, tj: fitter.fit(
+                        tv, tj, num_iter=3, beta_regularizer=1.0,
+                        final_adjust_rots=True,
+                        requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+                    )
+                )
+                argsets = [(r['vertices'], r['joints']) for _, _, r in sets]
+            elif method == 'fit_known_shape':
+                f = jax.jit(
+                    lambda betas, tv, tj: fitter.fit_with_known_shape(
+                        betas, tv, tj, num_iter=3,
+                        requested_keys=('pose_rotvecs',),
+                    )
+                )
+                argsets = [
+                    (jax.numpy.asarray(b), r['vertices'], r['joints'])
+                    for _, b, r in sets
+                ]
+            elif method == 'fit_known_pose':
+                f = jax.jit(
+                    lambda pose, tv, tj: fitter.fit_with_known_pose(
+                        pose, tv, tj, beta_regularizer=1.0,
+                    )
+                )
+                argsets = [
+                    (jax.numpy.asarray(p), r['vertices'], r['joints'])
+                    for p, _, r in sets
+                ]
+            else:
+                raise ValueError(method)
+            sec = measure_pipelined(f, argsets)
+            record(conn, method, {}, batch, batch / sec, sec * 1e3, device)
+            print(f'{method} b={batch}: {batch / sec:,.0f} fits/s ({sec * 1e3:.1f} ms)')
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--suite', nargs='*', default=['forward', 'fit'],
+                        choices=['forward', 'fit'])
+    parser.add_argument('--batch-sizes', nargs='*', type=int,
+                        default=[32, 256, 1024, 4096])
+    parser.add_argument('--fit-methods', nargs='*',
+                        default=['fit', 'fit_known_shape', 'fit_known_pose'])
+    parser.add_argument('--model', default='smpl')
+    parser.add_argument('--model-root', default=None)
+    parser.add_argument('--synthetic', action='store_true',
+                        help='benchmark on cached synthetic model files')
+    parser.add_argument('--db', default=os.path.join(os.path.dirname(__file__),
+                                                     'results.db'))
+    parser.add_argument('--n-sets', type=int, default=6)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.expanduser('~/.cache/jax_compilation_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    import smplfitter_tpu
+
+    model_root = args.model_root
+    if args.synthetic and model_root is None:
+        from smplfitter_tpu.utils import synthetic
+
+        model_root = os.path.join(synthetic.ensure_cached_models(), args.model)
+
+    bm = smplfitter_tpu.BodyModel(args.model, 'neutral', model_root)
+    fitter = smplfitter_tpu.BodyFitter(bm)
+    device = jax.devices()[0].device_kind
+
+    conn = init_db(args.db)
+    if 'forward' in args.suite:
+        bench_forward(conn, bm, args.batch_sizes, args.n_sets, device)
+    if 'fit' in args.suite:
+        bench_fit(conn, bm, fitter, args.batch_sizes, args.n_sets, device,
+                  args.fit_methods)
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -244,14 +244,19 @@ def _forward_impl(
         + jnp.einsum('vc,b->bvc', bm.kid_shapedir, kid_factor)
     )
 
-    # LBS: blend rotations and translations with ONE skinning GEMM.
+    # LBS in homogeneous form: per-joint [R | t] (3, 4) matrices blended with
+    # ONE skinning GEMM and applied to [v_posed; 1] — no slicing the blend
+    # apart afterwards (slices copy the whole buffer on TPU).
     translations = glob_positions - jnp.einsum('bjCc,bjc->bjC', glob_rotmats, j)
     per_joint = jnp.concatenate(
-        [glob_rotmats.reshape(batch_size, num_joints, 9), translations], axis=2
-    )  # (B, J, 12)
+        [glob_rotmats, translations[..., None]], axis=3
+    ).reshape(batch_size, num_joints, 12)
     blended = jnp.einsum('vj,bjx->bvx', bm.weights, per_joint)  # (B, V, 12)
-    rot_blend = blended[..., :9].reshape(batch_size, -1, 3, 3)
-    vertices = jnp.einsum('bvCc,bvc->bvC', rot_blend, v_posed) + blended[..., 9:]
+    blended = blended.reshape(batch_size, -1, 3, 4)
+    homog = jnp.concatenate(
+        [v_posed, jnp.ones((batch_size, v_posed.shape[1], 1), v_posed.dtype)], axis=2
+    )
+    vertices = jnp.einsum('bvCc,bvc->bvC', blended, homog)
 
     return dict(
         vertices=vertices + trans[:, None],

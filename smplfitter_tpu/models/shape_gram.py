@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..ops.lstsq import cholesky_solve
+from ..ops.lstsq import cholesky_solve, solve_spd_unrolled
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -148,18 +148,23 @@ def fit_shape_gram(
     t_j = p_j - jnp.einsum('bjac,jc->bja', glob_rotmats, jte, precision=_HI)
     T_j = P_j - jnp.einsum('bjac,jce->bjae', glob_rotmats, JTE, precision=_HI)
 
-    # Per-vertex position at beta=0 (standard LBS) and the residual.
+    # Per-vertex position at beta=0: LBS in homogeneous form. The per-joint
+    # [R | t] (3, 4) matrices are blended with ONE skinning GEMM and applied to
+    # [v_posed; 1] — no slicing the blend back apart (a slice here copies 2 GB
+    # at batch 4096).
     rot_params = rel_rotmats[:, 1:].reshape(batch, (J - 1) * 9)
     v_posed = bm.v_template + jnp.einsum(
         'vcp,bp->bvc', bm.posedirs, rot_params, precision=_HI
     )
-    per_joint = jnp.concatenate([glob_rotmats.reshape(batch, J, 9), t_j], axis=2)
+    per_joint = jnp.concatenate(
+        [glob_rotmats, t_j[..., None]], axis=3
+    ).reshape(batch, J, 12)
     blended = jnp.einsum('vj,bjx->bvx', bm.weights, per_joint, precision=_HI)
-    rot_blend = blended[..., :9].reshape(batch, -1, 3, 3)
-    pos = (
-        jnp.einsum('bvac,bvc->bva', rot_blend, v_posed, precision=_HI)
-        + blended[..., 9:]
+    blended = blended.reshape(batch, -1, 3, 4)
+    homog = jnp.concatenate(
+        [v_posed, jnp.ones((batch, v_posed.shape[1], 1), dtype)], axis=2
     )
+    pos = jnp.einsum('bvac,bvc->bva', blended, homog, precision=_HI)
     b = target_vertices - pos  # (B, V, 3)
 
     # --- Gramian of the vertex block through the joint-pair moments ---
@@ -253,33 +258,32 @@ def fit_shape_gram(
     l2_rhs = l2 * l2_ref  # (B, P)
 
     # --- assemble the augmented [betas(+kid)(+scale), trans] system ---
+    # Pure concatenation (scatter-assembly via .at[].set lowers to slow
+    # dynamic-update-slices on TPU).
     P = E + (1 if scale_col else 0)
-    n_aug = P + 3
-    G_aug = jnp.zeros((batch, n_aug, n_aug), dtype)
-    G_aug = G_aug.at[:, :E, :E].set(G)
-    r_aug = jnp.zeros((batch, n_aug), dtype)
-    r_aug = r_aug.at[:, :E].set(r)
-    if scale_col:
-        G_aug = G_aug.at[:, :E, E].set(g_cross)
-        G_aug = G_aug.at[:, E, :E].set(g_cross)
-        G_aug = G_aug.at[:, E, E].set(col_sq)
-        G_aug = G_aug.at[:, E, P:].set(SA_col)
-        G_aug = G_aug.at[:, P:, E].set(SA_col)
-        r_aug = r_aug.at[:, E].set(col_b)
-    G_aug = G_aug.at[:, :E, P:].set(jnp.swapaxes(SA, -1, -2))
-    G_aug = G_aug.at[:, P:, :E].set(SA)
     eyeW = W[:, None, None] * jnp.eye(3, dtype=dtype)
-    G_aug = G_aug.at[:, P:, P:].set(eyeW)
-    r_aug = r_aug.at[:, P:].set(Sb)
-
+    SAT = jnp.swapaxes(SA, -1, -2)
+    if scale_col:
+        row_b = jnp.concatenate([G, g_cross[:, :, None], SAT], axis=2)
+        row_s = jnp.concatenate(
+            [g_cross[:, None, :], col_sq[:, None, None], SA_col[:, None, :]], axis=2
+        )
+        row_t = jnp.concatenate([SA, SA_col[:, :, None], eyeW], axis=2)
+        G_aug = jnp.concatenate([row_b, row_s, row_t], axis=1)
+        r_aug = jnp.concatenate(
+            [r + l2_rhs[:, :E], col_b[:, None] + l2_rhs[:, E:], Sb], axis=1
+        )
+    else:
+        row_b = jnp.concatenate([G, SAT], axis=2)
+        row_t = jnp.concatenate([SA, eyeW], axis=2)
+        G_aug = jnp.concatenate([row_b, row_t], axis=1)
+        r_aug = jnp.concatenate([r + l2_rhs, Sb], axis=1)
     G_aug = G_aug + jnp.diag(jnp.concatenate([l2, jnp.zeros((3,), dtype)]))
-    r_aug = r_aug + jnp.concatenate([l2_rhs, jnp.zeros((batch, 3), dtype)], axis=1)
 
     if share_beta:
         sol = _solve_partial_share(G_aug, r_aug, n_shared=E)
     else:
-        chol = jnp.linalg.cholesky(G_aug)
-        sol = cholesky_solve(chol, r_aug[..., None])[..., 0]
+        sol = solve_spd_unrolled(G_aug, r_aug)
 
     new_shape = sol[:, :n_betas]
     new_kid_factor = sol[:, n_betas] if plan.enable_kid else None
@@ -314,11 +318,13 @@ def fit_shape_gram(
         )
     if 'vertices' in requested_keys:
         # vertices = pos + jac·x + trans, with jac·x = R̄ (SD x) + skin(T x).
+        # R̄ u rides the homogeneous blend with a zero homogeneous coordinate.
         u = jnp.einsum('vce,be->bvc', _sd_ext(bm, plan), full_x, precision=_HI)
+        u_h = jnp.concatenate([u, jnp.zeros((batch, u.shape[1], 1), dtype)], axis=2)
         tx = jnp.einsum('bjae,be->bja', T_j, full_x, precision=_HI)
         result['vertices'] = (
             pos
-            + jnp.einsum('bvac,bvc->bva', rot_blend, u, precision=_HI)
+            + jnp.einsum('bvac,bvc->bva', blended, u_h, precision=_HI)
             + jnp.einsum('vj,bja->bva', bm.weights, tx, precision=_HI)
             + new_trans[:, None]
         )
@@ -343,14 +349,12 @@ def _solve_partial_share(G_aug: jax.Array, r_aug: jax.Array, n_shared: int) -> j
     rs = r_aug[:, :n_shared]
     ri = r_aug[:, n_shared:]
 
-    chol_ii = jnp.linalg.cholesky(Gii)
-    Ci = cholesky_solve(chol_ii, jnp.swapaxes(Gsi, -1, -2))  # (B, ni, ns)
-    di = cholesky_solve(chol_ii, ri[..., None])[..., 0]  # (B, ni)
+    Ci = solve_spd_unrolled(Gii, jnp.swapaxes(Gsi, -1, -2))  # (B, ni, ns)
+    di = solve_spd_unrolled(Gii, ri)  # (B, ni)
 
     S = jnp.sum(Gss - Gsi @ Ci, axis=0)
     rhs_s = jnp.sum(rs - jnp.einsum('bse,be->bs', Gsi, di, precision=_HI), axis=0)
-    chol_s = jnp.linalg.cholesky(S)
-    xs = cholesky_solve(chol_s[None], rhs_s[None, :, None])[0, :, 0]  # (ns,)
+    xs = solve_spd_unrolled(S[None], rhs_s[None])[0]  # (ns,)
 
     xi = di - jnp.einsum('bis,s->bi', Ci, xs)
     batch = G_aug.shape[0]

@@ -77,6 +77,56 @@ def cholesky_solve(chol: jax.Array, rhs: jax.Array) -> jax.Array:
     return jax.scipy.linalg.solve_triangular(chol, y, lower=True, trans=1)
 
 
+def solve_spd_unrolled(G: jax.Array, rhs: jax.Array, eps: float = 1e-30) -> jax.Array:
+    """Batched SPD solve for SMALL static n via fully unrolled Cholesky.
+
+    ``G``: (..., n, n), ``rhs``: (..., n) or (..., n, k). On TPU, the library
+    Cholesky/triangular-solve custom-calls take milliseconds on (B, 13, 13)
+    batches; this unrolled form is pure fused elementwise VPU code (O(n^3/3)
+    scalar ops on (...,) arrays) and runs in microseconds. Intended for
+    n <= ~24.
+    """
+    n = G.shape[-1]
+    vec_rhs = rhs.ndim == G.ndim - 1
+    if vec_rhs:
+        rhs = rhs[..., None]
+
+    # Cholesky-Crout, unrolled; L stored as scalar (...,)-shaped entries.
+    L = [[None] * n for _ in range(n)]
+    inv_diag = [None] * n
+    for j in range(n):
+        s = G[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, eps))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        inv_diag[j] = inv_d
+        for i in range(j + 1, n):
+            s = G[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+
+    # Forward substitution L y = rhs.
+    y = [None] * n
+    for i in range(n):
+        s = rhs[..., i, :]
+        for k in range(i):
+            s = s - L[i][k][..., None] * y[k]
+        y[i] = s * inv_diag[i][..., None]
+    # Back substitution L^T x = y.
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i][..., None] * x[k]
+        x[i] = s * inv_diag[i][..., None]
+
+    out = jnp.stack(x, axis=-2)
+    return out[..., 0] if vec_rhs else out
+
+
 def lstsq_partial_share(
     matrix: jax.Array,
     rhs: jax.Array,

@@ -1,0 +1,140 @@
+"""Tooling-layer tests: decimation, vertex subsets, regressor training, caches."""
+
+from __future__ import annotations
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+
+class TestDecimation:
+    def test_farthest_point_sampling(self):
+        from smplfitter_tpu.utils.decimation import farthest_point_sampling
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(500, 3))
+        idx = farthest_point_sampling(pts, 64)
+        assert len(np.unique(idx)) == 64
+        assert idx.max() < 500
+
+    def test_decimate(self, smpl_model):
+        from smplfitter_tpu.utils.decimation import decimate
+
+        v = np.asarray(smpl_model.v_template)
+        faces = np.asarray(smpl_model.faces)
+        subset, dec_faces = decimate(v, faces, 128)
+        assert len(subset) == 128
+        assert dec_faces.max() < 128 if len(dec_faces) else True
+
+
+class TestVertexSubset:
+    def test_subset_model(self, body_models_dir, smpl_model):
+        from smplfitter_tpu import BodyModel
+
+        subset = np.arange(0, smpl_model.num_vertices, 3)
+        bm = BodyModel('smpl', 'neutral', vertex_subset=subset)
+        assert bm.num_vertices == len(subset)
+        pose = np.zeros((1, 72), np.float32)
+        betas = np.zeros((1, 10), np.float32)
+        res_sub = bm(pose_rotvecs=pose, shape_betas=betas)
+        res_full = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        np.testing.assert_allclose(
+            np.asarray(res_sub['vertices']),
+            np.asarray(res_full['vertices'])[:, subset],
+            atol=1e-6,
+        )
+
+    def test_subset_fit(self, body_models_dir, smpl_model):
+        from smplfitter_tpu import BodyModel, BodyFitter
+
+        subset = np.arange(0, smpl_model.num_vertices, 2)
+        bm = BodyModel('smpl', 'neutral', vertex_subset=subset)
+        fitter = BodyFitter(bm)
+        rng = np.random.default_rng(80)
+        pose = rng.normal(0, 0.1, (2, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (2, 10)).astype(np.float32)
+        res = bm(pose_rotvecs=pose, shape_betas=betas)
+        fit = fitter.fit(
+            target_vertices=res['vertices'],
+            target_joints=res['joints'],
+            num_iter=3,
+            beta_regularizer=0.0,
+            requested_keys=['pose_rotvecs', 'shape_betas'],
+        )
+        rec = bm(
+            pose_rotvecs=fit['pose_rotvecs'],
+            shape_betas=fit['shape_betas'],
+            trans=fit['trans'],
+        )
+        err = np.linalg.norm(
+            np.asarray(rec['vertices']) - np.asarray(res['vertices']), axis=-1
+        ).mean()
+        # Reference achieves 0.045 on this synthetic subset config.
+        assert err < 8e-2
+
+    def test_subset_size_creates_files(self, body_models_dir):
+        from smplfitter_tpu import BodyModel
+
+        bm = BodyModel('smpl', 'neutral', vertex_subset_size=96)
+        assert bm.num_vertices == 96
+        assert osp.exists(osp.join(body_models_dir, 'smpl', 'vertex_subset_96.npz'))
+
+
+class TestRegressorTraining:
+    def test_train_post_lbs_regressor(self, smpl_model):
+        from smplfitter_tpu.utils.joint_regressor_training import (
+            train_post_lbs_regressor,
+        )
+
+        subset = np.arange(0, smpl_model.num_vertices, 2)
+        reg = train_post_lbs_regressor(
+            smpl_model, subset, num_steps=60, finetune_steps=30, batch_size=16
+        )
+        assert reg.shape == (24, len(subset))
+        # Convex rows.
+        np.testing.assert_allclose(reg.sum(axis=1), 1.0, atol=1e-5)
+        assert np.all(reg >= 0)
+        # The learned regressor should locate joints reasonably on new poses.
+        rng = np.random.default_rng(81)
+        pose = rng.normal(0, 0.2, (4, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (4, 10)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        pred = np.einsum('jv,bvc->bjc', reg, np.asarray(res['vertices'])[:, subset])
+        err = np.linalg.norm(pred - np.asarray(res['joints']), axis=-1).mean()
+        assert err < 0.1, f'regressed joint error {err}'
+
+
+class TestPrecisionConfig:
+    def test_set_matmul_precision(self):
+        import smplfitter_tpu
+
+        assert smplfitter_tpu.get_matmul_precision() == 'highest'
+        smplfitter_tpu.set_matmul_precision('default')
+        try:
+            assert smplfitter_tpu.get_matmul_precision() == 'default'
+        finally:
+            smplfitter_tpu.set_matmul_precision('highest')
+
+
+class TestCachedFitFn:
+    def test_cached_fit_fn(self, body_models_dir, smpl_model):
+        from smplfitter_tpu import get_cached_fit_fn
+
+        fit_fn = get_cached_fit_fn(num_iter=2, num_betas=10)
+        fit_fn2 = get_cached_fit_fn(num_iter=2, num_betas=10)
+        assert fit_fn is fit_fn2
+
+        rng = np.random.default_rng(82)
+        pose = rng.normal(0, 0.1, (2, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (2, 10)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        out = fit_fn(res['vertices'], res['joints'])
+        assert set(out) >= {'pose_rotvecs', 'shape_betas', 'trans'}
+
+        # Leading-dim reshaping: (2, 3) leading dims round-trip.
+        verts5 = np.broadcast_to(
+            np.asarray(res['vertices'])[None], (3, 2, smpl_model.num_vertices, 3)
+        )
+        out5 = fit_fn(verts5)
+        assert out5['shape_betas'].shape[:2] == (3, 2)
