@@ -17,6 +17,7 @@ from .models.bodyfitter import BodyFitter
 from .models.bodyconverter import BodyConverter
 from .models.bodyflipper import BodyFlipper
 from .models.bodyfitter_opt import BodyFitterOpt
+from .models.bodyflipper_opt import BodyFlipperOpt
 from .models.handreplacer import HandReplacer
 from .api import get_cached_body_model, get_cached_fit_fn
 from .ops.precision import set_matmul_precision, get_matmul_precision
@@ -27,6 +28,7 @@ __all__ = [
     'BodyConverter',
     'BodyFlipper',
     'BodyFitterOpt',
+    'BodyFlipperOpt',
     'HandReplacer',
     'get_cached_body_model',
     'get_cached_fit_fn',

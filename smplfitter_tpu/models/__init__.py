@@ -4,3 +4,4 @@ from .bodyconverter import BodyConverter
 from .bodyflipper import BodyFlipper
 from .bodyfitter_opt import BodyFitterOpt
 from .handreplacer import HandReplacer
+from .bodyflipper_opt import BodyFlipperOpt

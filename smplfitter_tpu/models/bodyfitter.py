@@ -69,6 +69,8 @@ class FitterPlan:
     J_template_ext: jax.Array  # (J, 3, 1+S[+1])
     bone_ext: jax.Array  # (J, 3, 1+S[+1]) parent-relative extended bones
     default_mesh: jax.Array  # (V, 3) T-pose vertices
+    pm_t_pad: jax.Array  # (J, V_pad) FULL-V part membership, vertex-minor
+    # (zero columns for vertices outside the used set and for lane padding)
 
     # --- static structure ---
     used_vertex_indices: tuple = struct.field(pytree_node=False)
@@ -134,6 +136,14 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
     part_matrix = np.zeros((J, len(used_vertex_indices)), dtype=np.float32)
     part_matrix[part_assignment[used_vertex_indices], np.arange(len(used_vertex_indices))] = 1.0
 
+    # Lane-padded FULL-V transposed membership for the fused Pallas part-sums
+    # kernel: zero rows for unused vertices and padding make their
+    # contributions vanish, so no used-vertex gather is needed at runtime.
+    # (Statistics of joints-only parts come out zero — they are never read.)
+    v_pad = -(-V // 128) * 128
+    pm_t_pad = np.zeros((J, v_pad), dtype=np.float32)
+    pm_t_pad[:, used_vertex_indices] = part_matrix
+
     center_matrix = np.zeros((J, J), dtype=np.float32)
     for i in range(J):
         js = children_and_self[i]
@@ -198,6 +208,7 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
         J_template_ext=jnp.asarray(J_template_ext, dtype),
         bone_ext=jnp.asarray(bone_ext, dtype),
         default_mesh=jnp.asarray(default_mesh, dtype),
+        pm_t_pad=jnp.asarray(pm_t_pad, dtype),
         used_vertex_indices=tuple(int(i) for i in used_vertex_indices),
         multi_joint_parts=tuple(multi_joint_parts),
         bone_parts=tuple(bone_parts),
@@ -220,6 +231,12 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
 # ---------------------------------------------------------------------------
 
 
+def _pallas_tile() -> int:
+    from ..ops.part_sums_pallas import BATCH_TILE
+
+    return BATCH_TILE
+
+
 def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weights):
     """Per-part weighted sums: raw = sum w t a^T (B, J, 3, 3), s_t = sum w t,
     s_a = sum w a, s_w = sum w. The centered cross-covariance about any centers
@@ -228,6 +245,28 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
     One (J, N) x (N, 9B) membership GEMM does all parts at once — the loop-free
     formulation of /root/reference/src/smplfitter/np/bodyfitter.py:160-184.
     """
+    from ..ops import part_sums_pallas as _psp
+
+    B_t, B_a = target_vertices.shape[0], reference_vertices.shape[0]
+    if (
+        _psp.ENABLED
+        and vertex_weights is None
+        and jax.default_backend() == 'tpu'
+        and B_t % _pallas_tile() == 0
+        and (B_a == B_t or B_a == 1)
+    ):
+        # Fused one-pass kernel: outer products formed in VMEM, contracted on
+        # the MXU immediately — t and a are read from HBM exactly once, with
+        # no used-vertex gather (unused vertices have zero membership).
+        from ..ops.part_sums_pallas import part_sums_fused
+
+        v_pad = plan.pm_t_pad.shape[1]
+        pad = v_pad - target_vertices.shape[1]
+        tTp = jnp.pad(jnp.swapaxes(target_vertices, 1, 2), ((0, 0), (0, 0), (0, pad)))
+        aTp = jnp.pad(jnp.swapaxes(reference_vertices, 1, 2), ((0, 0), (0, 0), (0, pad)))
+        raw, s_t, s_a = part_sums_fused(tTp, aTp, plan.pm_t_pad)
+        return raw, s_t, s_a, plan.part_counts
+
     idx = np.array(plan.used_vertex_indices)
     # Vertex-minor layout: (B, 3, N) keeps the large N dimension in lanes, so
     # the outer-product intermediate is (B, 9, N) (≈1.8x tile padding) instead
