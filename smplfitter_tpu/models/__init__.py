@@ -5,3 +5,4 @@ from .bodyflipper import BodyFlipper
 from .bodyfitter_opt import BodyFitterOpt
 from .handreplacer import HandReplacer
 from .bodyflipper_opt import BodyFlipperOpt
+from .bodyfitter import fit_scale_and_translation

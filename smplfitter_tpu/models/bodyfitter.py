@@ -366,7 +366,7 @@ def fit_global_rotations(
     R_swing = rot_ops.align_unit_vectors(b_ref_n, b_tgt_n)
 
     bone_idx = np.array(plan.bone_parts, dtype=np.int32)
-    H = R_swing @ jnp.swapaxes(A_vert[:, bone_idx], -1, -2)
+    H = rot_ops.matmul3x3(R_swing, A_vert[:, bone_idx], transpose_b=True)
     trH = jnp.trace(H, axis1=-2, axis2=-1)
     bHb = jnp.einsum('bni,bnij,bnj->bn', b_tgt_n, H, b_tgt_n)
     vee = jnp.stack(
@@ -379,7 +379,7 @@ def fit_global_rotations(
     )
     twist_angle = jnp.arctan2(jnp.sum(b_tgt_n * vee, axis=-1), trH - bHb)
     R_twist = rot_ops.rotvec2mat(b_tgt_n * twist_angle[..., None])
-    R_bone = R_twist @ R_swing
+    R_bone = rot_ops.matmul3x3(R_twist, R_swing)
 
     R_concat = jnp.concatenate([R_kabsch, R_bone], axis=1)
     return R_concat[:, np.array(plan.assemble_indices)]
@@ -846,6 +846,8 @@ class BodyFitter:
             np.asarray(src.shapedirs),
             np.asarray(src.kid_shapedir) if enable_kid else None,
             self.n_betas,
+            np.asarray(src.v_template),
+            np.asarray(src.posedirs),
         )
 
     # -- main fit -----------------------------------------------------------

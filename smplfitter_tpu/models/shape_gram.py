@@ -49,11 +49,15 @@ class GramData:
     Lsd: jax.Array  # (J, J, 3, E)   Σ_v w_vj w_vk SD_v
     Ksd: jax.Array  # (J*J*9, E*E)   Σ_v w_vj w_vk SD_v ⊗ SD_v (flattened)
     Msd: jax.Array  # (V, J*3*E)     w_vj SD_v[c,e]  — rhs GEMM operand
+    v_template4: jax.Array  # (V, 4)  template with homogeneous 1 channel
+    posedirs4: jax.Array  # (V, 4, P) pose correctives, zero homogeneous row
+    sd4: jax.Array  # (V, 4, E)      shape dirs (+kid), zero homogeneous row
     n_ext: int = struct.field(pytree_node=False)  # E = n_betas (+1 if kid)
 
 
 def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
                     kid_shapedir: Optional[np.ndarray], n_betas: int,
+                    v_template: np.ndarray, posedirs: np.ndarray,
                     dtype=jnp.float32) -> GramData:
     """Host-side (f64) moment precompute. ``weights`` (V, J), ``shapedirs``
     (V, 3, S); kid column appended when ``kid_shapedir`` is given."""
@@ -63,6 +67,15 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
         SD = np.concatenate([SD, np.asarray(kid_shapedir, np.float64)[:, :, None]], axis=2)
     V, J = w.shape
     E = SD.shape[2]
+
+    # Homogeneous-channel constants: activations come out of their producer
+    # GEMMs already 4-wide ([x y z 1] / [x y z 0]), so no runtime pad/concat
+    # of (B, V, .) tensors is needed for the [R|t] LBS form.
+    v_template4 = np.concatenate([np.asarray(v_template), np.ones((V, 1))], axis=1)
+    posedirs4 = np.concatenate(
+        [np.asarray(posedirs), np.zeros((V, 1, posedirs.shape[2]))], axis=1
+    )
+    sd4 = np.concatenate([SD, np.zeros((V, 1, E))], axis=1)
 
     # Msd[v, (j,c,e)] = w_vj SD_v[c,e]
     Msd = (w[:, :, None, None] * SD[:, None, :, :]).reshape(V, J * 3 * E)
@@ -83,6 +96,9 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
         Lsd=jnp.asarray(Lsd, dtype),
         Ksd=jnp.asarray(Ksd, dtype),
         Msd=jnp.asarray(Msd, dtype),
+        v_template4=jnp.asarray(v_template4, dtype),
+        posedirs4=jnp.asarray(posedirs4, dtype),
+        sd4=jnp.asarray(sd4, dtype),
         n_ext=E,
     )
 
@@ -149,21 +165,19 @@ def fit_shape_gram(
     T_j = P_j - jnp.einsum('bjac,jce->bjae', glob_rotmats, JTE, precision=_HI)
 
     # Per-vertex position at beta=0: LBS in homogeneous form. The per-joint
-    # [R | t] (3, 4) matrices are blended with ONE skinning GEMM and applied to
-    # [v_posed; 1] — no slicing the blend back apart (a slice here copies 2 GB
-    # at batch 4096).
+    # [R | t] (3, 4) matrices are blended with ONE skinning GEMM; the posed
+    # template comes out of its producer GEMM already as [x y z 1] (the
+    # homogeneous channel is baked into the constants), so nothing is padded
+    # or sliced at (B, V, .) scale.
     rot_params = rel_rotmats[:, 1:].reshape(batch, (J - 1) * 9)
-    v_posed = bm.v_template + jnp.einsum(
-        'vcp,bp->bvc', bm.posedirs, rot_params, precision=_HI
+    homog = gram.v_template4 + jnp.einsum(
+        'vcp,bp->bvc', gram.posedirs4, rot_params, precision=_HI
     )
     per_joint = jnp.concatenate(
         [glob_rotmats, t_j[..., None]], axis=3
     ).reshape(batch, J, 12)
     blended = jnp.einsum('vj,bjx->bvx', bm.weights, per_joint, precision=_HI)
     blended = blended.reshape(batch, -1, 3, 4)
-    homog = jnp.concatenate(
-        [v_posed, jnp.ones((batch, v_posed.shape[1], 1), dtype)], axis=2
-    )
     pos = jnp.einsum('bvac,bvc->bva', blended, homog, precision=_HI)
     b = target_vertices - pos  # (B, V, 3)
 
@@ -318,9 +332,9 @@ def fit_shape_gram(
         )
     if 'vertices' in requested_keys:
         # vertices = pos + jac·x + trans, with jac·x = R̄ (SD x) + skin(T x).
-        # R̄ u rides the homogeneous blend with a zero homogeneous coordinate.
-        u = jnp.einsum('vce,be->bvc', _sd_ext(bm, plan), full_x, precision=_HI)
-        u_h = jnp.concatenate([u, jnp.zeros((batch, u.shape[1], 1), dtype)], axis=2)
+        # R̄ u rides the homogeneous blend: sd4's zero homogeneous row makes u
+        # come out of its GEMM as [x y z 0].
+        u_h = jnp.einsum('vce,be->bvc', gram.sd4, full_x, precision=_HI)
         tx = jnp.einsum('bjae,be->bja', T_j, full_x, precision=_HI)
         result['vertices'] = (
             pos

@@ -27,7 +27,9 @@ __all__ = [
     'proj_SO3_svd',
     'proj_SO3_analytic',
     'kabsch',
+    'matmul3x3',
     'align_unit_vectors',
+    'project_onto_plane',
     'rot6d_to_rotmat',
     'rotmat_to_rot6d',
 ]
@@ -435,6 +437,28 @@ def proj_SO3(A: jax.Array) -> jax.Array:
     return proj_SO3_scalar(A)
 
 
+def matmul3x3(a: jax.Array, b: jax.Array, transpose_b: bool = False) -> jax.Array:
+    """Componentwise (..., 3, 3) @ (..., 3, 3): avoids dot_general data
+    formatting on matrix-shaped tiles (slow relayouts on TPU for tiny matmuls)."""
+    af = a.reshape(*a.shape[:-2], 9)
+    bf = b.reshape(*b.shape[:-2], 9)
+    A = [af[..., i] for i in range(9)]
+    B = [bf[..., i] for i in range(9)]
+
+    def ai(i, k):
+        return A[i * 3 + k]
+
+    def bi(k, j):
+        return B[j * 3 + k] if transpose_b else B[k * 3 + j]
+
+    entries = [
+        ai(i, 0) * bi(0, j) + ai(i, 1) * bi(1, j) + ai(i, 2) * bi(2, j)
+        for i in range(3)
+        for j in range(3)
+    ]
+    return jnp.stack(entries, axis=-1).reshape(*a.shape[:-2], 3, 3)
+
+
 def kabsch(X: jax.Array, Y: jax.Array) -> jax.Array:
     """Optimal rotation aligning point sets: proj_SO3(X^T Y)."""
     return proj_SO3(jnp.swapaxes(X, -1, -2) @ Y)
@@ -453,6 +477,12 @@ def align_unit_vectors(a: jax.Array, b: jax.Array) -> jax.Array:
     angle = jnp.arctan2(sin_a, dot)
     rotvec = divide_no_nan(cross * angle, sin_a)
     return rotvec2mat(rotvec)
+
+
+def project_onto_plane(v: jax.Array, n_hat: jax.Array) -> jax.Array:
+    """Component of ``v`` perpendicular to the unit vector ``n_hat`` (broadcasts)."""
+    parallel = jnp.sum(v * n_hat, axis=-1, keepdims=True) * n_hat
+    return v - parallel
 
 
 def rot6d_to_rotmat(rot6d: jax.Array) -> jax.Array:
