@@ -48,13 +48,14 @@ class TestShardedFit:
             tv, tj, num_iter=2, beta_regularizer=0.0,
             requested_keys=('pose_rotvecs', 'shape_betas'),
         )
+        # Sharding changes f32 reduction order slightly.
         np.testing.assert_allclose(
             np.asarray(sharded['shape_betas']),
             np.asarray(plain['shape_betas']),
-            atol=1e-4,
+            atol=5e-4,
         )
         np.testing.assert_allclose(
-            np.asarray(sharded['trans']), np.asarray(plain['trans']), atol=1e-4
+            np.asarray(sharded['trans']), np.asarray(plain['trans']), atol=5e-4
         )
 
     def test_share_beta_cross_device(self, smpl_model, mesh):
