@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from ..ops import lbs_kernels
 from ..ops import rotation as rot_ops
 from ..ops.lstsq import lstsq, lstsq_partial_share
 from ..ops.precision import matmul_precision
@@ -71,6 +72,7 @@ class FitterPlan:
     default_mesh: jax.Array  # (V, 3) T-pose vertices
     pm_t_pad: jax.Array  # (J, V_pad) FULL-V part membership, vertex-minor
     # (zero columns for vertices outside the used set and for lane padding)
+    default_mesh_vm: jax.Array  # (3, V_pad, 1) T-pose mesh, component-major
 
     # --- static structure ---
     used_vertex_indices: tuple = struct.field(pytree_node=False)
@@ -140,7 +142,7 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
     # kernel: zero rows for unused vertices and padding make their
     # contributions vanish, so no used-vertex gather is needed at runtime.
     # (Statistics of joints-only parts come out zero — they are never read.)
-    v_pad = -(-V // 128) * 128
+    v_pad = -(-V // lbs_kernels.VC) * lbs_kernels.VC
     pm_t_pad = np.zeros((J, v_pad), dtype=np.float32)
     pm_t_pad[:, used_vertex_indices] = part_matrix
 
@@ -209,6 +211,10 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
         bone_ext=jnp.asarray(bone_ext, dtype),
         default_mesh=jnp.asarray(default_mesh, dtype),
         pm_t_pad=jnp.asarray(pm_t_pad, dtype),
+        default_mesh_vm=jnp.asarray(
+            np.pad(default_mesh.T[:, :, None], ((0, 0), (0, v_pad - V), (0, 0))),
+            dtype,
+        ),
         used_vertex_indices=tuple(int(i) for i in used_vertex_indices),
         multi_joint_parts=tuple(multi_joint_parts),
         bone_parts=tuple(bone_parts),
@@ -231,13 +237,8 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
 # ---------------------------------------------------------------------------
 
 
-def _pallas_tile() -> int:
-    from ..ops.part_sums_pallas import BATCH_TILE
-
-    return BATCH_TILE
-
-
-def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weights):
+def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weights,
+              target_vm=None, reference_vm=None):
     """Per-part weighted sums: raw = sum w t a^T (B, J, 3, 3), s_t = sum w t,
     s_a = sum w a, s_w = sum w. The centered cross-covariance about any centers
     (c_t, c_a) follows as ``raw - s_t c_a^T - c_t s_a^T + s_w c_t c_a^T``.
@@ -245,27 +246,32 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
     One (J, N) x (N, 9B) membership GEMM does all parts at once — the loop-free
     formulation of /root/reference/src/smplfitter/np/bodyfitter.py:160-184.
     """
-    from ..ops import part_sums_pallas as _psp
-
-    B_t, B_a = target_vertices.shape[0], reference_vertices.shape[0]
-    if (
-        _psp.ENABLED
-        and vertex_weights is None
-        and jax.default_backend() == 'tpu'
-        and B_t % _pallas_tile() == 0
-        and (B_a == B_t or B_a == 1)
-    ):
-        # Fused one-pass kernel: outer products formed in VMEM, contracted on
-        # the MXU immediately — t and a are read from HBM exactly once, with
-        # no used-vertex gather (unused vertices have zero membership).
-        from ..ops.part_sums_pallas import part_sums_fused
-
+    B_t = target_vm.shape[2] if target_vertices is None else target_vertices.shape[0]
+    del target_vm  # recomputed below from target_vertices (CSE dedupes)
+    if reference_vertices is not None:
+        B_a = reference_vertices.shape[0]
+    else:
+        B_a = reference_vm.shape[2]
+    k_mode = lbs_kernels.kernel_mode(B_t)
+    if vertex_weights is None and k_mode is not None and (B_a == B_t or B_a == 1):
+        # Fused vertex-major kernel: t and a are read from HBM exactly once,
+        # outer products formed in VMEM and contracted on the MXU. Unused
+        # vertices have zero membership, so no gather is needed.
         v_pad = plan.pm_t_pad.shape[1]
-        pad = v_pad - target_vertices.shape[1]
-        tTp = jnp.pad(jnp.swapaxes(target_vertices, 1, 2), ((0, 0), (0, 0), (0, pad)))
-        aTp = jnp.pad(jnp.swapaxes(reference_vertices, 1, 2), ((0, 0), (0, 0), (0, pad)))
-        raw, s_t, s_a = part_sums_fused(tTp, aTp, plan.pm_t_pad)
+        target_vm = lbs_kernels.to_vertex_major(target_vertices, v_pad)
+        if reference_vm is None:
+            reference_vm = lbs_kernels.to_vertex_major(reference_vertices, v_pad)
+        raw, s_t, s_a = lbs_kernels.part_sums_vm(
+            target_vm, reference_vm, plan.pm_t_pad,
+            interpret=k_mode == 'interpret',
+        )
         return raw, s_t, s_a, plan.part_counts
+
+    if target_vertices is None or reference_vertices is None:
+        raise ValueError(
+            'vertex-major-only inputs require the fused kernels '
+            '(TPU backend or FORCE_INTERPRET, batch divisible by 8)'
+        )
 
     idx = np.array(plan.used_vertex_indices)
     # Vertex-minor layout: (B, 3, N) keeps the large N dimension in lanes, so
@@ -305,6 +311,14 @@ def _centered_cov(raw, s_t, s_a, s_w, c_t, c_a):
 # ---------------------------------------------------------------------------
 
 
+def _regress_joints(bm: BodyModelData, vertices=None, vertices_vm=None):
+    if vertices is not None:
+        return bm.J_regressor_post_lbs @ vertices
+    return jnp.einsum(
+        'jv,cvb->bjc', bm.J_regressor_post_lbs, vertices_vm[:, : bm.num_vertices]
+    )
+
+
 def fit_global_rotations(
     bm: BodyModelData,
     plan: FitterPlan,
@@ -314,6 +328,7 @@ def fit_global_rotations(
     reference_joints,
     vertex_weights,
     joint_weights,
+    reference_vertices_vm=None,
 ):
     """Per-part global orientations via bucketed Kabsch / swing+twist.
 
@@ -323,12 +338,15 @@ def fit_global_rotations(
     ``atan2(b . vee(H), tr(H) - b^T H b)``.
     """
     if target_joints is None or reference_joints is None:
-        target_joints = bm.J_regressor_post_lbs @ target_vertices
-        reference_joints = bm.J_regressor_post_lbs @ reference_vertices
+        target_joints = _regress_joints(bm, target_vertices)
+        reference_joints = _regress_joints(bm, reference_vertices, reference_vertices_vm)
 
     B = target_vertices.shape[0]
 
-    raw, s_t, s_a, s_w = part_sums(plan, target_vertices, reference_vertices, vertex_weights)
+    raw, s_t, s_a, s_w = part_sums(
+        plan, target_vertices, reference_vertices, vertex_weights,
+        reference_vm=reference_vertices_vm,
+    )
     mt = plan.center_matrix @ target_joints  # (B, J, 3)
     ma = plan.center_matrix @ reference_joints  # (B_ref, J, 3)
     A_vert = _centered_cov(raw, s_t, s_a, s_w, mt, ma)  # (B, J, 3, 3)
@@ -399,6 +417,7 @@ def fit_global_rotations_dependent(
     scale_corr,
     trans,
     kid_factor,
+    reference_vertices_vm=None,
 ):
     """Final rotation adjustment: refine parts sequentially down the tree,
     re-anchoring each at its recomputed proximal joint to absorb bone-length
@@ -410,8 +429,8 @@ def fit_global_rotations_dependent(
     """
     true_reference_joints = reference_joints
     if target_joints is None or reference_joints is None:
-        target_joints = bm.J_regressor_post_lbs @ target_vertices
-        reference_joints = bm.J_regressor_post_lbs @ reference_vertices
+        target_joints = _regress_joints(bm, target_vertices)
+        reference_joints = _regress_joints(bm, reference_vertices, reference_vertices_vm)
     if true_reference_joints is None:
         true_reference_joints = reference_joints
 
@@ -427,7 +446,10 @@ def fit_global_rotations_dependent(
     j_parent = jnp.concatenate([jnp.zeros_like(j[:, :1]), j[:, parent_indices]], axis=1)
     bones = j - j_parent
 
-    raw, s_t, s_a, s_w = part_sums(plan, target_vertices, reference_vertices, vertex_weights)
+    raw, s_t, s_a, s_w = part_sums(
+        plan, target_vertices, reference_vertices, vertex_weights,
+        reference_vm=reference_vertices_vm,
+    )
 
     batch = target_vertices.shape[0]
     num_joints = bm.num_joints
@@ -920,6 +942,15 @@ class BodyFitter:
         target_vertices, target_joints, target_mean = _center_targets(
             target_vertices, target_joints
         )
+        # With the fused vertex-major kernels active, the shape solve hands its
+        # reconstructed reference meshes to the rotation fits in vertex-major
+        # layout — no (B, V, 3) transposes between stages.
+        use_vm = (
+            lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
+            and vertex_weights is None
+            and not (scale_target or scale_fit)
+        )
+        recon_key = 'vertices_vm' if use_vm else 'vertices'
 
         if initial_pose_rotvecs is not None or initial_shape_betas is not None:
             initial_forw = forward(
@@ -947,10 +978,11 @@ class BodyFitter:
                 plan,
                 target_vertices,
                 target_joints,
-                plan.default_mesh[None],
+                None if use_vm else plan.default_mesh[None],
                 bm.J_template[None] if target_joints is not None else None,
                 vertex_weights,
                 joint_weights,
+                reference_vertices_vm=plan.default_mesh_vm if use_vm else None,
             )
 
         for _ in range(num_iter - 1):
@@ -971,9 +1003,9 @@ class BodyFitter:
                 scale_fit=False,
                 beta_regularizer_reference=initial_shape_betas,
                 kid_regularizer_reference=initial_kid_factor,
-                requested_keys=('vertices', 'joints')
+                requested_keys=(recon_key, 'joints')
                 if target_joints is not None
-                else ('vertices',),
+                else (recon_key,),
                 gram=self.gram,
             )
             glob_rotmats = (
@@ -982,10 +1014,11 @@ class BodyFitter:
                     plan,
                     target_vertices,
                     target_joints,
-                    result['vertices'],
+                    result.get('vertices'),
                     result['joints'] if target_joints is not None else None,
                     vertex_weights,
                     joint_weights,
+                    reference_vertices_vm=result.get('vertices_vm'),
                 )
                 @ glob_rotmats
             )
@@ -1007,14 +1040,15 @@ class BodyFitter:
             scale_fit,
             beta_regularizer_reference=initial_shape_betas,
             kid_regularizer_reference=initial_kid_factor,
-            requested_keys=('vertices', 'joints')
+            requested_keys=(recon_key, 'joints')
             if (target_joints is not None or final_adjust_rots)
-            else ('vertices',),
+            else (recon_key,),
             gram=self.gram,
         )
 
         if final_adjust_rots:
-            ref_verts = result['vertices']
+            ref_verts = result.get('vertices')
+            ref_verts_vm = result.get('vertices_vm')
             ref_joints = result['joints']
             ref_trans = result['trans']
             if scale_target:
@@ -1045,6 +1079,7 @@ class BodyFitter:
                     ref_verts, ref_joints, vertex_weights, joint_weights,
                     glob_rotmats, result['shape_betas'], None, ref_trans,
                     result['kid_factor'],
+                    reference_vertices_vm=ref_verts_vm,
                 )
 
         if 'joints' in requested_keys or 'vertices' in requested_keys:
@@ -1076,6 +1111,7 @@ class BodyFitter:
             result.pop('joints', None)
         if 'vertices' not in requested_keys:
             result.pop('vertices', None)
+        result.pop('vertices_vm', None)
         return {k: v for k, v in result.items() if v is not None}
 
     # -- known-pose / known-shape -------------------------------------------

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from ..ops import lbs_kernels
 from ..ops.lstsq import cholesky_solve, solve_spd_unrolled
 
 _HI = jax.lax.Precision.HIGHEST
@@ -52,6 +53,11 @@ class GramData:
     v_template4: jax.Array  # (V, 4)  template with homogeneous 1 channel
     posedirs4: jax.Array  # (V, 4, P) pose correctives, zero homogeneous row
     sd4: jax.Array  # (V, 4, E)      shape dirs (+kid), zero homogeneous row
+    # Padded vertex-major operands for the fused Pallas kernels:
+    weights_pad: jax.Array  # (V_pad, J)
+    consts_pose: jax.Array  # (4, V_pad, P207+1): [posedirs4 | v_template4]
+    consts_full: jax.Array  # (4, V_pad, P207+1+E): [... | sd4]
+    msd_pad: jax.Array  # (V_pad, J*3*E)
     n_ext: int = struct.field(pytree_node=False)  # E = n_betas (+1 if kid)
 
 
@@ -77,8 +83,27 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
     )
     sd4 = np.concatenate([SD, np.zeros((V, 1, E))], axis=1)
 
+    # Vertex-major padded kernel operands (pad rows are zero => padding
+    # vertices contribute nothing anywhere).
+    vc = lbs_kernels.VC
+    v_pad = -(-V // vc) * vc
+    n_pose = posedirs4.shape[2]
+
+    def pad_rows(x):
+        return np.concatenate([x, np.zeros((v_pad - V,) + x.shape[1:])], axis=0)
+
+    weights_pad = pad_rows(w)
+    # Component-major (4, V_pad, F) for the kernels' per-channel 2D dots.
+    consts_pose = pad_rows(
+        np.concatenate([posedirs4, v_template4[:, :, None]], axis=2)
+    ).transpose(1, 0, 2)
+    consts_full = pad_rows(
+        np.concatenate([posedirs4, v_template4[:, :, None], sd4], axis=2)
+    ).transpose(1, 0, 2)
+
     # Msd[v, (j,c,e)] = w_vj SD_v[c,e]
     Msd = (w[:, :, None, None] * SD[:, None, :, :]).reshape(V, J * 3 * E)
+    msd_pad = pad_rows(Msd)
     # Ksd[(j,c,e),(k,d,f)] = Σ_v Msd Msdᵀ, then regrouped to (j,k,c,e,d,f).
     K = Msd.T @ Msd  # (J3E, J3E)
     K = K.reshape(J, 3, E, J, 3, E).transpose(0, 3, 1, 2, 4, 5)  # (J,J,3,E,3,E)
@@ -99,6 +124,10 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
         v_template4=jnp.asarray(v_template4, dtype),
         posedirs4=jnp.asarray(posedirs4, dtype),
         sd4=jnp.asarray(sd4, dtype),
+        weights_pad=jnp.asarray(weights_pad, dtype),
+        consts_pose=jnp.asarray(consts_pose, dtype),
+        consts_full=jnp.asarray(consts_full, dtype),
+        msd_pad=jnp.asarray(msd_pad, dtype),
         n_ext=E,
     )
 
@@ -164,22 +193,43 @@ def fit_shape_gram(
     t_j = p_j - jnp.einsum('bjac,jc->bja', glob_rotmats, jte, precision=_HI)
     T_j = P_j - jnp.einsum('bjac,jce->bjae', glob_rotmats, JTE, precision=_HI)
 
-    # Per-vertex position at beta=0: LBS in homogeneous form. The per-joint
-    # [R | t] (3, 4) matrices are blended with ONE skinning GEMM; the posed
-    # template comes out of its producer GEMM already as [x y z 1] (the
-    # homogeneous channel is baked into the constants), so nothing is padded
-    # or sliced at (B, V, .) scale.
+    scale_col = scale_target or scale_fit
+    # Fused-kernel path: all per-vertex work (extended LBS, residuals, moment
+    # reductions) runs inside vertex-major Pallas kernels — no (B, V, .) HBM
+    # intermediates. The scale column needs extra per-vertex moments the kernel
+    # doesn't emit yet, so scale configs use the XLA formulation below.
+    k_mode = lbs_kernels.kernel_mode(batch) if not scale_col else None
+    interp = k_mode == 'interpret'
     rot_params = rel_rotmats[:, 1:].reshape(batch, (J - 1) * 9)
-    homog = gram.v_template4 + jnp.einsum(
-        'vcp,bp->bvc', gram.posedirs4, rot_params, precision=_HI
-    )
-    per_joint = jnp.concatenate(
-        [glob_rotmats, t_j[..., None]], axis=3
-    ).reshape(batch, J, 12)
-    blended = jnp.einsum('vj,bjx->bvx', bm.weights, per_joint, precision=_HI)
-    blended = blended.reshape(batch, -1, 3, 4)
-    pos = jnp.einsum('bvac,bvc->bva', blended, homog, precision=_HI)
-    b = target_vertices - pos  # (B, V, 3)
+
+    if k_mode is not None:
+        v_pad = gram.weights_pad.shape[0]
+        tgt_vm = lbs_kernels.to_vertex_major(target_vertices, v_pad)
+        # (B, J, 3, 4) -> (12=(a,c4), J, B)
+        pj_cm = jnp.transpose(
+            jnp.concatenate([glob_rotmats, t_j[..., None]], axis=3), (2, 3, 1, 0)
+        ).reshape(12, J, batch)
+        feat_cols = jnp.concatenate(
+            [rot_params, jnp.ones((batch, 1), dtype)], axis=1
+        ).T
+        Yk, yk = lbs_kernels.rhs_moments(
+            tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
+            gram.msd_pad, interpret=interp,
+        )
+    else:
+        # Per-vertex position at beta=0: LBS in homogeneous form. The posed
+        # template comes out of its producer GEMM already as [x y z 1] (the
+        # homogeneous channel is baked into the constants).
+        homog = gram.v_template4 + jnp.einsum(
+            'vcp,bp->bvc', gram.posedirs4, rot_params, precision=_HI
+        )
+        per_joint = jnp.concatenate(
+            [glob_rotmats, t_j[..., None]], axis=3
+        ).reshape(batch, J, 12)
+        blended = jnp.einsum('vj,bjx->bvx', bm.weights, per_joint, precision=_HI)
+        blended = blended.reshape(batch, -1, 3, 4)
+        pos = jnp.einsum('bvac,bvc->bva', blended, homog, precision=_HI)
+        b = target_vertices - pos  # (B, V, 3)
 
     # --- Gramian of the vertex block through the joint-pair moments ---
     X = jnp.einsum('bjac,bkad->bjkcd', glob_rotmats, glob_rotmats, precision=_HI)
@@ -196,19 +246,31 @@ def fit_shape_gram(
         jnp.einsum('bjac,jce->bae', glob_rotmats, gram.sd1, precision=_HI)
         + jnp.einsum('j,bjae->bae', gram.W1, T_j, precision=_HI)
     )  # (B, 3, E)
-    Sb = jnp.sum(b, axis=1)  # (B, 3)
     W = jnp.full((batch,), float(bm.num_vertices), dtype)
 
-    # --- rhs via the single large moment GEMM ---
-    def jac_dot(field):
-        """Σ_v jac_vᵀ field_v  -> (B, E)."""
-        Y = _vertex_moment_rhs(gram, field)  # (B, J, 3, E, 3)
-        partA = jnp.einsum('bjac,bjcea->be', glob_rotmats, Y, precision=_HI)
-        y = jnp.einsum('vj,bva->bja', bm.weights, field, precision=_HI)
-        partB = jnp.einsum('bjae,bja->be', T_j, y, precision=_HI)
-        return partA + partB, y
+    if k_mode is not None:
+        # Combine the kernel's component-major moments with the rotations.
+        # Σ_v b_v = Σ_j y_j (skinning weight rows sum to 1).
+        Sb = jnp.sum(yk, axis=2).T  # (B, 3)
+        partA = jnp.einsum(
+            'bjac,abjce->be', glob_rotmats, Yk.reshape(3, batch, J, 3, E),
+            precision=_HI,
+        )
+        partB = jnp.einsum('bjae,abj->be', T_j, yk, precision=_HI)
+        r = partA + partB
+    else:
+        Sb = jnp.sum(b, axis=1)  # (B, 3)
 
-    r, y_b = jac_dot(b)
+        # --- rhs via the single large moment GEMM ---
+        def jac_dot(field):
+            """Σ_v jac_vᵀ field_v  -> (B, E)."""
+            Y = _vertex_moment_rhs(gram, field)  # (B, J, 3, E, 3)
+            partA = jnp.einsum('bjac,bjcea->be', glob_rotmats, Y, precision=_HI)
+            y = jnp.einsum('vj,bva->bja', bm.weights, field, precision=_HI)
+            partB = jnp.einsum('bjae,bja->be', T_j, y, precision=_HI)
+            return partA + partB, y
+
+        r, y_b = jac_dot(b)
 
     # --- joints block (small, direct) ---
     if target_joints is not None:
@@ -221,8 +283,7 @@ def fit_shape_gram(
         Sb = Sb + jnp.sum(bJ * jw[..., None], axis=1)
         W = W + jnp.sum(jw, axis=1)
 
-    # --- optional scale column ---
-    scale_col = scale_target or scale_fit
+    # --- optional scale column (XLA path only; see k_mode gate above) ---
     if scale_col:
         if scale_target:
             col_vert = -target_vertices
@@ -330,18 +391,44 @@ def fit_shape_gram(
             + jnp.einsum('bjae,be->bja', P_j, full_x, precision=_HI)
             + new_trans[:, None]
         )
-    if 'vertices' in requested_keys:
-        # vertices = pos + jac·x + trans, with jac·x = R̄ (SD x) + skin(T x).
-        # R̄ u rides the homogeneous blend: sd4's zero homogeneous row makes u
-        # come out of its GEMM as [x y z 0].
-        u_h = jnp.einsum('vce,be->bvc', gram.sd4, full_x, precision=_HI)
-        tx = jnp.einsum('bjae,be->bja', T_j, full_x, precision=_HI)
-        result['vertices'] = (
-            pos
-            + jnp.einsum('bvac,bvc->bva', blended, u_h, precision=_HI)
-            + jnp.einsum('vj,bja->bva', bm.weights, tx, precision=_HI)
-            + new_trans[:, None]
-        )
+    if 'vertices' in requested_keys or 'vertices_vm' in requested_keys:
+        if k_mode is not None:
+            # One extended-LBS kernel pass reconstructs pos + jac·x + trans:
+            # the beta step folds into the homogeneous features [f; 1; x], the
+            # joint translation absorbs T_j x and the global translation.
+            t2 = (
+                t_j
+                + jnp.einsum('bjae,be->bja', T_j, full_x, precision=_HI)
+                + new_trans[:, None]
+            )
+            pj2_cm = jnp.transpose(
+                jnp.concatenate([glob_rotmats, t2[..., None]], axis=3), (2, 3, 1, 0)
+            ).reshape(12, J, batch)
+            f2_cols = jnp.concatenate(
+                [rot_params, jnp.ones((batch, 1), dtype), full_x], axis=1
+            ).T
+            recon_vm = lbs_kernels.lbs_points(
+                pj2_cm, f2_cols, gram.weights_pad, gram.consts_full,
+                interpret=interp,
+            )
+            if 'vertices_vm' in requested_keys:
+                result['vertices_vm'] = recon_vm
+            if 'vertices' in requested_keys:
+                result['vertices'] = lbs_kernels.from_vertex_major(
+                    recon_vm, bm.num_vertices
+                )
+        else:
+            # vertices = pos + jac·x + trans, jac·x = R̄ (SD x) + skin(T x).
+            # R̄ u rides the homogeneous blend: sd4's zero homogeneous row
+            # makes u come out of its GEMM as [x y z 0].
+            u_h = jnp.einsum('vce,be->bvc', gram.sd4, full_x, precision=_HI)
+            tx = jnp.einsum('bjae,be->bja', T_j, full_x, precision=_HI)
+            result['vertices'] = (
+                pos
+                + jnp.einsum('bvac,bvc->bva', blended, u_h, precision=_HI)
+                + jnp.einsum('vj,bja->bva', bm.weights, tx, precision=_HI)
+                + new_trans[:, None]
+            )
     return result
 
 

@@ -5,24 +5,106 @@ from __future__ import annotations
 import numpy as np
 
 
-class TestPartSumsFused:
+class TestPartSumsVm:
     def test_matches_einsum(self):
         import jax.numpy as jnp
 
-        from smplfitter_tpu.ops.part_sums_pallas import part_sums_fused
+        from smplfitter_tpu.ops import lbs_kernels as K
 
         rng = np.random.default_rng(0)
-        B, N, J = 16, 256, 24
-        pm = np.zeros((J, N), np.float32)
-        pm[rng.integers(0, J, N), np.arange(N)] = 1.0
+        B, V, J = 16, 256, 24
+        pm = np.zeros((J, V), np.float32)
+        pm[rng.integers(0, J, V), np.arange(V)] = 1.0
+        t = rng.normal(size=(B, V, 3)).astype(np.float32)
+        t_vm = K.to_vertex_major(jnp.asarray(t), V)
         for Ba in (1, B):
-            tT = jnp.asarray(rng.normal(size=(B, 3, N)).astype(np.float32))
-            aT = jnp.asarray(rng.normal(size=(Ba, 3, N)).astype(np.float32))
-            raw, st, sa = part_sums_fused(tT, aT, jnp.asarray(pm), interpret=True)
-            a_full = np.broadcast_to(np.asarray(aT), (B, 3, N))
-            raw_ref = np.einsum('jn,bcn,bdn->bjcd', pm, np.asarray(tT), a_full)
-            st_ref = np.einsum('jn,bcn->bjc', pm, np.asarray(tT))
-            sa_ref = np.einsum('jn,bcn->bjc', pm, np.asarray(aT))
+            a = rng.normal(size=(Ba, V, 3)).astype(np.float32)
+            a_vm = K.to_vertex_major(jnp.asarray(a), V)
+            raw, st, sa = K.part_sums_vm(t_vm, a_vm, jnp.asarray(pm), interpret=True)
+            a_full = np.broadcast_to(a, (B, V, 3))
+            raw_ref = np.einsum('jv,bvc,bvd->bjcd', pm, t, a_full)
+            st_ref = np.einsum('jv,bvc->bjc', pm, t)
+            sa_ref = np.einsum('jv,bvc->bjc', pm, a)
             np.testing.assert_allclose(np.asarray(raw), raw_ref, atol=1e-4)
             np.testing.assert_allclose(np.asarray(st), st_ref, atol=1e-5)
             np.testing.assert_allclose(np.asarray(sa), sa_ref, atol=1e-5)
+
+
+class TestLbsKernels:
+    def _setup(self, seed=1):
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        rng = np.random.default_rng(seed)
+        B, V, J, F, P = 16, 512, 24, 20, 33
+        tgt = rng.normal(size=(B, V, 3)).astype(np.float32)
+        pj = rng.normal(size=(3, 4, J, B)).astype(np.float32)  # (a, c4, j, b)
+        feat = rng.normal(size=(F, B)).astype(np.float32)
+        wts = rng.uniform(0, 1, size=(V, J)).astype(np.float32)
+        consts = rng.normal(size=(4, V, F)).astype(np.float32)
+        msd = rng.normal(size=(V, P)).astype(np.float32)
+        homog = np.einsum('cvf,fb->vcb', consts, feat)  # (V, 4, B)
+        blended = np.einsum('vj,acjb->vacb', wts, pj)  # (V, 3, 4, B)
+        pos = np.einsum('vacb,vcb->avb', blended, homog)  # (3, V, B)
+        return K, jnp, dict(
+            B=B, V=V, J=J, tgt=tgt, pj=pj, feat=feat, wts=wts, consts=consts,
+            msd=msd, pos=pos,
+        )
+
+    def test_rhs_moments(self):
+        K, jnp, d = self._setup()
+        tgt_vm = K.to_vertex_major(jnp.asarray(d['tgt']), d['V'])
+        pj_cm = jnp.asarray(d['pj'].reshape(12, d['J'], d['B']))
+        Y, y = K.rhs_moments(
+            tgt_vm, pj_cm, jnp.asarray(d['feat']), jnp.asarray(d['wts']),
+            jnp.asarray(d['consts']), jnp.asarray(d['msd']), interpret=True,
+        )
+        b = d['tgt'].transpose(2, 1, 0) - d['pos']  # (3, V, B)
+        Y_ref = np.einsum('avb,vp->abp', b, d['msd'])
+        y_ref = np.einsum('avb,vj->abj', b, d['wts'])
+        np.testing.assert_allclose(np.asarray(Y), Y_ref, rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-3)
+
+    def test_lbs_points(self):
+        K, jnp, d = self._setup(seed=2)
+        pj_cm = jnp.asarray(d['pj'].reshape(12, d['J'], d['B']))
+        pts = K.lbs_points(
+            pj_cm, jnp.asarray(d['feat']), jnp.asarray(d['wts']),
+            jnp.asarray(d['consts']), interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(pts), d['pos'], rtol=2e-4, atol=2e-3)
+
+
+class TestForcedKernelFit:
+    def test_full_fit_with_forced_kernels(self, smpl_model):
+        """End-to-end fit with the component-major kernel path forced on CPU
+        (interpret mode) — must match the XLA path."""
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+
+        fitter = BodyFitter(smpl_model)
+        rng = np.random.default_rng(2)
+        pose = rng.normal(0, 0.1, (8, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (8, 10)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        kwargs = dict(num_iter=2, beta_regularizer=0.0,
+                      requested_keys=['pose_rotvecs', 'shape_betas', 'trans'])
+        plain = fitter.fit(res['vertices'], res['joints'], **kwargs)
+
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            kernel = fitter.fit(res['vertices'], res['joints'], **kwargs)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        np.testing.assert_allclose(
+            np.asarray(kernel['shape_betas']), np.asarray(plain['shape_betas']),
+            atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(kernel['trans']), np.asarray(plain['trans']), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(kernel['pose_rotvecs']), np.asarray(plain['pose_rotvecs']),
+            atol=5e-3,
+        )
