@@ -114,6 +114,70 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    if os.getenv('BENCH_SECONDARY', '1') == '1':
+        secondary(jax, smplfitter_tpu, models_dir, rng)
+
+
+def secondary(jax, smplfitter_tpu, models_dir, rng) -> None:
+    """Secondary reference configs (reported on stderr):
+    - batch 16384 fit on a 1024-vertex subset (reference: 440 ms/batch on 3090)
+    - forward pass with vertices (reference PT/GPU: 64k/s at batch 64).
+    """
+    import time
+
+    import numpy as np
+
+    # Large-batch subset fit.
+    bm_sub = smplfitter_tpu.BodyModel(
+        'smpl', 'neutral', model_root=models_dir + '/smpl', vertex_subset_size=1024
+    )
+    fitter_sub = smplfitter_tpu.BodyFitter(bm_sub)
+    B2 = 16384
+    fwd_sub = jax.jit(lambda p, b: bm_sub(pose_rotvecs=p, shape_betas=b))
+    subsets = []
+    for _ in range(4):
+        pose = rng.normal(0, 0.3, (B2, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (B2, 10)).astype(np.float32)
+        res = fwd_sub(pose, betas)
+        subsets.append((res['vertices'], res['joints']))
+    jax.block_until_ready(subsets)
+    fit_sub = jax.jit(
+        lambda tv, tj: fitter_sub.fit(
+            tv, tj, num_iter=NUM_ITER, beta_regularizer=1.0, final_adjust_rots=True,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+        )
+    )
+    jax.block_until_ready(fit_sub(*subsets[0]))
+    t0 = time.perf_counter()
+    outs = [fit_sub(tv, tj) for tv, tj in subsets]
+    jax.block_until_ready(outs)
+    wall = (time.perf_counter() - t0) / len(subsets)
+    print(
+        f'# secondary: fit b{B2} v1024-subset: {wall * 1e3:.1f} ms/batch '
+        f'({B2 / wall:,.0f} fits/s; reference 3090: 440 ms/batch)',
+        file=sys.stderr,
+    )
+
+    # Forward throughput (with vertices), full model, batch 4096.
+    bm = smplfitter_tpu.BodyModel('smpl', 'neutral', model_root=models_dir + '/smpl')
+    fwd = jax.jit(lambda p, b: bm(pose_rotvecs=p, shape_betas=b))
+    ins = []
+    for _ in range(4):
+        pose = jax.numpy.asarray(rng.normal(0, 0.3, (BATCH, 72)).astype(np.float32))
+        betas = jax.numpy.asarray(rng.normal(0, 1, (BATCH, 10)).astype(np.float32))
+        ins.append((pose, betas))
+    jax.block_until_ready(ins)
+    jax.block_until_ready(fwd(*ins[0]))
+    t0 = time.perf_counter()
+    outs = [fwd(p, b) for p, b in ins]
+    jax.block_until_ready(outs)
+    wall = (time.perf_counter() - t0) / len(ins)
+    print(
+        f'# secondary: forward(vertices) b{BATCH}: {wall * 1e3:.2f} ms/batch '
+        f'({BATCH / wall:,.0f}/s; reference 4090 PT-compile: 64,000/s)',
+        file=sys.stderr,
+    )
+
 
 if __name__ == '__main__':
     main()

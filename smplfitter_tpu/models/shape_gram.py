@@ -104,10 +104,12 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
     # Msd[v, (j,c,e)] = w_vj SD_v[c,e]
     Msd = (w[:, :, None, None] * SD[:, None, :, :]).reshape(V, J * 3 * E)
     msd_pad = pad_rows(Msd)
-    # Ksd[(j,c,e),(k,d,f)] = Σ_v Msd Msdᵀ, then regrouped to (j,k,c,e,d,f).
+    # Ksd regrouped to row order ((j,c),(k,d)) matching X = R2ᵀR2 with
+    # R2[b, a, (j,c)] — term1 is then ONE (B, 5184) x (5184, E*E) GEMM with no
+    # 5-D intermediate formatting.
     K = Msd.T @ Msd  # (J3E, J3E)
-    K = K.reshape(J, 3, E, J, 3, E).transpose(0, 3, 1, 2, 4, 5)  # (J,J,3,E,3,E)
-    Ksd = K.transpose(0, 1, 2, 4, 3, 5).reshape(J * J * 9, E * E)  # (j,k,c,d),(e,f)
+    K = K.reshape(J, 3, E, J, 3, E)
+    Ksd = K.transpose(0, 1, 3, 4, 2, 5).reshape(J * 3 * J * 3, E * E)
     # Lsd[j,k,c,e] = Σ_v w_vk Msd[v,(j,c,e)]
     Lsd = (Msd.T @ w).reshape(J, 3, E, J).transpose(0, 3, 1, 2)
     sd1 = np.einsum('vj,vce->jce', w, SD)
@@ -232,9 +234,11 @@ def fit_shape_gram(
         b = target_vertices - pos  # (B, V, 3)
 
     # --- Gramian of the vertex block through the joint-pair moments ---
-    X = jnp.einsum('bjac,bkad->bjkcd', glob_rotmats, glob_rotmats, precision=_HI)
+    # X[(j,c),(k,d)] = Σ_a R[a,(j,c)] R[a,(k,d)]: one K=3 batched matmul.
+    R2 = jnp.transpose(glob_rotmats, (0, 2, 1, 3)).reshape(batch, 3, J * 3)
+    X = jnp.einsum('bax,bay->bxy', R2, R2, precision=_HI)  # (B, 3J, 3J)
     term1 = (
-        X.reshape(batch, J * J * 9) @ gram.Ksd
+        X.reshape(batch, J * 3 * J * 3) @ gram.Ksd
     ).reshape(batch, E, E)
     Z = jnp.einsum('bjac,jkce->bkae', glob_rotmats, gram.Lsd, precision=_HI)
     term2 = jnp.einsum('bkae,bkaf->bef', Z, T_j, precision=_HI)

@@ -178,3 +178,28 @@ class TestFitterOpt:
         )
         out = fit_fn(res['vertices'], res['joints'])
         assert np.all(np.isfinite(np.asarray(out['pose_rotvecs'])))
+
+
+class TestFlipperOpt:
+    def test_flip_with_refinement(self, smpl_model):
+        from smplfitter_tpu import BodyFlipperOpt
+
+        flipper = BodyFlipperOpt(smpl_model)
+        pose, betas, trans = random_params(2, seed=77, pose_std=0.1)
+        base = flipper.flip(pose, betas, trans, num_iter=2, refine_steps=0)
+        refined = flipper.flip(pose, betas, trans, num_iter=2, refine_steps=40,
+                               refine_lr=0.01)
+
+        inp = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        target = np.asarray(flipper.flipper.flip_vertices(inp['vertices']))
+
+        def v2v(fit):
+            rec = smpl_model(
+                pose_rotvecs=fit['pose_rotvecs'],
+                shape_betas=fit['shape_betas'],
+                trans=fit['trans'],
+            )
+            return np.linalg.norm(np.asarray(rec['vertices']) - target, axis=-1).mean()
+
+        assert v2v(refined) <= v2v(base) * 1.02
+        assert np.all(np.isfinite(np.asarray(refined['pose_rotvecs'])))
