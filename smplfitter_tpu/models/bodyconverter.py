@@ -18,7 +18,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..utils.modeldata import csr_to_dense_gather, load_vertex_converter_csr
 from . import bodyfitter as _bodyfitter

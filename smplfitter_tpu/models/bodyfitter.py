@@ -30,7 +30,6 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax
@@ -893,10 +892,20 @@ class BodyFitter:
         initial_shape_betas=None,
         initial_kid_factor=None,
         requested_keys=('pose_rotvecs',),
+        use_kernels: bool = True,
     ) -> dict:
         """Full alternating fit. Returns a dict filtered by ``requested_keys``
-        (plus always shape_betas, trans, orientations)."""
-        with matmul_precision():
+        (plus always shape_betas, trans, orientations).
+
+        ``use_kernels=False`` selects the pure-XLA formulation (identical math;
+        required when differentiating through the fit, since the fused Pallas
+        kernels do not define VJPs yet)."""
+        import contextlib
+
+        from ..ops import lbs_kernels as _lk
+
+        ctx = contextlib.nullcontext() if use_kernels else _lk.disabled()
+        with ctx, matmul_precision():
             return self._fit(
                 jnp.asarray(target_vertices),
                 None if target_joints is None else jnp.asarray(target_joints),

@@ -8,8 +8,6 @@ built on the same scan-based refiner as BodyFitterOpt.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 from .bodyfitter_opt import BodyFitterOpt

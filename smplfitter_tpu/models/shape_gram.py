@@ -35,7 +35,7 @@ import numpy as np
 from flax import struct
 
 from ..ops import lbs_kernels
-from ..ops.lstsq import cholesky_solve, solve_spd_unrolled
+from ..ops.lstsq import solve_spd_unrolled
 
 _HI = jax.lax.Precision.HIGHEST
 

@@ -38,6 +38,24 @@ VC = 256  # vertex chunk (sublane dim of per-vertex tiles)
 _C0_0 = (((0,), (0,)), ((), ()))  # contract dim0 x dim0
 
 FORCE_INTERPRET = False  # set True in tests to exercise kernels on CPU
+_DISABLED = False
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def disabled():
+    """Trace-time switch to the pure-XLA paths (e.g. for differentiation:
+    the kernels have no VJPs yet, while the XLA formulation is fully
+    differentiable)."""
+    global _DISABLED
+    prev = _DISABLED
+    _DISABLED = True
+    try:
+        yield
+    finally:
+        _DISABLED = prev
 
 
 def pick_batch_tile(B: int) -> int | None:
@@ -49,7 +67,7 @@ def pick_batch_tile(B: int) -> int | None:
 
 def kernel_mode(B: int) -> str | None:
     """'tpu' | 'interpret' | None — whether the fused kernels apply for batch B."""
-    if pick_batch_tile(B) is None:
+    if _DISABLED or pick_batch_tile(B) is None:
         return None
     if FORCE_INTERPRET:
         return 'interpret'
