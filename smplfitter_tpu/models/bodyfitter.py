@@ -897,9 +897,11 @@ class BodyFitter:
         """Full alternating fit. Returns a dict filtered by ``requested_keys``
         (plus always shape_betas, trans, orientations).
 
-        ``use_kernels=False`` selects the pure-XLA formulation (identical math;
-        required when differentiating through the fit, since the fused Pallas
-        kernels do not define VJPs yet)."""
+        The fused Pallas kernels define custom VJPs (backward passes are fused
+        kernels of the same structure), so the fast path is differentiable.
+        ``use_kernels=False`` selects the pure-XLA formulation — identical
+        math; useful as a fallback when the compiler balks at very large
+        gradient graphs, and automatic on CPU/odd batch sizes."""
         import contextlib
 
         from ..ops import lbs_kernels as _lk

@@ -132,9 +132,8 @@ def _rhs_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, msd_ref,
         )  # (TB, J)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def rhs_moments(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
-                interpret: bool = False):
+def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
+                      interpret: bool = False):
     """Fused residual moments of the shape solve.
 
     Args:
@@ -185,8 +184,8 @@ def _lbs_points_kernel(pj_ref, feat_ref, wts_ref, consts_ref, out_ref):
         out_ref[a] = pos[a]
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def lbs_points(pj_cm, feat_cols, weights_pad, consts_pad, interpret: bool = False):
+def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
+                     interpret: bool = False):
     """Extended LBS -> per-vertex points, component-major (3, V_pad, B).
 
     With feat = [pose_feature; 1] this is the posed zero-beta mesh; appending
@@ -259,6 +258,17 @@ def part_sums_vm(t_vm, a_vm, pm, interpret: bool = False):
     Returns:
         raw (B, J, 3, 3), s_t (B, J, 3), s_a (B_a, J, 3).
     """
+    raw, st, sa = _part_sums_diff(t_vm, a_vm, pm, interpret)
+    B = t_vm.shape[2]
+    J = pm.shape[0]
+    # raw rows ordered (c, d); move batch to front, parts next.
+    raw_b = jnp.transpose(raw, (1, 2, 0)).reshape(B, J, 3, 3)
+    s_t = jnp.transpose(st, (1, 2, 0))
+    s_a = jnp.transpose(sa, (1, 2, 0))
+    return raw_b, s_t, s_a
+
+
+def _part_sums_impl(t_vm, a_vm, pm, interpret: bool = False):
     _, v_pad, B = t_vm.shape
     Ba = a_vm.shape[2]
     J = pm.shape[0]
@@ -295,9 +305,311 @@ def part_sums_vm(t_vm, a_vm, pm, interpret: bool = False):
         ],
         interpret=interpret,
     )(t_vm, a_vm, pm)
+    return raw, st, sa
 
-    # raw rows ordered (c, d); move batch to front, parts next.
-    raw_b = jnp.transpose(raw, (1, 2, 0)).reshape(B, J, 3, 3)
-    s_t = jnp.transpose(st, (1, 2, 0))
-    s_a = jnp.transpose(sa, (1, 2, 0))
-    return raw_b, s_t, s_a
+
+# ---------------------------------------------------------------------------
+# Custom VJPs: backward passes as fused kernels of the same structure, making
+# the fast path differentiable end-to-end (the forward outputs are linear in
+# the traced inputs given the static constants, so each backward is again an
+# extended-LBS-shaped reduction).
+# ---------------------------------------------------------------------------
+
+
+def _lbs_grads_chunk(g, pj_ref, feat_ref, wts_ref, consts_ref, dpj_ref, dfeat_ref, k):
+    """Shared backward chunk: given per-vertex cotangent g (list of 3 (VC, TB)),
+    accumulate dpj (12, tb, J) and dfeat (F, tb)."""
+    w = wts_ref[:]
+    homog = [
+        jnp.dot(consts_ref[c], feat_ref[:], preferred_element_type=jnp.float32)
+        for c in range(4)
+    ]
+
+    @pl.when(k == 0)
+    def _():
+        dpj_ref[:] = jnp.zeros_like(dpj_ref)
+        dfeat_ref[:] = jnp.zeros_like(dfeat_ref)
+
+    for a in range(3):
+        for c in range(4):
+            prod = g[a] * homog[c]  # (VC, TB)
+            dpj_ref[a * 4 + c] += jax.lax.dot_general(
+                prod, w, _C0_0, preferred_element_type=jnp.float32
+            )  # (TB, J)
+    for c in range(4):
+        u_c = None
+        for a in range(3):
+            blend_ac = jnp.dot(w, pj_ref[a * 4 + c], preferred_element_type=jnp.float32)
+            term = blend_ac * g[a]
+            u_c = term if u_c is None else u_c + term
+        dfeat_ref[:] += jax.lax.dot_general(
+            consts_ref[c], u_c, _C0_0, preferred_element_type=jnp.float32
+        )  # (F, TB)
+
+
+def _lbs_points_bwd_kernel(g_ref, pj_ref, feat_ref, wts_ref, consts_ref,
+                           dpj_ref, dfeat_ref):
+    k = pl.program_id(1)
+    g = [g_ref[a] for a in range(3)]
+    _lbs_grads_chunk(g, pj_ref, feat_ref, wts_ref, consts_ref, dpj_ref, dfeat_ref, k)
+
+
+def _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad, g, interpret):
+    _, J, B = pj_cm.shape
+    F = feat_cols.shape[0]
+    v_pad = weights_pad.shape[0]
+    tb = pick_batch_tile(B)
+    grid = (B // tb, v_pad // VC)
+
+    dpj, dfeat = pl.pallas_call(
+        _lbs_points_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((12, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((12, B, J), jnp.float32),
+            jax.ShapeDtypeStruct((F, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g, pj_cm, feat_cols, weights_pad, consts_pad)
+    return jnp.transpose(dpj, (0, 2, 1)), dfeat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _lbs_points_diff(pj_cm, feat_cols, weights_pad, consts_pad, interpret):
+    return _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad, interpret)
+
+
+def _lbs_points_fwd(pj_cm, feat_cols, weights_pad, consts_pad, interpret):
+    out = _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad, interpret)
+    return out, (pj_cm, feat_cols, weights_pad, consts_pad)
+
+
+def _lbs_points_bwd_rule(interpret, res, g):
+    pj_cm, feat_cols, weights_pad, consts_pad = res
+    dpj, dfeat = _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad,
+                                 g, interpret)
+    return dpj, dfeat, jnp.zeros_like(weights_pad), jnp.zeros_like(consts_pad)
+
+
+_lbs_points_diff.defvjp(_lbs_points_fwd, _lbs_points_bwd_rule)
+
+
+def _rhs_bwd_kernel(gY_ref, gy_ref, pj_ref, feat_ref, wts_ref, consts_ref, msd_ref,
+                    dtgt_ref, dpj_ref, dfeat_ref):
+    k = pl.program_id(1)
+    contract_last = (((1,), (1,)), ((), ()))
+    fstar = []
+    for a in range(3):
+        f_a = jax.lax.dot_general(
+            msd_ref[:], gY_ref[a], contract_last, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            wts_ref[:], gy_ref[a], contract_last, preferred_element_type=jnp.float32
+        )  # (VC, TB)
+        dtgt_ref[a] = f_a
+        fstar.append(-f_a)
+    _lbs_grads_chunk(fstar, pj_ref, feat_ref, wts_ref, consts_ref,
+                     dpj_ref, dfeat_ref, k)
+
+
+def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
+                     gY, gy, interpret):
+    _, v_pad, B = tgt_vm.shape
+    J = weights_pad.shape[1]
+    P = msd_pad.shape[1]
+    F = feat_cols.shape[0]
+    tb = pick_batch_tile(B)
+    grid = (B // tb, v_pad // VC)
+
+    dtgt, dpj, dfeat = pl.pallas_call(
+        _rhs_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tb, P), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, P), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32),
+            jax.ShapeDtypeStruct((12, B, J), jnp.float32),
+            jax.ShapeDtypeStruct((F, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gY, gy, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad)
+    return dtgt, jnp.transpose(dpj, (0, 2, 1)), dfeat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
+                      interpret):
+    return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                             msd_pad, interpret)
+
+
+def _rhs_moments_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
+                     interpret):
+    out = _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                            msd_pad, interpret)
+    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad)
+
+
+def _rhs_moments_bwd_rule(interpret, res, g):
+    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad = res
+    gY, gy = g
+    dtgt, dpj, dfeat = _rhs_moments_bwd(
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad, gY, gy,
+        interpret,
+    )
+    return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
+            jnp.zeros_like(consts_pad), jnp.zeros_like(msd_pad))
+
+
+_rhs_moments_diff.defvjp(_rhs_moments_fwd, _rhs_moments_bwd_rule)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def rhs_moments(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
+                interpret: bool = False):
+    """Differentiable fused residual moments (see _rhs_moments_impl)."""
+    return _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                             msd_pad, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def lbs_points(pj_cm, feat_cols, weights_pad, consts_pad, interpret: bool = False):
+    """Differentiable extended LBS -> per-vertex points (see _lbs_points_impl)."""
+    return _lbs_points_diff(pj_cm, feat_cols, weights_pad, consts_pad, interpret)
+
+
+def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
+                          dt_ref, da_ref):
+    # Grid is (V_chunks, B_tiles) with batch innermost: the unbatched-reference
+    # da block (indexed by chunk only) then accumulates over consecutive steps.
+    i = pl.program_id(1)
+    tb = t_ref.shape[2]
+    a_batched = a_ref.shape[2] == tb
+    pm = pm_ref[:]  # (J, VC)
+    contract_j = (((0,), (1,)), ((), ()))  # pm dim0 (J) with grad dim1 (J)
+
+    # W[c*3+d] = pm^T graw_cd -> (VC, TB): per-vertex spread of part grads.
+    W = [
+        jax.lax.dot_general(pm, graw_ref[x], contract_j,
+                            preferred_element_type=jnp.float32)
+        for x in range(9)
+    ]  # each (VC, TB)
+    t = [t_ref[c] for c in range(3)]
+    a_raw = [a_ref[d] for d in range(3)]
+    a = (
+        a_raw
+        if a_batched
+        else [jnp.broadcast_to(x, (x.shape[0], tb)) for x in a_raw]
+    )
+
+    for c in range(3):
+        acc = jax.lax.dot_general(pm, gst_ref[c], contract_j,
+                                  preferred_element_type=jnp.float32)
+        for d in range(3):
+            acc += W[c * 3 + d] * a[d]
+        dt_ref[c] = acc
+
+    if a_batched:
+        for d in range(3):
+            acc = jax.lax.dot_general(pm, gsa_ref[d], contract_j,
+                                      preferred_element_type=jnp.float32)
+            for c in range(3):
+                acc += W[c * 3 + d] * t[c]
+            da_ref[d] = acc
+    else:
+        @pl.when(i == 0)
+        def _():
+            for d in range(3):
+                da_ref[d] = jax.lax.dot_general(
+                    pm, gsa_ref[d], contract_j, preferred_element_type=jnp.float32
+                )
+        for d in range(3):
+            acc = None
+            for c in range(3):
+                term = W[c * 3 + d] * t[c]
+                acc = term if acc is None else acc + term
+            da_ref[d] += jnp.sum(acc, axis=1, keepdims=True)
+
+
+def _part_sums_bwd(t_vm, a_vm, pm, graw, gst, gsa, interpret):
+    _, v_pad, B = t_vm.shape
+    Ba = a_vm.shape[2]
+    J = pm.shape[0]
+    tb = pick_batch_tile(B)
+    grid = (v_pad // VC, B // tb)
+    tba = tb if Ba == B else 1
+
+    dt, da = pl.pallas_call(
+        _part_sums_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, VC, tb), lambda k, i: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3, VC, tba),
+                (lambda k, i: (0, k, i)) if Ba == B else (lambda k, i: (0, k, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((J, VC), lambda k, i: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tb, J), lambda k, i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tb, J), lambda k, i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3, tba, J),
+                (lambda k, i: (0, i, 0)) if Ba == B else (lambda k, i: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, VC, tb), lambda k, i: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3, VC, tba),
+                (lambda k, i: (0, k, i)) if Ba == B else (lambda k, i: (0, k, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, v_pad, Ba), jnp.float32),
+        ],
+        interpret=interpret,
+    )(t_vm, a_vm, pm, graw, gst, gsa)
+    return dt, da
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _part_sums_diff(t_vm, a_vm, pm, interpret):
+    return _part_sums_impl(t_vm, a_vm, pm, interpret)
+
+
+def _part_sums_fwd(t_vm, a_vm, pm, interpret):
+    return _part_sums_impl(t_vm, a_vm, pm, interpret), (t_vm, a_vm, pm)
+
+
+def _part_sums_bwd_rule(interpret, res, g):
+    t_vm, a_vm, pm = res
+    graw, gst, gsa = g
+    dt, da = _part_sums_bwd(t_vm, a_vm, pm, graw, gst, gsa, interpret)
+    return dt, da, jnp.zeros_like(pm)
+
+
+_part_sums_diff.defvjp(_part_sums_fwd, _part_sums_bwd_rule)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 
 class TestPartSumsVm:
@@ -107,4 +108,152 @@ class TestForcedKernelFit:
         np.testing.assert_allclose(
             np.asarray(kernel['pose_rotvecs']), np.asarray(plain['pose_rotvecs']),
             atol=5e-3,
+        )
+
+
+class TestKernelVJPs:
+    """Backward kernels vs XLA autodiff of the same math (interpret mode)."""
+
+    def _setup(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        B, V, J, F, P = 16, 256, 12, 15, 21
+        d = dict(
+            tgt=jnp.asarray(rng.normal(size=(3, V, B)).astype(np.float32)),
+            pj=jnp.asarray(rng.normal(size=(12, J, B)).astype(np.float32)),
+            feat=jnp.asarray(rng.normal(size=(F, B)).astype(np.float32)),
+            wts=jnp.asarray(rng.uniform(0, 1, size=(V, J)).astype(np.float32)),
+            consts=jnp.asarray(rng.normal(size=(4, V, F)).astype(np.float32)),
+            msd=jnp.asarray(rng.normal(size=(V, P)).astype(np.float32)),
+            shape=(B, V, J, F, P),
+        )
+        return d
+
+    @staticmethod
+    def _xla_pos(d, pj, feat):
+        import jax.numpy as jnp
+
+        B, V, J, F, P = d['shape']
+        homog = jnp.einsum('cvf,fb->cvb', d['consts'], feat)
+        blended = jnp.einsum('vj,xjb->xvb', d['wts'], pj).reshape(3, 4, V, B)
+        return jnp.einsum('acvb,cvb->avb', blended, homog)
+
+    def _assert_close(self, gk, gx):
+        for a, b in zip(gk, gx):
+            scale = max(1.0, float(np.abs(np.asarray(b)).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
+            )
+
+    def test_lbs_points_vjp(self):
+        import jax
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        d = self._setup()
+
+        def loss_k(pj, feat):
+            return jnp.sum(jnp.sin(
+                K.lbs_points(pj, feat, d['wts'], d['consts'], interpret=True)
+            ))
+
+        def loss_x(pj, feat):
+            return jnp.sum(jnp.sin(self._xla_pos(d, pj, feat)))
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(d['pj'], d['feat'])
+        gx = jax.grad(loss_x, argnums=(0, 1))(d['pj'], d['feat'])
+        self._assert_close(gk, gx)
+
+    def test_rhs_moments_vjp(self):
+        import jax
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        d = self._setup()
+
+        def loss_k(tgt, pj, feat):
+            Y, y = K.rhs_moments(tgt, pj, feat, d['wts'], d['consts'], d['msd'],
+                                 interpret=True)
+            return jnp.sum(jnp.sin(Y)) + jnp.sum(jnp.cos(y))
+
+        def loss_x(tgt, pj, feat):
+            b = tgt - self._xla_pos(d, pj, feat)
+            Y = jnp.einsum('avb,vp->abp', b, d['msd'])
+            y = jnp.einsum('avb,vj->abj', b, d['wts'])
+            return jnp.sum(jnp.sin(Y)) + jnp.sum(jnp.cos(y))
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(d['tgt'], d['pj'], d['feat'])
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(d['tgt'], d['pj'], d['feat'])
+        self._assert_close(gk, gx)
+
+    @pytest.mark.parametrize('unbatched_ref', [False, True])
+    def test_part_sums_vjp(self, unbatched_ref):
+        import jax
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        d = self._setup()
+        B, V, J, F, P = d['shape']
+        rng = np.random.default_rng(1)
+        pm = np.zeros((J, V), np.float32)
+        pm[rng.integers(0, J, V), np.arange(V)] = 1.0
+        pm = jnp.asarray(pm)
+        Ba = 1 if unbatched_ref else B
+        a_vm = jnp.asarray(rng.normal(size=(3, V, Ba)).astype(np.float32))
+
+        def loss_k(t, a):
+            raw, st, sa = K.part_sums_vm(t, a, pm, interpret=True)
+            return jnp.sum(jnp.sin(raw)) + jnp.sum(st**2) + jnp.sum(jnp.cos(sa))
+
+        def loss_x(t, a):
+            a_full = jnp.broadcast_to(a, (3, V, B))
+            raw = jnp.einsum('jv,cvb,dvb->bjcd', pm, t, a_full)
+            st = jnp.einsum('jv,cvb->bjc', pm, t)
+            sa = jnp.einsum('jv,cvb->bjc', pm, a)
+            return jnp.sum(jnp.sin(raw)) + jnp.sum(st**2) + jnp.sum(jnp.cos(sa))
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(d['tgt'], a_vm)
+        gx = jax.grad(loss_x, argnums=(0, 1))(d['tgt'], a_vm)
+        self._assert_close(gk, gx)
+
+    def test_fit_grad_kernels_vs_xla(self, smpl_model):
+        """Gradient through the FULL fit with kernels (interpret) must match
+        the XLA-path gradient."""
+        import jax
+        import jax.numpy as jnp
+
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+
+        fitter = BodyFitter(smpl_model)
+        rng = np.random.default_rng(3)
+        pose = rng.normal(0, 0.1, (8, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (8, 10)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        tj = jnp.asarray(res['joints'])
+
+        def make_loss(use_kernels):
+            def loss(tv):
+                fit = fitter.fit(
+                    tv, tj, num_iter=2, beta_regularizer=0.0,
+                    use_kernels=use_kernels,
+                    requested_keys=['shape_betas', 'trans'],
+                )
+                return jnp.sum(fit['shape_betas'] ** 2) + jnp.sum(fit['trans'] ** 2)
+            return loss
+
+        tv = jnp.asarray(res['vertices'])
+        g_xla = jax.grad(make_loss(False))(tv)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            g_kernel = jax.grad(make_loss(True))(tv)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        scale = float(np.abs(np.asarray(g_xla)).max())
+        np.testing.assert_allclose(
+            np.asarray(g_kernel) / scale, np.asarray(g_xla) / scale, atol=2e-3
         )
