@@ -59,7 +59,7 @@ def disabled():
 
 
 def pick_batch_tile(B: int) -> int | None:
-    for tb in (128, 64, 32, 16, 8):
+    for tb in (256, 128, 64, 32, 16, 8):
         if B % tb == 0:
             return tb
     return None
