@@ -105,7 +105,8 @@ def main() -> None:
                 unit='fits/s',
                 vs_baseline=round(fits_per_sec / BASELINE_FITS_PER_SEC, 3),
             )
-        )
+        ),
+        flush=True,
     )
     print(
         f'# batch={BATCH} pipelined={wall / REPS * 1e3:.1f}ms/batch '
@@ -115,7 +116,10 @@ def main() -> None:
     )
 
     if os.getenv('BENCH_SECONDARY', '1') == '1':
-        secondary(jax, smplfitter_tpu, models_dir, rng)
+        try:
+            secondary(jax, smplfitter_tpu, models_dir, rng)
+        except Exception as e:  # secondary metrics are informational only
+            print(f'# secondary benchmarks failed: {e!r}', file=sys.stderr)
 
 
 def secondary(jax, smplfitter_tpu, models_dir, rng) -> None:
