@@ -310,6 +310,30 @@ def _centered_cov(raw, s_t, s_a, s_w, c_t, c_a):
 # ---------------------------------------------------------------------------
 
 
+def _outer_sum3(x, y):
+    """Σ_k x[..., k, :, None] y[..., k, None, :] -> (..., 3, 3), componentwise.
+
+    Equivalent to ``swapaxes(x, -1, -2) @ y`` for (..., k, 3) operands but lowers
+    to fused VPU elementwise ops instead of tiny relayout-heavy MXU dots.
+    """
+    entries = [
+        jnp.sum(x[..., a] * y[..., c], axis=-1) for a in range(3) for c in range(3)
+    ]
+    return jnp.stack(entries, axis=-1).reshape(*x.shape[:-2], 3, 3)
+
+
+def _rot_apply_ext(rot, ext):
+    """Componentwise Σ_c rot[..., C, c] ext[..., c, s] -> (..., 3, s).
+
+    ``rot`` is (..., 3, 3) (batch dims broadcast against ``ext``'s); ``ext``
+    carries a trailing extension-column axis.
+    """
+    rows = [
+        sum(rot[..., C, c, None] * ext[..., c, :] for c in range(3)) for C in range(3)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
 def _regress_joints(bm: BodyModelData, vertices=None, vertices_vm=None):
     if vertices is not None:
         return bm.J_regressor_post_lbs @ vertices
@@ -471,8 +495,10 @@ def fit_global_rotations_dependent(
         if joint_weights is not None:
             jw = joint_weights[:, joint_sel.reshape(-1)].reshape(-1, n, k)
             default = default * jw[..., None]
-        A_joint = jnp.swapaxes(estim, -1, -2) @ default
-        new_rots = rot_ops.proj_SO3(A_vert + A_joint) @ glob_rots_prev[:, adj_arr]
+        A_joint = _outer_sum3(estim, default)
+        new_rots = rot_ops.matmul3x3(
+            rot_ops.proj_SO3(A_vert + A_joint), glob_rots_prev[:, adj_arr]
+        )
         return rots.at[:, adj_arr].set(new_rots)
 
     if plan.leveladj_supported:
@@ -486,7 +512,7 @@ def fit_global_rotations_dependent(
                 break
             js = np.array(level)
             ps = np.array([bm.kintree_parents[i] for i in level])
-            rotated = jnp.einsum('bnCc,bnc->bnC', rots[:, ps], bones[:, js])
+            rotated = rot_ops.matvec3(rots[:, ps], bones[:, js])
             positions = positions.at[:, js].set(positions[:, ps] + rotated)
             adj = plan.adj_levels[k]
             if adj:
@@ -504,8 +530,8 @@ def fit_global_rotations_dependent(
             glob_position = j[:, i] + trans
         else:
             i_parent = bm.kintree_parents[i]
-            glob_position = glob_positions[i_parent] + jnp.einsum(
-                'bCc,bc->bC', glob_rots[i_parent], bones[:, i]
+            glob_position = glob_positions[i_parent] + rot_ops.matvec3(
+                glob_rots[i_parent], bones[:, i]
             )
         glob_positions.append(glob_position)
 
@@ -527,8 +553,10 @@ def fit_global_rotations_dependent(
         default = reference_joints[:, joint_sel] - c_a[:, None]
         if joint_weights is not None:
             default = default * joint_weights[:, joint_sel][..., None]
-        A_joint = jnp.swapaxes(estim, -1, -2) @ default
-        glob_rots.append(rot_ops.proj_SO3(A_vert + A_joint) @ glob_rots_prev[:, i])
+        A_joint = _outer_sum3(estim, default)
+        glob_rots.append(
+            rot_ops.matmul3x3(rot_ops.proj_SO3(A_vert + A_joint), glob_rots_prev[:, i])
+        )
 
     return jnp.stack(glob_rots, axis=1)
 
@@ -552,8 +580,8 @@ def fk_positions_ext(bm: BodyModelData, plan: FitterPlan, glob_rotmats):
         ps = np.array([bm.kintree_parents[i] for i in level])
         done = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
         parent_pos = np.array([pos_by_joint[int(p)] for p in ps])
-        new = done[:, parent_pos] + jnp.einsum(
-            'bnCc,ncs->bnCs', glob_rotmats[:, ps], plan.bone_ext[js]
+        new = done[:, parent_pos] + _rot_apply_ext(
+            glob_rotmats[:, ps], plan.bone_ext[None, js]
         )
         for k, jj in enumerate(level):
             pos_by_joint[jj] = len(order) + k
@@ -635,11 +663,11 @@ def fit_shape(
         ],
         axis=1,
     )
-    rel_rotmats = jnp.einsum('bjki,bjkl->bjil', parent_glob, glob_rotmats)
+    rel_rotmats = rot_ops.matmul3x3(parent_glob, glob_rotmats, transpose_a=True)
 
     glob_positions_ext = fk_positions_ext(bm, plan, glob_rotmats)
-    translations_ext = glob_positions_ext - jnp.einsum(
-        'bjCc,jcs->bjCs', glob_rotmats, plan.J_template_ext
+    translations_ext = glob_positions_ext - _rot_apply_ext(
+        glob_rotmats, plan.J_template_ext[None]
     )
 
     rot_params = rel_rotmats[:, 1:].reshape(batch, (num_joints - 1) * 9)
@@ -970,7 +998,7 @@ class BodyFitter:
                 kid_factor=initial_kid_factor,
                 pose_rotvecs=initial_pose_rotvecs,
             )
-            glob_rotmats = (
+            glob_rotmats = rot_ops.matmul3x3(
                 fit_global_rotations(
                     bm,
                     plan,
@@ -980,8 +1008,8 @@ class BodyFitter:
                     initial_forw['joints'] if target_joints is not None else None,
                     vertex_weights,
                     joint_weights,
-                )
-                @ initial_forw['orientations']
+                ),
+                initial_forw['orientations'],
             )
         else:
             glob_rotmats = fit_global_rotations(
@@ -1019,7 +1047,7 @@ class BodyFitter:
                 else (recon_key,),
                 gram=self.gram,
             )
-            glob_rotmats = (
+            glob_rotmats = rot_ops.matmul3x3(
                 fit_global_rotations(
                     bm,
                     plan,
@@ -1030,8 +1058,8 @@ class BodyFitter:
                     vertex_weights,
                     joint_weights,
                     reference_vertices_vm=result.get('vertices_vm'),
-                )
-                @ glob_rotmats
+                ),
+                glob_rotmats,
             )
 
         result = fit_shape(
@@ -1215,15 +1243,15 @@ class BodyFitter:
                 bm, shape_betas=shape_betas, kid_factor=kid_factor,
                 pose_rotvecs=initial_pose_rotvecs,
             )
-            glob_rotmats = (
+            glob_rotmats = rot_ops.matmul3x3(
                 fit_global_rotations(
                     bm, plan,
                     target_vertices, target_joints,
                     initial_forw['vertices'],
                     initial_forw['joints'] if target_joints is not None else None,
                     vertex_weights, joint_weights,
-                )
-                @ initial_forw['orientations']
+                ),
+                initial_forw['orientations'],
             )
 
             for _ in range(num_iter - 1):
@@ -1231,15 +1259,15 @@ class BodyFitter:
                     bm, glob_rotmats=glob_rotmats, shape_betas=shape_betas,
                     kid_factor=kid_factor,
                 )
-                glob_rotmats = (
+                glob_rotmats = rot_ops.matmul3x3(
                     fit_global_rotations(
                         bm, plan,
                         target_vertices, target_joints,
                         forw['vertices'],
                         forw['joints'] if target_joints is not None else None,
                         vertex_weights, joint_weights,
-                    )
-                    @ glob_rotmats
+                    ),
+                    glob_rotmats,
                 )
 
             forw = forward(

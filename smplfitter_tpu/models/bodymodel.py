@@ -104,7 +104,7 @@ def fk_rotations(bm: BodyModelData, rel_rotmats: jax.Array) -> jax.Array:
         parent_glob = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
         # Gather positions of parents inside the already-computed concat order.
         parent_pos = np.array([glob_by_joint[int(p)] for p in ps])
-        new = parent_glob[:, parent_pos] @ rel_rotmats[:, js]
+        new = rot_ops.matmul3x3(parent_glob[:, parent_pos], rel_rotmats[:, js])
         for k, j in enumerate(level):
             glob_by_joint[j] = len(order) + k
         order.extend(level)
@@ -130,9 +130,7 @@ def fk_positions(
         ps = np.array([bm.kintree_parents[i] for i in level])
         done = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
         parent_pos = np.array([pos_by_joint[int(p)] for p in ps])
-        rotated = jnp.einsum(
-            'bnCc,bnc->bnC', glob_rotmats[:, ps], bones[:, js]
-        )
+        rotated = rot_ops.matvec3(glob_rotmats[:, ps], bones[:, js])
         new = done[:, parent_pos] + rotated
         for k, j in enumerate(level):
             pos_by_joint[j] = len(order) + k
@@ -207,8 +205,8 @@ def _forward_impl(
 
     parent_glob_rotmats1 = glob_rotmats[:, parent_indices1]
     if rel_rotmats is None:
-        rel_rotmats1 = jnp.einsum(
-            'bjki,bjkl->bjil', parent_glob_rotmats1, glob_rotmats[:, 1:]
+        rel_rotmats1 = rot_ops.matmul3x3(
+            parent_glob_rotmats1, glob_rotmats[:, 1:], transpose_a=True
         )
     else:
         rel_rotmats1 = rel_rotmats[:, 1:]
@@ -247,7 +245,7 @@ def _forward_impl(
     # LBS in homogeneous form: per-joint [R | t] (3, 4) matrices blended with
     # ONE skinning GEMM and applied to [v_posed; 1] — no slicing the blend
     # apart afterwards (slices copy the whole buffer on TPU).
-    translations = glob_positions - jnp.einsum('bjCc,bjc->bjC', glob_rotmats, j)
+    translations = glob_positions - rot_ops.matvec3(glob_rotmats, j)
     per_joint = jnp.concatenate(
         [glob_rotmats, translations[..., None]], axis=3
     ).reshape(batch_size, num_joints, 12)

@@ -35,6 +35,7 @@ import numpy as np
 from flax import struct
 
 from ..ops import lbs_kernels
+from ..ops import rotation as rot_ops
 from ..ops.lstsq import solve_spd_unrolled
 
 _HI = jax.lax.Precision.HIGHEST
@@ -184,7 +185,7 @@ def fit_shape_gram(
         ],
         axis=1,
     )
-    rel_rotmats = jnp.einsum('bjki,bjkl->bjil', parent_glob, glob_rotmats, precision=_HI)
+    rel_rotmats = rot_ops.matmul3x3(parent_glob, glob_rotmats, transpose_a=True)
 
     # FK of extended joint positions; split into position and Jacobian columns.
     pos_ext = fk_positions_ext(bm, plan, glob_rotmats)  # (B, J, 3, 1+E)
@@ -192,8 +193,14 @@ def fit_shape_gram(
     P_j = pos_ext[..., 1:]  # (B, J, 3, E)
     jte = plan.J_template_ext[..., 0]  # (J, 3)
     JTE = plan.J_template_ext[..., 1:]  # (J, 3, E)
-    t_j = p_j - jnp.einsum('bjac,jc->bja', glob_rotmats, jte, precision=_HI)
-    T_j = P_j - jnp.einsum('bjac,jce->bjae', glob_rotmats, JTE, precision=_HI)
+    t_j = p_j - rot_ops.matvec3(glob_rotmats, jte)
+    T_j = P_j - jnp.stack(
+        [
+            sum(glob_rotmats[:, :, a, c, None] * JTE[None, :, c, :] for c in range(3))
+            for a in range(3)
+        ],
+        axis=2,
+    )
 
     scale_col = scale_target or scale_fit
     # Fused-kernel path: all per-vertex work (extended LBS, residuals, moment

@@ -437,7 +437,9 @@ def proj_SO3(A: jax.Array) -> jax.Array:
     return proj_SO3_scalar(A)
 
 
-def matmul3x3(a: jax.Array, b: jax.Array, transpose_b: bool = False) -> jax.Array:
+def matmul3x3(
+    a: jax.Array, b: jax.Array, transpose_b: bool = False, transpose_a: bool = False
+) -> jax.Array:
     """Componentwise (..., 3, 3) @ (..., 3, 3): avoids dot_general data
     formatting on matrix-shaped tiles (slow relayouts on TPU for tiny matmuls)."""
     af = a.reshape(*a.shape[:-2], 9)
@@ -446,7 +448,7 @@ def matmul3x3(a: jax.Array, b: jax.Array, transpose_b: bool = False) -> jax.Arra
     B = [bf[..., i] for i in range(9)]
 
     def ai(i, k):
-        return A[i * 3 + k]
+        return A[k * 3 + i] if transpose_a else A[i * 3 + k]
 
     def bi(k, j):
         return B[j * 3 + k] if transpose_b else B[k * 3 + j]
@@ -457,6 +459,20 @@ def matmul3x3(a: jax.Array, b: jax.Array, transpose_b: bool = False) -> jax.Arra
         for j in range(3)
     ]
     return jnp.stack(entries, axis=-1).reshape(*a.shape[:-2], 3, 3)
+
+
+def matvec3(m: jax.Array, v: jax.Array, transpose_m: bool = False) -> jax.Array:
+    """Componentwise (..., 3, 3) @ (..., 3) rotation of vectors; broadcasting
+    batch dims. Same rationale as :func:`matmul3x3`."""
+    mf = m.reshape(*m.shape[:-2], 9)
+    M = [mf[..., i] for i in range(9)]
+    V = [v[..., i] for i in range(3)]
+
+    def mi(i, k):
+        return M[k * 3 + i] if transpose_m else M[i * 3 + k]
+
+    entries = [mi(i, 0) * V[0] + mi(i, 1) * V[1] + mi(i, 2) * V[2] for i in range(3)]
+    return jnp.stack(entries, axis=-1)
 
 
 def kabsch(X: jax.Array, Y: jax.Array) -> jax.Array:
