@@ -194,13 +194,16 @@ def fit_shape_gram(
     jte = plan.J_template_ext[..., 0]  # (J, 3)
     JTE = plan.J_template_ext[..., 1:]  # (J, 3, E)
     t_j = p_j - rot_ops.matvec3(glob_rotmats, jte)
-    T_j = P_j - jnp.stack(
+    # T is kept component-major (B, 3, J, E): every quadratic contraction below
+    # pairs it with rotation data in the same (component, joint) order, so no
+    # relayout copies appear between the producers and the batched Gram GEMMs.
+    T_perm = jnp.transpose(P_j, (0, 2, 1, 3)) - jnp.stack(
         [
             sum(glob_rotmats[:, :, a, c, None] * JTE[None, :, c, :] for c in range(3))
             for a in range(3)
         ],
-        axis=2,
-    )
+        axis=1,
+    )  # (B, 3, J, E)
 
     scale_col = scale_target or scale_fit
     # Fused-kernel path: all per-vertex work (extended LBS, residuals, moment
@@ -241,21 +244,24 @@ def fit_shape_gram(
         b = target_vertices - pos  # (B, V, 3)
 
     # --- Gramian of the vertex block through the joint-pair moments ---
-    # X[(j,c),(k,d)] = Σ_a R[a,(j,c)] R[a,(k,d)]: one K=3 batched matmul.
+    # X[(j,c),(k,d)] = Σ_a R[a,(j,c)] R[a,(k,d)] as a fused elementwise
+    # outer-product reduction (a K=3 batched matmul would relayout on the MXU).
     R2 = jnp.transpose(glob_rotmats, (0, 2, 1, 3)).reshape(batch, 3, J * 3)
-    X = jnp.einsum('bax,bay->bxy', R2, R2, precision=_HI)  # (B, 3J, 3J)
+    X = jnp.sum(R2[:, :, :, None] * R2[:, :, None, :], axis=1)  # (B, 3J, 3J)
     term1 = (
         X.reshape(batch, J * 3 * J * 3) @ gram.Ksd
     ).reshape(batch, E, E)
-    Z = jnp.einsum('bjac,jkce->bkae', glob_rotmats, gram.Lsd, precision=_HI)
-    term2 = jnp.einsum('bkae,bkaf->bef', Z, T_j, precision=_HI)
-    Zq = jnp.einsum('jk,bkae->bjae', gram.q, T_j, precision=_HI)
-    term3 = jnp.einsum('bjae,bjaf->bef', Zq, T_j, precision=_HI)
+    # Z[b, a, (k,e)] = R2 @ Lsd reordered to ((j,c), (k,e)): one clean GEMM.
+    Lsd2 = jnp.transpose(gram.Lsd, (0, 2, 1, 3)).reshape(J * 3, J * E)
+    Z = (R2.reshape(batch * 3, J * 3) @ Lsd2).reshape(batch, 3, J, E)
+    term2 = jnp.einsum('bake,bakf->bef', Z, T_perm, precision=_HI)
+    Zq = jnp.einsum('jk,bake->baje', gram.q, T_perm, precision=_HI)
+    term3 = jnp.einsum('baje,bajf->bef', Zq, T_perm, precision=_HI)
     G = term1 + term2 + jnp.swapaxes(term2, -1, -2) + term3  # (B, E, E)
 
     SA = (
         jnp.einsum('bjac,jce->bae', glob_rotmats, gram.sd1, precision=_HI)
-        + jnp.einsum('j,bjae->bae', gram.W1, T_j, precision=_HI)
+        + jnp.einsum('j,baje->bae', gram.W1, T_perm, precision=_HI)
     )  # (B, 3, E)
     W = jnp.full((batch,), float(bm.num_vertices), dtype)
 
@@ -267,7 +273,7 @@ def fit_shape_gram(
             'bjac,abjce->be', glob_rotmats, Yk.reshape(3, batch, J, 3, E),
             precision=_HI,
         )
-        partB = jnp.einsum('bjae,abj->be', T_j, yk, precision=_HI)
+        partB = jnp.einsum('baje,abj->be', T_perm, yk, precision=_HI)
         r = partA + partB
     else:
         Sb = jnp.sum(b, axis=1)  # (B, 3)
@@ -278,7 +284,7 @@ def fit_shape_gram(
             Y = _vertex_moment_rhs(gram, field)  # (B, J, 3, E, 3)
             partA = jnp.einsum('bjac,bjcea->be', glob_rotmats, Y, precision=_HI)
             y = jnp.einsum('vj,bva->bja', bm.weights, field, precision=_HI)
-            partB = jnp.einsum('bjae,bja->be', T_j, y, precision=_HI)
+            partB = jnp.einsum('baje,bja->be', T_perm, y, precision=_HI)
             return partA + partB, y
 
         r, y_b = jac_dot(b)
@@ -409,7 +415,7 @@ def fit_shape_gram(
             # joint translation absorbs T_j x and the global translation.
             t2 = (
                 t_j
-                + jnp.einsum('bjae,be->bja', T_j, full_x, precision=_HI)
+                + jnp.einsum('baje,be->bja', T_perm, full_x, precision=_HI)
                 + new_trans[:, None]
             )
             pj2_cm = jnp.transpose(
@@ -433,7 +439,7 @@ def fit_shape_gram(
             # R̄ u rides the homogeneous blend: sd4's zero homogeneous row
             # makes u come out of its GEMM as [x y z 0].
             u_h = jnp.einsum('vce,be->bvc', gram.sd4, full_x, precision=_HI)
-            tx = jnp.einsum('bjae,be->bja', T_j, full_x, precision=_HI)
+            tx = jnp.einsum('baje,be->bja', T_perm, full_x, precision=_HI)
             result['vertices'] = (
                 pos
                 + jnp.einsum('bvac,bvc->bva', blended, u_h, precision=_HI)
