@@ -33,6 +33,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# --- kernel dot precision -------------------------------------------------
+# The package-wide matmul precision is 'highest' (6 bf16 passes per f32 dot
+# on the MXU). The kernels are MXU-bound, and their operands (skinning
+# weights, rotations, metre-scale positions, O(1) moments) are comfortably
+# conditioned for 3-pass f32 emulation (== jax Precision.HIGH, which Mosaic
+# does not support natively). We emulate it explicitly: split each operand
+# into bf16 hi + bf16 lo (~16 mantissa bits total) and take the three
+# highest-order cross products, accumulating in f32. This halves MXU time
+# versus 'highest' at ~1e-5 relative error - far inside the fit's f32
+# parity envelope (verified end-to-end against the reference oracle).
+
+
+def _split_bf16(x):
+    # hi/lo are bf16-valued but stored f32: Mosaic's bf16-dtype matmuls don't
+    # support all the dimension-number patterns used here, while f32 operands
+    # under Precision.DEFAULT lower to exactly one bf16 MXU pass each.
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _dot3(a, b, dimension_numbers):
+    """3-pass bf16 emulation of an f32 dot_general (Precision.HIGH)."""
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
+
+
+_MM = (((1,), (0,)), ((), ()))  # standard 2-D matmul dimension numbers
+
+
+def _mm3(a, b):
+    return _dot3(a, b, _MM)
+
+
 VC = 256  # vertex chunk (sublane dim of per-vertex tiles)
 
 _C0_0 = (((0,), (0,)), ((), ()))  # contract dim0 x dim0
@@ -96,16 +137,14 @@ def _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref):
     """
     w = wts_ref[:]
     homog = [
-        jnp.dot(consts_ref[c], feat_ref[:], preferred_element_type=jnp.float32)
+        _mm3(consts_ref[c], feat_ref[:])
         for c in range(4)
     ]  # 4 x (VC, TB)
     pos = []
     for a in range(3):
         acc = None
         for c in range(4):
-            blend_ac = jnp.dot(
-                w, pj_ref[a * 4 + c], preferred_element_type=jnp.float32
-            )  # (VC, TB)
+            blend_ac = _mm3(w, pj_ref[a * 4 + c])  # (VC, TB)
             term = blend_ac * homog[c]
             acc = term if acc is None else acc + term
         pos.append(acc)
@@ -124,11 +163,11 @@ def _rhs_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, msd_ref,
     pos = _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref)
     for a in range(3):
         b_a = tgt_ref[a] - pos[a]  # (VC, TB)
-        y_big_ref[a] += jax.lax.dot_general(
-            b_a, msd_ref[:], _C0_0, preferred_element_type=jnp.float32
+        y_big_ref[a] += _dot3(
+            b_a, msd_ref[:], _C0_0
         )  # (TB, P)
-        y_small_ref[a] += jax.lax.dot_general(
-            b_a, wts_ref[:], _C0_0, preferred_element_type=jnp.float32
+        y_small_ref[a] += _dot3(
+            b_a, wts_ref[:], _C0_0
         )  # (TB, J)
 
 
@@ -231,18 +270,18 @@ def _part_sums_kernel(t_ref, a_ref, pm_ref, raw_ref, st_ref, sa_ref):
     contract = (((0,), (1,)), ((), ()))  # lhs dim0 (VC) with pm dim1 (VC)
     for c in range(3):
         t_c = t_ref[c]  # (VC, TB)
-        st_ref[c] += jax.lax.dot_general(
-            t_c, pm, contract, preferred_element_type=jnp.float32
+        st_ref[c] += _dot3(
+            t_c, pm, contract
         )
         for d in range(3):
             a_d = a_ref[d]
             prod = t_c * a_d if a_batched else t_c * jnp.broadcast_to(a_d, t_c.shape)
-            raw_ref[c * 3 + d] += jax.lax.dot_general(
-                prod, pm, contract, preferred_element_type=jnp.float32
+            raw_ref[c * 3 + d] += _dot3(
+                prod, pm, contract
             )
     for d in range(3):
-        sa_ref[d] += jax.lax.dot_general(
-            a_ref[d], pm, contract, preferred_element_type=jnp.float32
+        sa_ref[d] += _dot3(
+            a_ref[d], pm, contract
         )
 
 
@@ -321,7 +360,7 @@ def _lbs_grads_chunk(g, pj_ref, feat_ref, wts_ref, consts_ref, dpj_ref, dfeat_re
     accumulate dpj (12, tb, J) and dfeat (F, tb)."""
     w = wts_ref[:]
     homog = [
-        jnp.dot(consts_ref[c], feat_ref[:], preferred_element_type=jnp.float32)
+        _mm3(consts_ref[c], feat_ref[:])
         for c in range(4)
     ]
 
@@ -333,17 +372,17 @@ def _lbs_grads_chunk(g, pj_ref, feat_ref, wts_ref, consts_ref, dpj_ref, dfeat_re
     for a in range(3):
         for c in range(4):
             prod = g[a] * homog[c]  # (VC, TB)
-            dpj_ref[a * 4 + c] += jax.lax.dot_general(
-                prod, w, _C0_0, preferred_element_type=jnp.float32
+            dpj_ref[a * 4 + c] += _dot3(
+                prod, w, _C0_0
             )  # (TB, J)
     for c in range(4):
         u_c = None
         for a in range(3):
-            blend_ac = jnp.dot(w, pj_ref[a * 4 + c], preferred_element_type=jnp.float32)
+            blend_ac = _mm3(w, pj_ref[a * 4 + c])
             term = blend_ac * g[a]
             u_c = term if u_c is None else u_c + term
-        dfeat_ref[:] += jax.lax.dot_general(
-            consts_ref[c], u_c, _C0_0, preferred_element_type=jnp.float32
+        dfeat_ref[:] += _dot3(
+            consts_ref[c], u_c, _C0_0
         )  # (F, TB)
 
 
@@ -410,10 +449,10 @@ def _rhs_bwd_kernel(gY_ref, gy_ref, pj_ref, feat_ref, wts_ref, consts_ref, msd_r
     contract_last = (((1,), (1,)), ((), ()))
     fstar = []
     for a in range(3):
-        f_a = jax.lax.dot_general(
-            msd_ref[:], gY_ref[a], contract_last, preferred_element_type=jnp.float32
-        ) + jax.lax.dot_general(
-            wts_ref[:], gy_ref[a], contract_last, preferred_element_type=jnp.float32
+        f_a = _dot3(
+            msd_ref[:], gY_ref[a], contract_last
+        ) + _dot3(
+            wts_ref[:], gy_ref[a], contract_last
         )  # (VC, TB)
         dtgt_ref[a] = f_a
         fstar.append(-f_a)
@@ -511,8 +550,7 @@ def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
 
     # W[c*3+d] = pm^T graw_cd -> (VC, TB): per-vertex spread of part grads.
     W = [
-        jax.lax.dot_general(pm, graw_ref[x], contract_j,
-                            preferred_element_type=jnp.float32)
+        _dot3(pm, graw_ref[x], contract_j)
         for x in range(9)
     ]  # each (VC, TB)
     t = [t_ref[c] for c in range(3)]
@@ -524,16 +562,14 @@ def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
     )
 
     for c in range(3):
-        acc = jax.lax.dot_general(pm, gst_ref[c], contract_j,
-                                  preferred_element_type=jnp.float32)
+        acc = _dot3(pm, gst_ref[c], contract_j)
         for d in range(3):
             acc += W[c * 3 + d] * a[d]
         dt_ref[c] = acc
 
     if a_batched:
         for d in range(3):
-            acc = jax.lax.dot_general(pm, gsa_ref[d], contract_j,
-                                      preferred_element_type=jnp.float32)
+            acc = _dot3(pm, gsa_ref[d], contract_j)
             for c in range(3):
                 acc += W[c * 3 + d] * t[c]
             da_ref[d] = acc
@@ -541,8 +577,8 @@ def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
         @pl.when(i == 0)
         def _():
             for d in range(3):
-                da_ref[d] = jax.lax.dot_general(
-                    pm, gsa_ref[d], contract_j, preferred_element_type=jnp.float32
+                da_ref[d] = _dot3(
+                    pm, gsa_ref[d], contract_j
                 )
         for d in range(3):
             acc = None
