@@ -268,12 +268,12 @@ def fit_shape_gram(
     if k_mode is not None:
         # Combine the kernel's component-major moments with the rotations.
         # Σ_v b_v = Σ_j y_j (skinning weight rows sum to 1).
-        Sb = jnp.sum(yk, axis=2).T  # (B, 3)
+        Sb = jnp.sum(yk, axis=1).T  # yk is (3, J, B) -> (B, 3)
         partA = jnp.einsum(
             'bjac,abjce->be', glob_rotmats, Yk.reshape(3, batch, J, 3, E),
             precision=_HI,
         )
-        partB = jnp.einsum('baje,abj->be', T_perm, yk, precision=_HI)
+        partB = jnp.einsum('baje,ajb->be', T_perm, yk, precision=_HI)
         r = partA + partB
     else:
         Sb = jnp.sum(b, axis=1)  # (B, 3)

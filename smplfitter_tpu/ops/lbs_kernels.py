@@ -78,6 +78,7 @@ VC = 256  # vertex chunk (sublane dim of per-vertex tiles)
 
 _C0_0 = (((0,), (0,)), ((), ()))  # contract dim0 x dim0
 
+
 FORCE_INTERPRET = False  # set True in tests to exercise kernels on CPU
 _DISABLED = False
 
@@ -166,9 +167,8 @@ def _rhs_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, msd_ref,
         y_big_ref[a] += _dot3(
             b_a, msd_ref[:], _C0_0
         )  # (TB, P)
-        y_small_ref[a] += _dot3(
-            b_a, wts_ref[:], _C0_0
-        )  # (TB, J)
+        # Parts-major (J, TB): J=24 on output lanes would pad 24 -> 128.
+        y_small_ref[a] += _dot3(wts_ref[:], b_a, _C0_0)  # (J, TB)
 
 
 def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
@@ -184,7 +184,7 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad
         msd_pad: (V_pad, P) moment matrix (zero rows in padding).
 
     Returns:
-        Y (3, B, P) = Σ_v b_v ⊗ msd_v and y (3, B, J) = Σ_v w_vj b_v.
+        Y (3, B, P) = Σ_v b_v ⊗ msd_v and y (3, J, B) = Σ_v w_vj b_v.
     """
     _, v_pad, B = tgt_vm.shape
     J = weights_pad.shape[1]
@@ -207,11 +207,11 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad
         ],
         out_specs=[
             pl.BlockSpec((3, tb, P), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((3, B, P), jnp.float32),
-            jax.ShapeDtypeStruct((3, B, J), jnp.float32),
+            jax.ShapeDtypeStruct((3, J, B), jnp.float32),
         ],
         interpret=interpret,
     )(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad)
@@ -267,22 +267,19 @@ def _part_sums_kernel(t_ref, a_ref, pm_ref, raw_ref, st_ref, sa_ref):
         sa_ref[:] = jnp.zeros_like(sa_ref)
 
     pm = pm_ref[:]  # (J, VC)
-    contract = (((0,), (1,)), ((), ()))  # lhs dim0 (VC) with pm dim1 (VC)
+    # Sums are produced parts-major (J, TB): with J=24 on the output LANES the
+    # MXU would pad 24 -> 128 (5.3x waste); as the output SUBLANE dim the pad
+    # is 24 -> 32.
+    contract = (((1,), (0,)), ((), ()))  # pm dim1 (VC) with points dim0 (VC)
     for c in range(3):
         t_c = t_ref[c]  # (VC, TB)
-        st_ref[c] += _dot3(
-            t_c, pm, contract
-        )
+        st_ref[c] += _dot3(pm, t_c, contract)
         for d in range(3):
             a_d = a_ref[d]
             prod = t_c * a_d if a_batched else t_c * jnp.broadcast_to(a_d, t_c.shape)
-            raw_ref[c * 3 + d] += _dot3(
-                prod, pm, contract
-            )
+            raw_ref[c * 3 + d] += _dot3(pm, prod, contract)
     for d in range(3):
-        sa_ref[d] += _dot3(
-            a_ref[d], pm, contract
-        )
+        sa_ref[d] += _dot3(pm, a_ref[d], contract)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -300,10 +297,10 @@ def part_sums_vm(t_vm, a_vm, pm, interpret: bool = False):
     raw, st, sa = _part_sums_diff(t_vm, a_vm, pm, interpret)
     B = t_vm.shape[2]
     J = pm.shape[0]
-    # raw rows ordered (c, d); move batch to front, parts next.
-    raw_b = jnp.transpose(raw, (1, 2, 0)).reshape(B, J, 3, 3)
-    s_t = jnp.transpose(st, (1, 2, 0))
-    s_a = jnp.transpose(sa, (1, 2, 0))
+    # raw is (9, J, B) with rows ordered (c, d); move batch to front, parts next.
+    raw_b = jnp.transpose(raw, (2, 1, 0)).reshape(B, J, 3, 3)
+    s_t = jnp.transpose(st, (2, 1, 0))
+    s_a = jnp.transpose(sa, (2, 1, 0))
     return raw_b, s_t, s_a
 
 
@@ -329,18 +326,18 @@ def _part_sums_impl(t_vm, a_vm, pm, interpret: bool = False):
             pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((9, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (3, tba, J),
-                (lambda i, k: (0, i, 0)) if Ba == B else (lambda i, k: (0, 0, 0)),
+                (3, J, tba),
+                (lambda i, k: (0, 0, i)) if Ba == B else (lambda i, k: (0, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((9, B, J), jnp.float32),
-            jax.ShapeDtypeStruct((3, B, J), jnp.float32),
-            jax.ShapeDtypeStruct((3, Ba, J), jnp.float32),
+            jax.ShapeDtypeStruct((9, J, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, J, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, J, Ba), jnp.float32),
         ],
         interpret=interpret,
     )(t_vm, a_vm, pm)
@@ -447,12 +444,13 @@ def _rhs_bwd_kernel(gY_ref, gy_ref, pj_ref, feat_ref, wts_ref, consts_ref, msd_r
                     dtgt_ref, dpj_ref, dfeat_ref):
     k = pl.program_id(1)
     contract_last = (((1,), (1,)), ((), ()))
+    contract_j0 = (((1,), (0,)), ((), ()))  # wts (VC, J) dim1 with gy dim0 (J)
     fstar = []
     for a in range(3):
         f_a = _dot3(
             msd_ref[:], gY_ref[a], contract_last
         ) + _dot3(
-            wts_ref[:], gy_ref[a], contract_last
+            wts_ref[:], gy_ref[a], contract_j0
         )  # (VC, TB)
         dtgt_ref[a] = f_a
         fstar.append(-f_a)
@@ -474,7 +472,7 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, tb, P), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((12, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
@@ -546,7 +544,7 @@ def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
     tb = t_ref.shape[2]
     a_batched = a_ref.shape[2] == tb
     pm = pm_ref[:]  # (J, VC)
-    contract_j = (((0,), (1,)), ((), ()))  # pm dim0 (J) with grad dim1 (J)
+    contract_j = (((0,), (0,)), ((), ()))  # pm dim0 (J) with grad dim0 (J)
 
     # W[c*3+d] = pm^T graw_cd -> (VC, TB): per-vertex spread of part grads.
     W = [
@@ -607,11 +605,11 @@ def _part_sums_bwd(t_vm, a_vm, pm, graw, gst, gsa, interpret):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((J, VC), lambda k, i: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, tb, J), lambda k, i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tb, J), lambda k, i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, J, tb), lambda k, i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, tb), lambda k, i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (3, tba, J),
-                (lambda k, i: (0, i, 0)) if Ba == B else (lambda k, i: (0, 0, 0)),
+                (3, J, tba),
+                (lambda k, i: (0, 0, i)) if Ba == B else (lambda k, i: (0, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -63,7 +63,7 @@ class TestLbsKernels:
         )
         b = d['tgt'].transpose(2, 1, 0) - d['pos']  # (3, V, B)
         Y_ref = np.einsum('avb,vp->abp', b, d['msd'])
-        y_ref = np.einsum('avb,vj->abj', b, d['wts'])
+        y_ref = np.einsum('avb,vj->ajb', b, d['wts'])  # kernel returns (3, J, B)
         # The kernel dots run 3-pass bf16 f32-emulation; the error floor is
         # ~2e-5 of the accumulated-magnitude scale (Y entries reach ~1e3).
         scale_Y = np.max(np.abs(Y_ref))
@@ -190,7 +190,7 @@ class TestKernelVJPs:
         def loss_x(tgt, pj, feat):
             b = tgt - self._xla_pos(d, pj, feat)
             Y = jnp.einsum('avb,vp->abp', b, d['msd'])
-            y = jnp.einsum('avb,vj->abj', b, d['wts'])
+            y = jnp.einsum('avb,vj->ajb', b, d['wts'])
             return jnp.sum(jnp.sin(Y * 1e-3)) + jnp.sum(jnp.cos(y * 1e-2))
 
         gk = jax.grad(loss_k, argnums=(0, 1, 2))(d['tgt'], d['pj'], d['feat'])
