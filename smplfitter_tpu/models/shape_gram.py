@@ -254,10 +254,13 @@ def fit_shape_gram(
     # Z[b, a, (k,e)] = R2 @ Lsd reordered to ((j,c), (k,e)): one clean GEMM.
     Lsd2 = jnp.transpose(gram.Lsd, (0, 2, 1, 3)).reshape(J * 3, J * E)
     Z = (R2.reshape(batch * 3, J * 3) @ Lsd2).reshape(batch, 3, J, E)
-    term2 = jnp.einsum('bake,bakf->bef', Z, T_perm, precision=_HI)
     Zq = jnp.einsum('jk,bake->baje', gram.q, T_perm, precision=_HI)
-    term3 = jnp.einsum('baje,bajf->bef', Zq, T_perm, precision=_HI)
-    G = term1 + term2 + jnp.swapaxes(term2, -1, -2) + term3  # (B, E, E)
+    # All remaining Gramian pieces are U^T V products over a (3*J)-sized axis.
+    # Batch them into ONE GEMM and symmetrize once: with Zq/2 in U (its
+    # product with T is already symmetric), M + M^T yields
+    # sym(Z^T T) + T^T q T (+ the joints block, appended below).
+    U_blocks = [Z.reshape(batch, 3 * J, E), 0.5 * Zq.reshape(batch, 3 * J, E)]
+    V_blocks = [T_perm.reshape(batch, 3 * J, E)] * 2
 
     SA = (
         jnp.einsum('bjac,jce->bae', glob_rotmats, gram.sd1, precision=_HI)
@@ -294,11 +297,20 @@ def fit_shape_gram(
         bJ = target_joints - p_j
         jw = joint_weights if joint_weights is not None else jnp.ones((batch, J), dtype)
         wjac = P_j * jw[..., None, None]
-        G = G + jnp.einsum('bjae,bjaf->bef', wjac, P_j, precision=_HI)
+        U_blocks.append(0.5 * wjac.reshape(batch, J * 3, E))
+        V_blocks.append(P_j.reshape(batch, J * 3, E))
         r = r + jnp.einsum('bjae,bja->be', wjac, bJ, precision=_HI)
         SA = SA + jnp.sum(wjac, axis=1)
         Sb = Sb + jnp.sum(bJ * jw[..., None], axis=1)
         W = W + jnp.sum(jw, axis=1)
+
+    M = jnp.einsum(
+        'bxe,bxf->bef',
+        jnp.concatenate(U_blocks, axis=1),
+        jnp.concatenate(V_blocks, axis=1),
+        precision=_HI,
+    )
+    G = term1 + M + jnp.swapaxes(M, -1, -2)  # (B, E, E)
 
     # --- optional scale column (XLA path only; see k_mode gate above) ---
     if scale_col:

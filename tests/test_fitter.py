@@ -128,8 +128,10 @@ class TestFitBasic:
             res['vertices'], res['joints'], num_iter=3, beta_regularizer=0.0,
             requested_keys=['pose_rotvecs', 'shape_betas'],
         )
+        # jit and eager pick different contraction orders for the fused
+        # Gramian GEMM; f32 reduction-order drift is ~1e-4.
         np.testing.assert_allclose(
-            np.asarray(fit['shape_betas']), np.asarray(eager['shape_betas']), atol=1e-4
+            np.asarray(fit['shape_betas']), np.asarray(eager['shape_betas']), atol=3e-4
         )
         v_err, _ = _roundtrip_errors(smpl_model, fit, res)
         assert v_err < 5e-2
