@@ -1,4 +1,18 @@
+"""End-to-end fit parity check against the reference NumPy oracle on the
+attached device. This is the numeric gate for any kernel/precision change:
+betas/pose must stay within ~2e-4 of the oracle and the reconstruction v2v
+within ~0.001 mm of the oracle's (bench.py's 50-mm-scale v2v guard alone is
+too coarse to catch e.g. 2e-2 beta drift).
+
+Usage: python benchmark/parity_check.py
+"""
+
 import sys
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
 import numpy as np
 import jax
 jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_compilation_cache')
