@@ -1328,7 +1328,7 @@ class BodyFitter:
                 ],
                 axis=1,
             )
-            rel = jnp.einsum('bjki,bjkl->bjil', parent_glob, glob_rotmats)
+            rel = rot_ops.matmul3x3(parent_glob, glob_rotmats, transpose_a=True)
             result['relative_orientations'] = rel
             if 'pose_rotvecs' in requested_keys:
                 rotvecs = rot_ops.mat2rotvec(rel)

@@ -167,7 +167,7 @@ class BodyFitterOpt:
             ],
             axis=1,
         )
-        rel = jnp.einsum('bjki,bjkl->bjil', parent_glob, glob_final)
+        rel = rot_ops.matmul3x3(parent_glob, glob_final, transpose_a=True)
         pose_rotvecs = rot_ops.mat2rotvec(rel).reshape(batch, num_joints * 3)
 
         result = dict(

@@ -58,7 +58,7 @@ class GramData:
     weights_pad: jax.Array  # (V_pad, J)
     consts_pose: jax.Array  # (4, V_pad, P207+1): [posedirs4 | v_template4]
     consts_full: jax.Array  # (4, V_pad, P207+1+E): [... | sd4]
-    msd_pad: jax.Array  # (V_pad, J*3*E)
+    sd_cm: jax.Array  # (3, V_pad, E)   shape dirs, component-major (rhs kernel)
     n_ext: int = struct.field(pytree_node=False)  # E = n_betas (+1 if kid)
 
 
@@ -104,7 +104,7 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
 
     # Msd[v, (j,c,e)] = w_vj SD_v[c,e]
     Msd = (w[:, :, None, None] * SD[:, None, :, :]).reshape(V, J * 3 * E)
-    msd_pad = pad_rows(Msd)
+    sd_cm = pad_rows(SD).transpose(1, 0, 2)  # (3, V_pad, E)
     # Ksd regrouped to row order ((j,c),(k,d)) matching X = R2ᵀR2 with
     # R2[b, a, (j,c)] — term1 is then ONE (B, 5184) x (5184, E*E) GEMM with no
     # 5-D intermediate formatting.
@@ -130,7 +130,7 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
         weights_pad=jnp.asarray(weights_pad, dtype),
         consts_pose=jnp.asarray(consts_pose, dtype),
         consts_full=jnp.asarray(consts_full, dtype),
-        msd_pad=jnp.asarray(msd_pad, dtype),
+        sd_cm=jnp.asarray(sd_cm, dtype),
         n_ext=E,
     )
 
@@ -224,9 +224,9 @@ def fit_shape_gram(
         feat_cols = jnp.concatenate(
             [rot_params, jnp.ones((batch, 1), dtype)], axis=1
         ).T
-        Yk, yk = lbs_kernels.rhs_moments(
+        rk, yk = lbs_kernels.rhs_moments(
             tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
-            gram.msd_pad, interpret=interp,
+            gram.sd_cm, interpret=interp,
         )
     else:
         # Per-vertex position at beta=0: LBS in homogeneous form. The posed
@@ -269,15 +269,12 @@ def fit_shape_gram(
     W = jnp.full((batch,), float(bm.num_vertices), dtype)
 
     if k_mode is not None:
-        # Combine the kernel's component-major moments with the rotations.
+        # The rotation part Σ_v (R̄ SD)ᵀ b comes straight out of the kernel;
+        # only the joint-translation part T̄ᵀ b needs the (J-space) sums.
         # Σ_v b_v = Σ_j y_j (skinning weight rows sum to 1).
         Sb = jnp.sum(yk, axis=1).T  # yk is (3, J, B) -> (B, 3)
-        partA = jnp.einsum(
-            'bjac,abjce->be', glob_rotmats, Yk.reshape(3, batch, J, 3, E),
-            precision=_HI,
-        )
         partB = jnp.einsum('baje,ajb->be', T_perm, yk, precision=_HI)
-        r = partA + partB
+        r = rk.T + partB
     else:
         Sb = jnp.sum(b, axis=1)  # (B, 3)
 

@@ -12,8 +12,9 @@ Three kernels (grid = (batch_tiles, vertex_chunks); vertex chunks innermost so
 per-batch-tile output blocks accumulate in VMEM across the sweep):
 
   - rhs_moments: extended-LBS positions + residuals against targets, reduced
-    on the fly into the moment-GEMM right side Y = Σ_v Msd_v ⊗ b_v and the
-    skinning sums y = Σ_v w_vj b_v (Σ_v b_v follows from y since skinning
+    on the fly into the shape-solve right side r = Σ_v (R̄_v SD_v)ᵀ b_v (the
+    rotation contraction folded in-kernel by reusing the LBS blends as R̄) and
+    the skinning sums y = Σ_v w_vj b_v (Σ_v b_v follows from y since skinning
     weight rows sum to 1). Replaces ~8 HBM-sized XLA ops of the shape solve.
   - lbs_points: extended LBS -> per-vertex points, written component-major.
     Reconstructs the shape solve's fitted mesh (pos + jac·x) in ONE pass by
@@ -128,7 +129,13 @@ def from_vertex_major(x_vm: jax.Array, num_vertices: int) -> jax.Array:
     return jnp.transpose(x_vm[:, :num_vertices], (2, 1, 0))
 
 
-def _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref):
+def _lbs_blend(pj_ref, wts_ref):
+    """12 blended [R|t] entries, each (VC, TB): blend[a*4+c] = w @ pj[a*4+c]."""
+    w = wts_ref[:]
+    return [_mm3(w, pj_ref[x]) for x in range(12)]
+
+
+def _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref, blend=None):
     """Shared extended-LBS chunk, all-2D: blended [R|t] applied to the
     homogeneous feature-projected template chunk.
 
@@ -136,44 +143,47 @@ def _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref):
     feat_ref: (F, TB). wts_ref: (VC, J). consts_ref: (4, VC, F).
     Returns [pos_x, pos_y, pos_z], each (VC, TB).
     """
-    w = wts_ref[:]
+    if blend is None:
+        blend = _lbs_blend(pj_ref, wts_ref)
     homog = [
         _mm3(consts_ref[c], feat_ref[:])
         for c in range(4)
     ]  # 4 x (VC, TB)
-    pos = []
-    for a in range(3):
-        acc = None
-        for c in range(4):
-            blend_ac = _mm3(w, pj_ref[a * 4 + c])  # (VC, TB)
-            term = blend_ac * homog[c]
-            acc = term if acc is None else acc + term
-        pos.append(acc)
-    return pos
+    return [
+        sum(blend[a * 4 + c] * homog[c] for c in range(4)) for a in range(3)
+    ]
 
 
-def _rhs_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, msd_ref,
-                y_big_ref, y_small_ref):
+def _rhs_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, sd_ref,
+                r_ref, y_small_ref):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
-        y_big_ref[:] = jnp.zeros_like(y_big_ref)
+        r_ref[:] = jnp.zeros_like(r_ref)
         y_small_ref[:] = jnp.zeros_like(y_small_ref)
 
-    pos = _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref)
+    blend = _lbs_blend(pj_ref, wts_ref)
+    pos = _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref, blend)
+    b = [tgt_ref[a] - pos[a] for a in range(3)]  # (VC, TB) residuals
     for a in range(3):
-        b_a = tgt_ref[a] - pos[a]  # (VC, TB)
-        y_big_ref[a] += _dot3(
-            b_a, msd_ref[:], _C0_0
-        )  # (TB, P)
         # Parts-major (J, TB): J=24 on output lanes would pad 24 -> 128.
-        y_small_ref[a] += _dot3(wts_ref[:], b_a, _C0_0)  # (J, TB)
+        y_small_ref[a] += _dot3(wts_ref[:], b[a], _C0_0)  # (J, TB)
+    # The shape-Jacobian contraction folded in-kernel: r_e = Σ_v Σ_c
+    # SD_v[c,e] (R̄_vᵀ b_v)_c, reusing the blends as R̄ columns. The joint-pair
+    # moment formulation would emit a (TB, J·3·E) block instead — a K=VC dot
+    # padded to 6 lane tiles that dominated this kernel.
+    acc = None
+    for c in range(3):
+        g_c = sum(blend[a * 4 + c] * b[a] for a in range(3))  # (VC, TB)
+        term = _dot3(sd_ref[c], g_c, _C0_0)  # (E, TB)
+        acc = term if acc is None else acc + term
+    r_ref[:] += acc
 
 
-def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
+def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
                       interpret: bool = False):
-    """Fused residual moments of the shape solve.
+    """Fused residual projection of the shape solve.
 
     Args:
         tgt_vm: (3, V_pad, B) targets, component-major.
@@ -181,14 +191,15 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad
         feat_cols: (F, B) homogeneous features (pose feature + constant 1).
         weights_pad: (V_pad, J) skinning weights (zero rows in padding).
         consts_pad: (4, V_pad, F) homogeneous template projector.
-        msd_pad: (V_pad, P) moment matrix (zero rows in padding).
+        sd_cm: (3, V_pad, E) shape directions, component-major.
 
     Returns:
-        Y (3, B, P) = Σ_v b_v ⊗ msd_v and y (3, J, B) = Σ_v w_vj b_v.
+        r (E, B) = Σ_v (R̄_v SD_v)ᵀ b_v (the rotation part of Σ jacᵀb)
+        and y (3, J, B) = Σ_v w_vj b_v.
     """
     _, v_pad, B = tgt_vm.shape
     J = weights_pad.shape[1]
-    P = msd_pad.shape[1]
+    E = sd_cm.shape[2]
     F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
     assert tb is not None and v_pad % VC == 0
@@ -203,18 +214,18 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, P), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((3, tb, P), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, B, P), jnp.float32),
+            jax.ShapeDtypeStruct((E, B), jnp.float32),
             jax.ShapeDtypeStruct((3, J, B), jnp.float32),
         ],
         interpret=interpret,
-    )(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad)
+    )(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm)
 
 
 def _lbs_points_kernel(pj_ref, feat_ref, wts_ref, consts_ref, out_ref):
@@ -440,29 +451,48 @@ def _lbs_points_bwd_rule(interpret, res, g):
 _lbs_points_diff.defvjp(_lbs_points_fwd, _lbs_points_bwd_rule)
 
 
-def _rhs_bwd_kernel(gY_ref, gy_ref, pj_ref, feat_ref, wts_ref, consts_ref, msd_ref,
-                    dtgt_ref, dpj_ref, dfeat_ref):
+def _rhs_bwd_kernel(gr_ref, gy_ref, tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref,
+                    sd_ref, dtgt_ref, dpj_ref, dfeat_ref):
     k = pl.program_id(1)
-    contract_last = (((1,), (1,)), ((), ()))
+    w = wts_ref[:]
+    homog = [_mm3(consts_ref[c], feat_ref[:]) for c in range(4)]
+    blend = _lbs_blend(pj_ref, wts_ref)
+    pos = [sum(blend[a * 4 + c] * homog[c] for c in range(4)) for a in range(3)]
+    b = [tgt_ref[a] - pos[a] for a in range(3)]
+    # Per-vertex spread of the r cotangent: G_c = SD_c @ gr, (VC, TB).
+    G = [_mm3(sd_ref[c], gr_ref[:]) for c in range(3)]
     contract_j0 = (((1,), (0,)), ((), ()))  # wts (VC, J) dim1 with gy dim0 (J)
-    fstar = []
+    db = []
     for a in range(3):
-        f_a = _dot3(
-            msd_ref[:], gY_ref[a], contract_last
-        ) + _dot3(
-            wts_ref[:], gy_ref[a], contract_j0
-        )  # (VC, TB)
-        dtgt_ref[a] = f_a
-        fstar.append(-f_a)
-    _lbs_grads_chunk(fstar, pj_ref, feat_ref, wts_ref, consts_ref,
-                     dpj_ref, dfeat_ref, k)
+        db_a = _dot3(wts_ref[:], gy_ref[a], contract_j0)  # (VC, TB)
+        for c in range(3):
+            db_a += blend[a * 4 + c] * G[c]
+        dtgt_ref[a] = db_a
+        db.append(db_a)
+
+    @pl.when(k == 0)
+    def _():
+        dpj_ref[:] = jnp.zeros_like(dpj_ref)
+        dfeat_ref[:] = jnp.zeros_like(dfeat_ref)
+
+    # blend enters twice: through pos (cotangent -db ⊙ homog) and, for the
+    # rotation columns, through g_c = Σ_a blend_ac b_a (cotangent G_c ⊙ b_a).
+    for a in range(3):
+        for c in range(4):
+            dblend = -db[a] * homog[c]
+            if c < 3:
+                dblend = dblend + G[c] * b[a]
+            dpj_ref[a * 4 + c] += _dot3(dblend, w, _C0_0)  # (TB, J)
+    for c in range(4):
+        dh_c = -sum(blend[a * 4 + c] * db[a] for a in range(3))
+        dfeat_ref[:] += _dot3(consts_ref[c], dh_c, _C0_0)  # (F, TB)
 
 
-def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
-                     gY, gy, interpret):
+def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
+                     gr, gy, interpret):
     _, v_pad, B = tgt_vm.shape
     J = weights_pad.shape[1]
-    P = msd_pad.shape[1]
+    E = sd_cm.shape[2]
     F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
     grid = (B // tb, v_pad // VC)
@@ -471,13 +501,14 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
         _rhs_bwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, tb, P), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((12, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, P), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
@@ -490,44 +521,44 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
             jax.ShapeDtypeStruct((F, B), jnp.float32),
         ],
         interpret=interpret,
-    )(gY, gy, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad)
+    )(gr, gy, tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm)
     return dtgt, jnp.transpose(dpj, (0, 2, 1)), dfeat
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
+def _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
                       interpret):
     return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                             msd_pad, interpret)
+                             sd_cm, interpret)
 
 
-def _rhs_moments_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
+def _rhs_moments_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
                      interpret):
     out = _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                            msd_pad, interpret)
-    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad)
+                            sd_cm, interpret)
+    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm)
 
 
 def _rhs_moments_bwd_rule(interpret, res, g):
-    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad = res
-    gY, gy = g
+    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm = res
+    gr, gy = g
     dtgt, dpj, dfeat = _rhs_moments_bwd(
-        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad, gY, gy,
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, gr, gy,
         interpret,
     )
     return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
-            jnp.zeros_like(consts_pad), jnp.zeros_like(msd_pad))
+            jnp.zeros_like(consts_pad), jnp.zeros_like(sd_cm))
 
 
 _rhs_moments_diff.defvjp(_rhs_moments_fwd, _rhs_moments_bwd_rule)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def rhs_moments(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, msd_pad,
+def rhs_moments(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
                 interpret: bool = False):
-    """Differentiable fused residual moments (see _rhs_moments_impl)."""
+    """Differentiable fused residual projection (see _rhs_moments_impl)."""
     return _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                             msd_pad, interpret)
+                             sd_cm, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))

@@ -38,36 +38,39 @@ class TestLbsKernels:
         from smplfitter_tpu.ops import lbs_kernels as K
 
         rng = np.random.default_rng(seed)
-        B, V, J, F, P = 16, 512, 24, 20, 33
+        B, V, J, F, E = 16, 512, 24, 20, 11
         tgt = rng.normal(size=(B, V, 3)).astype(np.float32)
         pj = rng.normal(size=(3, 4, J, B)).astype(np.float32)  # (a, c4, j, b)
         feat = rng.normal(size=(F, B)).astype(np.float32)
         wts = rng.uniform(0, 1, size=(V, J)).astype(np.float32)
         consts = rng.normal(size=(4, V, F)).astype(np.float32)
-        msd = rng.normal(size=(V, P)).astype(np.float32)
+        sd = rng.normal(size=(V, 3, E)).astype(np.float32)
         homog = np.einsum('cvf,fb->vcb', consts, feat)  # (V, 4, B)
         blended = np.einsum('vj,acjb->vacb', wts, pj)  # (V, 3, 4, B)
         pos = np.einsum('vacb,vcb->avb', blended, homog)  # (3, V, B)
         return K, jnp, dict(
             B=B, V=V, J=J, tgt=tgt, pj=pj, feat=feat, wts=wts, consts=consts,
-            msd=msd, pos=pos,
+            sd=sd, pos=pos, blended=blended,
         )
 
     def test_rhs_moments(self):
         K, jnp, d = self._setup()
         tgt_vm = K.to_vertex_major(jnp.asarray(d['tgt']), d['V'])
         pj_cm = jnp.asarray(d['pj'].reshape(12, d['J'], d['B']))
-        Y, y = K.rhs_moments(
+        r, y = K.rhs_moments(
             tgt_vm, pj_cm, jnp.asarray(d['feat']), jnp.asarray(d['wts']),
-            jnp.asarray(d['consts']), jnp.asarray(d['msd']), interpret=True,
+            jnp.asarray(d['consts']), jnp.asarray(d['sd'].transpose(1, 0, 2)),
+            interpret=True,
         )
         b = d['tgt'].transpose(2, 1, 0) - d['pos']  # (3, V, B)
-        Y_ref = np.einsum('avb,vp->abp', b, d['msd'])
+        # r_e = Σ_v Σ_c SD_v[c,e] (R̄_vᵀ b_v)_c with R̄[a,c] = blended[v,a,c,b]
+        g = np.einsum('vacb,avb->cvb', d['blended'][:, :, :3], b)
+        r_ref = np.einsum('vce,cvb->eb', d['sd'], g)
         y_ref = np.einsum('avb,vj->ajb', b, d['wts'])  # kernel returns (3, J, B)
         # The kernel dots run 3-pass bf16 f32-emulation; the error floor is
-        # ~2e-5 of the accumulated-magnitude scale (Y entries reach ~1e3).
-        scale_Y = np.max(np.abs(Y_ref))
-        np.testing.assert_allclose(np.asarray(Y), Y_ref, rtol=2e-4, atol=5e-5 * scale_Y)
+        # ~2e-5 of the accumulated-magnitude scale.
+        scale_r = np.max(np.abs(r_ref))
+        np.testing.assert_allclose(np.asarray(r), r_ref, rtol=2e-4, atol=5e-5 * scale_r)
         scale_y = np.max(np.abs(y_ref))
         np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=5e-5 * scale_y)
 
@@ -122,26 +125,27 @@ class TestKernelVJPs:
         import jax.numpy as jnp
 
         rng = np.random.default_rng(0)
-        B, V, J, F, P = 16, 256, 12, 15, 21
+        B, V, J, F, E = 16, 256, 12, 15, 9
         d = dict(
             tgt=jnp.asarray(rng.normal(size=(3, V, B)).astype(np.float32)),
             pj=jnp.asarray(rng.normal(size=(12, J, B)).astype(np.float32)),
             feat=jnp.asarray(rng.normal(size=(F, B)).astype(np.float32)),
             wts=jnp.asarray(rng.uniform(0, 1, size=(V, J)).astype(np.float32)),
             consts=jnp.asarray(rng.normal(size=(4, V, F)).astype(np.float32)),
-            msd=jnp.asarray(rng.normal(size=(V, P)).astype(np.float32)),
-            shape=(B, V, J, F, P),
+            sd_cm=jnp.asarray(rng.normal(size=(3, V, E)).astype(np.float32)),
+            shape=(B, V, J, F, E),
         )
         return d
 
     @staticmethod
-    def _xla_pos(d, pj, feat):
+    def _xla_pos(d, pj, feat, return_blended=False):
         import jax.numpy as jnp
 
-        B, V, J, F, P = d['shape']
+        B, V, J, F, E = d['shape']
         homog = jnp.einsum('cvf,fb->cvb', d['consts'], feat)
         blended = jnp.einsum('vj,xjb->xvb', d['wts'], pj).reshape(3, 4, V, B)
-        return jnp.einsum('acvb,cvb->avb', blended, homog)
+        pos = jnp.einsum('acvb,cvb->avb', blended, homog)
+        return (pos, blended) if return_blended else pos
 
     def _assert_close(self, gk, gx):
         for a, b in zip(gk, gx):
@@ -179,19 +183,21 @@ class TestKernelVJPs:
         d = self._setup()
 
         def loss_k(tgt, pj, feat):
-            Y, y = K.rhs_moments(tgt, pj, feat, d['wts'], d['consts'], d['msd'],
-                                 interpret=True)
-            # Arguments are normalized before the nonlinearity: Y reaches ~1e3
+            r, y = K.rhs_moments(tgt, pj, feat, d['wts'], d['consts'],
+                                 d['sd_cm'], interpret=True)
+            # Arguments are normalized before the nonlinearity: r reaches ~1e3
             # and the kernel's 3-pass bf16 dots differ from exact f32 at
             # ~1e-5 relative, which sin/cos at raw scale would amplify
             # chaotically into the gradients.
-            return jnp.sum(jnp.sin(Y * 1e-3)) + jnp.sum(jnp.cos(y * 1e-2))
+            return jnp.sum(jnp.sin(r * 1e-3)) + jnp.sum(jnp.cos(y * 1e-2))
 
         def loss_x(tgt, pj, feat):
-            b = tgt - self._xla_pos(d, pj, feat)
-            Y = jnp.einsum('avb,vp->abp', b, d['msd'])
+            pos, blended = self._xla_pos(d, pj, feat, return_blended=True)
+            b = tgt - pos
+            g = jnp.einsum('acvb,avb->cvb', blended[:, :3], b)
+            r = jnp.einsum('cve,cvb->eb', d['sd_cm'], g)
             y = jnp.einsum('avb,vj->ajb', b, d['wts'])
-            return jnp.sum(jnp.sin(Y * 1e-3)) + jnp.sum(jnp.cos(y * 1e-2))
+            return jnp.sum(jnp.sin(r * 1e-3)) + jnp.sum(jnp.cos(y * 1e-2))
 
         gk = jax.grad(loss_k, argnums=(0, 1, 2))(d['tgt'], d['pj'], d['feat'])
         gx = jax.grad(loss_x, argnums=(0, 1, 2))(d['tgt'], d['pj'], d['feat'])
