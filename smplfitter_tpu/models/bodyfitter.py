@@ -237,16 +237,29 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
 
 
 def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weights,
-              target_vm=None, reference_vm=None):
+              target_vm=None, reference_vm=None, reference_spec=None):
     """Per-part weighted sums: raw = sum w t a^T (B, J, 3, 3), s_t = sum w t,
     s_a = sum w a, s_w = sum w. The centered cross-covariance about any centers
     (c_t, c_a) follows as ``raw - s_t c_a^T - c_t s_a^T + s_w c_t c_a^T``.
 
     One (J, N) x (N, 9B) membership GEMM does all parts at once — the loop-free
     formulation of /root/reference/src/smplfitter/np/bodyfitter.py:160-184.
+
+    When ``reference_spec`` is given (the shape solve's deferred-reconstruction
+    operands), the fused recon+part-sums kernel computes the reference mesh on
+    the fly in VMEM instead of reading it from HBM.
     """
     B_t = target_vm.shape[2] if target_vertices is None else target_vertices.shape[0]
     del target_vm  # recomputed below from target_vertices (CSE dedupes)
+    if reference_spec is not None:
+        v_pad = plan.pm_t_pad.shape[1]
+        target_vm = lbs_kernels.to_vertex_major(target_vertices, v_pad)
+        raw, s_t, s_a = lbs_kernels.recon_part_sums(
+            target_vm, reference_spec['pj_cm'], reference_spec['feat_cols'],
+            reference_spec['weights_pad'], reference_spec['consts_pad'],
+            plan.pm_t_pad, interpret=reference_spec['interpret'],
+        )
+        return raw, s_t, s_a, plan.part_counts
     if reference_vertices is not None:
         B_a = reference_vertices.shape[0]
     else:
@@ -352,6 +365,7 @@ def fit_global_rotations(
     vertex_weights,
     joint_weights,
     reference_vertices_vm=None,
+    reference_spec=None,
 ):
     """Per-part global orientations via bucketed Kabsch / swing+twist.
 
@@ -368,7 +382,7 @@ def fit_global_rotations(
 
     raw, s_t, s_a, s_w = part_sums(
         plan, target_vertices, reference_vertices, vertex_weights,
-        reference_vm=reference_vertices_vm,
+        reference_vm=reference_vertices_vm, reference_spec=reference_spec,
     )
     mt = plan.center_matrix @ target_joints  # (B, J, 3)
     ma = plan.center_matrix @ reference_joints  # (B_ref, J, 3)
@@ -441,6 +455,7 @@ def fit_global_rotations_dependent(
     trans,
     kid_factor,
     reference_vertices_vm=None,
+    reference_spec=None,
 ):
     """Final rotation adjustment: refine parts sequentially down the tree,
     re-anchoring each at its recomputed proximal joint to absorb bone-length
@@ -471,7 +486,7 @@ def fit_global_rotations_dependent(
 
     raw, s_t, s_a, s_w = part_sums(
         plan, target_vertices, reference_vertices, vertex_weights,
-        reference_vm=reference_vertices_vm,
+        reference_vm=reference_vertices_vm, reference_spec=reference_spec,
     )
 
     batch = target_vertices.shape[0]
@@ -989,7 +1004,15 @@ class BodyFitter:
             and vertex_weights is None
             and not (scale_target or scale_fit)
         )
-        recon_key = 'vertices_vm' if use_vm else 'vertices'
+        # With target joints given, the reconstructed mesh is consumed ONLY by
+        # the part-sum reductions — hand the rotation fits the deferred
+        # reconstruction operands instead of a materialized mesh (fused
+        # recon+part-sums kernel). Without target joints the mesh is also
+        # needed for joint regression, so it is materialized vertex-major.
+        if use_vm:
+            recon_key = 'recon_spec' if target_joints is not None else 'vertices_vm'
+        else:
+            recon_key = 'vertices'
 
         if initial_pose_rotvecs is not None or initial_shape_betas is not None:
             initial_forw = forward(
@@ -1058,6 +1081,7 @@ class BodyFitter:
                     vertex_weights,
                     joint_weights,
                     reference_vertices_vm=result.get('vertices_vm'),
+                    reference_spec=result.get('recon_spec'),
                 ),
                 glob_rotmats,
             )
@@ -1088,6 +1112,7 @@ class BodyFitter:
         if final_adjust_rots:
             ref_verts = result.get('vertices')
             ref_verts_vm = result.get('vertices_vm')
+            ref_spec = result.get('recon_spec')
             ref_joints = result['joints']
             ref_trans = result['trans']
             if scale_target:
@@ -1119,6 +1144,7 @@ class BodyFitter:
                     glob_rotmats, result['shape_betas'], None, ref_trans,
                     result['kid_factor'],
                     reference_vertices_vm=ref_verts_vm,
+                    reference_spec=ref_spec,
                 )
 
         if 'joints' in requested_keys or 'vertices' in requested_keys:
@@ -1151,6 +1177,7 @@ class BodyFitter:
         if 'vertices' not in requested_keys:
             result.pop('vertices', None)
         result.pop('vertices_vm', None)
+        result.pop('recon_spec', None)
         return {k: v for k, v in result.items() if v is not None}
 
     # -- known-pose / known-shape -------------------------------------------

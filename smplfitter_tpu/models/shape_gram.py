@@ -417,7 +417,12 @@ def fit_shape_gram(
             + jnp.einsum('bjae,be->bja', P_j, full_x, precision=_HI)
             + new_trans[:, None]
         )
-    if 'vertices' in requested_keys or 'vertices_vm' in requested_keys:
+    recon_requested = (
+        'vertices' in requested_keys
+        or 'vertices_vm' in requested_keys
+        or 'recon_spec' in requested_keys
+    )
+    if recon_requested:
         if k_mode is not None:
             # One extended-LBS kernel pass reconstructs pos + jac·x + trans:
             # the beta step folds into the homogeneous features [f; 1; x], the
@@ -433,16 +438,26 @@ def fit_shape_gram(
             f2_cols = jnp.concatenate(
                 [rot_params, jnp.ones((batch, 1), dtype), full_x], axis=1
             ).T
-            recon_vm = lbs_kernels.lbs_points(
-                pj2_cm, f2_cols, gram.weights_pad, gram.consts_full,
-                interpret=interp,
-            )
-            if 'vertices_vm' in requested_keys:
-                result['vertices_vm'] = recon_vm
-            if 'vertices' in requested_keys:
-                result['vertices'] = lbs_kernels.from_vertex_major(
-                    recon_vm, bm.num_vertices
+            if 'recon_spec' in requested_keys:
+                # Deferred reconstruction: downstream part-sum consumers run
+                # the fused recon_part_sums kernel from these operands, so the
+                # mesh itself never needs to be materialized in HBM.
+                result['recon_spec'] = dict(
+                    pj_cm=pj2_cm, feat_cols=f2_cols,
+                    weights_pad=gram.weights_pad, consts_pad=gram.consts_full,
+                    interpret=interp,
                 )
+            if 'vertices_vm' in requested_keys or 'vertices' in requested_keys:
+                recon_vm = lbs_kernels.lbs_points(
+                    pj2_cm, f2_cols, gram.weights_pad, gram.consts_full,
+                    interpret=interp,
+                )
+                if 'vertices_vm' in requested_keys:
+                    result['vertices_vm'] = recon_vm
+                if 'vertices' in requested_keys:
+                    result['vertices'] = lbs_kernels.from_vertex_major(
+                        recon_vm, bm.num_vertices
+                    )
         else:
             # vertices = pos + jac·x + trans, jac·x = R̄ (SD x) + skin(T x).
             # R̄ u rides the homogeneous blend: sd4's zero homogeneous row

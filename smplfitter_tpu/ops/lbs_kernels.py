@@ -567,6 +567,174 @@ def lbs_points(pj_cm, feat_cols, weights_pad, consts_pad, interpret: bool = Fals
     return _lbs_points_diff(pj_cm, feat_cols, weights_pad, consts_pad, interpret)
 
 
+def _recon_part_sums_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, pm_ref,
+                            raw_ref, st_ref, sa_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        raw_ref[:] = jnp.zeros_like(raw_ref)
+        st_ref[:] = jnp.zeros_like(st_ref)
+        sa_ref[:] = jnp.zeros_like(sa_ref)
+
+    # The reconstructed reference mesh (extended LBS of the just-solved betas)
+    # lives only in VMEM: the part sums consume it chunk by chunk, so the
+    # (3, V_pad, B) recon never exists in HBM between the shape solve and the
+    # rotation fit.
+    pos = _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref)
+    pm = pm_ref[:]  # (J, VC)
+    contract = (((1,), (0,)), ((), ()))  # pm dim1 (VC) with points dim0 (VC)
+    for c in range(3):
+        t_c = tgt_ref[c]  # (VC, TB)
+        st_ref[c] += _dot3(pm, t_c, contract)
+        for d in range(3):
+            raw_ref[c * 3 + d] += _dot3(pm, t_c * pos[d], contract)
+    for d in range(3):
+        sa_ref[d] += _dot3(pm, pos[d], contract)
+
+
+def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
+                          interpret: bool = False):
+    _, v_pad, B = tgt_vm.shape
+    J_lbs = weights_pad.shape[1]
+    J = pm.shape[0]
+    F = feat_cols.shape[0]
+    tb = pick_batch_tile(B)
+    assert tb is not None and v_pad % VC == 0
+    grid = (B // tb, v_pad // VC)
+
+    return pl.pallas_call(
+        _recon_part_sums_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, J, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, J, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, J, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm)
+
+
+def _recon_part_sums_bwd_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref,
+                                pm_ref, graw_ref, gst_ref, gsa_ref,
+                                dtgt_ref, dpj_ref, dfeat_ref):
+    k = pl.program_id(1)
+    pm = pm_ref[:]  # (J, VC)
+    contract_j = (((0,), (0,)), ((), ()))  # pm dim0 (J) with grad dim0 (J)
+    pos = _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref)
+    W = [_dot3(pm, graw_ref[x], contract_j) for x in range(9)]  # (VC, TB)
+    for c in range(3):
+        acc = _dot3(pm, gst_ref[c], contract_j)
+        for d in range(3):
+            acc += W[c * 3 + d] * pos[d]
+        dtgt_ref[c] = acc
+    dpos = []
+    for d in range(3):
+        acc = _dot3(pm, gsa_ref[d], contract_j)
+        for c in range(3):
+            acc += W[c * 3 + d] * tgt_ref[c]
+        dpos.append(acc)
+    _lbs_grads_chunk(dpos, pj_ref, feat_ref, wts_ref, consts_ref,
+                     dpj_ref, dfeat_ref, k)
+
+
+def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
+                         graw, gst, gsa, interpret):
+    _, v_pad, B = tgt_vm.shape
+    J_lbs = weights_pad.shape[1]
+    J = pm.shape[0]
+    F = feat_cols.shape[0]
+    tb = pick_batch_tile(B)
+    grid = (B // tb, v_pad // VC)
+
+    dtgt, dpj, dfeat = pl.pallas_call(
+        _recon_part_sums_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tb, J_lbs), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32),
+            jax.ShapeDtypeStruct((12, B, J_lbs), jnp.float32),
+            jax.ShapeDtypeStruct((F, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, graw, gst, gsa)
+    return dtgt, jnp.transpose(dpj, (0, 2, 1)), dfeat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _recon_part_sums_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
+                          interpret):
+    return _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                                 pm, interpret)
+
+
+def _recon_part_sums_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
+                         interpret):
+    out = _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                                pm, interpret)
+    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm)
+
+
+def _recon_part_sums_bwd_rule(interpret, res, g):
+    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm = res
+    graw, gst, gsa = g
+    dtgt, dpj, dfeat = _recon_part_sums_bwd(
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, graw, gst, gsa,
+        interpret,
+    )
+    return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
+            jnp.zeros_like(consts_pad), jnp.zeros_like(pm))
+
+
+_recon_part_sums_diff.defvjp(_recon_part_sums_fwd, _recon_part_sums_bwd_rule)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def recon_part_sums(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
+                    interpret: bool = False):
+    """Fused reconstruction + per-part sums: extended LBS of the solved betas
+    feeds the part-sum reductions in VMEM, so the reference mesh never reaches
+    HBM. Returns raw (B, J, 3, 3), s_t (B, J, 3), s_a (B, J, 3) exactly like
+    :func:`part_sums_vm` with a batched reference."""
+    raw, st, sa = _recon_part_sums_diff(
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, interpret
+    )
+    B = tgt_vm.shape[2]
+    J = pm.shape[0]
+    raw_b = jnp.transpose(raw, (2, 1, 0)).reshape(B, J, 3, 3)
+    s_t = jnp.transpose(st, (2, 1, 0))
+    s_a = jnp.transpose(sa, (2, 1, 0))
+    return raw_b, s_t, s_a
+
+
 def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
                           dt_ref, da_ref):
     # Grid is (V_chunks, B_tiles) with batch innermost: the unbatched-reference

@@ -74,6 +74,30 @@ class TestLbsKernels:
         scale_y = np.max(np.abs(y_ref))
         np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=5e-5 * scale_y)
 
+    def test_recon_part_sums(self):
+        K, jnp, d = self._setup(seed=3)
+        rng = np.random.default_rng(4)
+        J = d['J']
+        V = d['V']
+        pm = np.zeros((J, V), np.float32)
+        pm[rng.integers(0, J, V), np.arange(V)] = 1.0
+        tgt_vm = K.to_vertex_major(jnp.asarray(d['tgt']), V)
+        pj_cm = jnp.asarray(d['pj'].reshape(12, J, d['B']))
+        raw, st, sa = K.recon_part_sums(
+            tgt_vm, pj_cm, jnp.asarray(d['feat']), jnp.asarray(d['wts']),
+            jnp.asarray(d['consts']), jnp.asarray(pm), interpret=True,
+        )
+        t = d['tgt']  # (B, V, 3)
+        a = d['pos'].transpose(2, 1, 0)  # (B, V, 3) reconstructed points
+        raw_ref = np.einsum('jv,bvc,bvd->bjcd', pm, t, a)
+        st_ref = np.einsum('jv,bvc->bjc', pm, t)
+        sa_ref = np.einsum('jv,bvc->bjc', pm, a)
+        scale = np.max(np.abs(raw_ref))
+        np.testing.assert_allclose(np.asarray(raw), raw_ref, atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(st), st_ref, rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sa), sa_ref, rtol=2e-4,
+                                   atol=2e-4 * np.max(np.abs(sa_ref)))
+
     def test_lbs_points(self):
         K, jnp, d = self._setup(seed=2)
         pj_cm = jnp.asarray(d['pj'].reshape(12, d['J'], d['B']))
@@ -198,6 +222,37 @@ class TestKernelVJPs:
             r = jnp.einsum('cve,cvb->eb', d['sd_cm'], g)
             y = jnp.einsum('avb,vj->ajb', b, d['wts'])
             return jnp.sum(jnp.sin(r * 1e-3)) + jnp.sum(jnp.cos(y * 1e-2))
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(d['tgt'], d['pj'], d['feat'])
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(d['tgt'], d['pj'], d['feat'])
+        self._assert_close(gk, gx)
+
+    def test_recon_part_sums_vjp(self):
+        import jax
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        d = self._setup()
+        B, V, J, F, E = d['shape']
+        rng = np.random.default_rng(2)
+        pm = np.zeros((J, V), np.float32)
+        pm[rng.integers(0, J, V), np.arange(V)] = 1.0
+        pm = jnp.asarray(pm)
+
+        def loss_k(tgt, pj, feat):
+            raw, st, sa = K.recon_part_sums(tgt, pj, feat, d['wts'], d['consts'],
+                                            pm, interpret=True)
+            return (jnp.sum(jnp.sin(raw * 1e-2)) + jnp.sum(st**2) * 1e-4
+                    + jnp.sum(jnp.cos(sa * 1e-2)))
+
+        def loss_x(tgt, pj, feat):
+            pos = self._xla_pos(d, pj, feat)  # (3, V, B)
+            raw = jnp.einsum('jv,cvb,dvb->bjcd', pm, tgt, pos)
+            st = jnp.einsum('jv,cvb->bjc', pm, tgt)
+            sa = jnp.einsum('jv,cvb->bjc', pm, pos)
+            return (jnp.sum(jnp.sin(raw * 1e-2)) + jnp.sum(st**2) * 1e-4
+                    + jnp.sum(jnp.cos(sa * 1e-2)))
 
         gk = jax.grad(loss_k, argnums=(0, 1, 2))(d['tgt'], d['pj'], d['feat'])
         gx = jax.grad(loss_x, argnums=(0, 1, 2))(d['tgt'], d['pj'], d['feat'])
