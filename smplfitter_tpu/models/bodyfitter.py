@@ -250,10 +250,10 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
     the fly in VMEM instead of reading it from HBM.
     """
     B_t = target_vm.shape[2] if target_vertices is None else target_vertices.shape[0]
-    del target_vm  # recomputed below from target_vertices (CSE dedupes)
+    v_pad = plan.pm_t_pad.shape[1]
     if reference_spec is not None:
-        v_pad = plan.pm_t_pad.shape[1]
-        target_vm = lbs_kernels.to_vertex_major(target_vertices, v_pad)
+        if target_vm is None:
+            target_vm = lbs_kernels.to_vertex_major(target_vertices, v_pad)
         raw, s_t, s_a = lbs_kernels.recon_part_sums(
             target_vm, reference_spec['pj_cm'], reference_spec['feat_cols'],
             reference_spec['weights_pad'], reference_spec['consts_pad'],
@@ -269,8 +269,8 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
         # Fused vertex-major kernel: t and a are read from HBM exactly once,
         # outer products formed in VMEM and contracted on the MXU. Unused
         # vertices have zero membership, so no gather is needed.
-        v_pad = plan.pm_t_pad.shape[1]
-        target_vm = lbs_kernels.to_vertex_major(target_vertices, v_pad)
+        if target_vm is None:
+            target_vm = lbs_kernels.to_vertex_major(target_vertices, v_pad)
         if reference_vm is None:
             reference_vm = lbs_kernels.to_vertex_major(reference_vertices, v_pad)
         raw, s_t, s_a = lbs_kernels.part_sums_vm(
@@ -366,6 +366,7 @@ def fit_global_rotations(
     joint_weights,
     reference_vertices_vm=None,
     reference_spec=None,
+    target_vm=None,
 ):
     """Per-part global orientations via bucketed Kabsch / swing+twist.
 
@@ -382,7 +383,8 @@ def fit_global_rotations(
 
     raw, s_t, s_a, s_w = part_sums(
         plan, target_vertices, reference_vertices, vertex_weights,
-        reference_vm=reference_vertices_vm, reference_spec=reference_spec,
+        target_vm=target_vm, reference_vm=reference_vertices_vm,
+        reference_spec=reference_spec,
     )
     mt = plan.center_matrix @ target_joints  # (B, J, 3)
     ma = plan.center_matrix @ reference_joints  # (B_ref, J, 3)
@@ -456,6 +458,7 @@ def fit_global_rotations_dependent(
     kid_factor,
     reference_vertices_vm=None,
     reference_spec=None,
+    target_vm=None,
 ):
     """Final rotation adjustment: refine parts sequentially down the tree,
     re-anchoring each at its recomputed proximal joint to absorb bone-length
@@ -486,7 +489,8 @@ def fit_global_rotations_dependent(
 
     raw, s_t, s_a, s_w = part_sums(
         plan, target_vertices, reference_vertices, vertex_weights,
-        reference_vm=reference_vertices_vm, reference_spec=reference_spec,
+        target_vm=target_vm, reference_vm=reference_vertices_vm,
+        reference_spec=reference_spec,
     )
 
     batch = target_vertices.shape[0]
@@ -625,6 +629,7 @@ def fit_shape(
     kid_regularizer_reference=None,
     requested_keys=(),
     gram=None,
+    target_vm=None,
 ):
     """Shape/translation (and optional kid/scale) linear solve for fixed rotations.
 
@@ -663,6 +668,7 @@ def fit_shape(
             beta_regularizer_reference,
             kid_regularizer_reference,
             requested_keys,
+            target_vm=target_vm,
         )
 
     batch = target_vertices.shape[0]
@@ -1011,8 +1017,16 @@ class BodyFitter:
         # needed for joint regression, so it is materialized vertex-major.
         if use_vm:
             recon_key = 'recon_spec' if target_joints is not None else 'vertices_vm'
+            # One transpose+pad of the targets for the whole fit: every kernel
+            # consumer receives this array, instead of re-deriving it (XLA
+            # fusion otherwise duplicates the (B, V, 3) -> (3, V_pad, B)
+            # relayout into each consumer).
+            tgt_vm = lbs_kernels.to_vertex_major(
+                target_vertices, self.plan.pm_t_pad.shape[1]
+            )
         else:
             recon_key = 'vertices'
+            tgt_vm = None
 
         if initial_pose_rotvecs is not None or initial_shape_betas is not None:
             initial_forw = forward(
@@ -1031,6 +1045,7 @@ class BodyFitter:
                     initial_forw['joints'] if target_joints is not None else None,
                     vertex_weights,
                     joint_weights,
+                    target_vm=tgt_vm,
                 ),
                 initial_forw['orientations'],
             )
@@ -1045,6 +1060,7 @@ class BodyFitter:
                 vertex_weights,
                 joint_weights,
                 reference_vertices_vm=plan.default_mesh_vm if use_vm else None,
+                target_vm=tgt_vm,
             )
 
         for _ in range(num_iter - 1):
@@ -1069,6 +1085,7 @@ class BodyFitter:
                 if target_joints is not None
                 else (recon_key,),
                 gram=self.gram,
+                target_vm=tgt_vm,
             )
             glob_rotmats = rot_ops.matmul3x3(
                 fit_global_rotations(
@@ -1082,6 +1099,7 @@ class BodyFitter:
                     joint_weights,
                     reference_vertices_vm=result.get('vertices_vm'),
                     reference_spec=result.get('recon_spec'),
+                    target_vm=tgt_vm,
                 ),
                 glob_rotmats,
             )
@@ -1107,6 +1125,7 @@ class BodyFitter:
             if (target_joints is not None or final_adjust_rots)
             else (recon_key,),
             gram=self.gram,
+            target_vm=tgt_vm,
         )
 
         if final_adjust_rots:
@@ -1145,6 +1164,7 @@ class BodyFitter:
                     result['kid_factor'],
                     reference_vertices_vm=ref_verts_vm,
                     reference_spec=ref_spec,
+                    target_vm=tgt_vm,
                 )
 
         if 'joints' in requested_keys or 'vertices' in requested_keys:

@@ -163,6 +163,7 @@ def fit_shape_gram(
     beta_regularizer_reference,
     kid_regularizer_reference,
     requested_keys=(),
+    target_vm=None,
 ) -> dict:
     """Drop-in replacement for the vertex block of ``fit_shape`` (no per-vertex
     runtime weights). Returns the same result dict."""
@@ -216,7 +217,11 @@ def fit_shape_gram(
 
     if k_mode is not None:
         v_pad = gram.weights_pad.shape[0]
-        tgt_vm = lbs_kernels.to_vertex_major(target_vertices, v_pad)
+        tgt_vm = (
+            target_vm
+            if target_vm is not None
+            else lbs_kernels.to_vertex_major(target_vertices, v_pad)
+        )
         # (B, J, 3, 4) -> (12=(a,c4), J, B)
         pj_cm = jnp.transpose(
             jnp.concatenate([glob_rotmats, t_j[..., None]], axis=3), (2, 3, 1, 0)
