@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from ..ops import lbs_kernels
 from ..ops import rotation as rot_ops
 from ..ops.precision import matmul_precision
 from ..utils import modeldata as _modeldata
@@ -70,6 +71,13 @@ class BodyModelData:
     kintree_parents: tuple = struct.field(pytree_node=False)
     model_name: str = struct.field(pytree_node=False)
     gender: str = struct.field(pytree_node=False)
+
+    # Optional fused-LBS kernel operands (f32 models only): zero-row-padded
+    # skinning weights (V_pad, J) and the component-major homogeneous template
+    # projector (4, V_pad, 207+1+S+1) ordered [posedirs | v_template |
+    # shapedirs | kid_shapedir]. None -> pure-XLA forward.
+    lbs_weights_pad: Optional[jax.Array] = None
+    lbs_consts: Optional[jax.Array] = None
 
     @property
     def num_joints(self) -> int:
@@ -151,12 +159,16 @@ def forward(
     glob_rotmats: Optional[jax.Array] = None,
     *,
     return_vertices: bool = True,
+    use_kernels: bool = True,
 ) -> dict:
     """Pure-functional body model forward pass.
 
     Same math as /root/reference/src/smplfitter/np/bodymodel.py:74-220; one of
     pose_rotvecs / rel_rotmats / glob_rotmats selects the rotation input (a
-    trace-time decision).
+    trace-time decision). On TPU with a batch divisible by 8, the
+    pose-blend + skinning runs as one fused Pallas pass (``use_kernels=False``
+    forces the pure-XLA formulation, e.g. to differentiate without the
+    kernel VJPs).
     """
     with matmul_precision():
         return _forward_impl(
@@ -168,6 +180,7 @@ def forward(
             rel_rotmats,
             glob_rotmats,
             return_vertices=return_vertices,
+            use_kernels=use_kernels,
         )
 
 
@@ -181,6 +194,7 @@ def _forward_impl(
     glob_rotmats: Optional[jax.Array] = None,
     *,
     return_vertices: bool = True,
+    use_kernels: bool = True,
 ) -> dict:
     num_joints = bm.num_joints
     parent_indices1 = np.array(bm.kintree_parents[1:])
@@ -235,6 +249,59 @@ def _forward_impl(
         return dict(joints=glob_positions + trans[:, None], orientations=glob_rotmats)
 
     pose_feature = rel_rotmats1.reshape(batch_size, (num_joints - 1) * 9)
+
+    k_mode = (
+        lbs_kernels.kernel_mode(batch_size)
+        if use_kernels and bm.lbs_consts is not None
+        else None
+    )
+    if k_mode is not None:
+        # Fused pose-blend + skinning: no (B, V, .) intermediate (posed
+        # template, blended transforms, homogeneous coords) touches HBM. The
+        # stored projector carries all S shapedirs columns; the slice+concat
+        # below narrows it to the betas actually used (constant-folded under
+        # jit, since the projector is a trace constant).
+        S = bm.num_betas
+        n_pose = bm.posedirs.shape[2]
+        base = n_pose + 1
+        consts = jnp.concatenate(
+            [bm.lbs_consts[:, :, : base + num_betas],
+             bm.lbs_consts[:, :, base + S:]], axis=2,
+        )
+        dtype = bm.v_template.dtype
+        translations = (
+            glob_positions - rot_ops.matvec3(glob_rotmats, j) + trans[:, None]
+        )
+        pj_cm = jnp.transpose(
+            jnp.concatenate(
+                [jnp.broadcast_to(glob_rotmats,
+                                  (batch_size, num_joints, 3, 3)),
+                 jnp.broadcast_to(translations[..., None],
+                                  (batch_size, num_joints, 3, 1))], axis=3
+            ),
+            (2, 3, 1, 0),
+        ).reshape(12, num_joints, batch_size)
+        feat = jnp.concatenate(
+            [
+                pose_feature,
+                jnp.ones((batch_size, 1), dtype),
+                shape_betas[:, :num_betas],
+                jnp.broadcast_to(
+                    jnp.reshape(kid_factor, (-1, 1)), (batch_size, 1)
+                ),
+            ],
+            axis=1,
+        ).T
+        verts_vm = lbs_kernels.lbs_points(
+            pj_cm, feat, bm.lbs_weights_pad, consts,
+            interpret=k_mode == 'interpret',
+        )
+        return dict(
+            vertices=lbs_kernels.from_vertex_major(verts_vm, bm.num_vertices),
+            joints=glob_positions + trans[:, None],
+            orientations=glob_rotmats,
+        )
+
     v_posed = (
         bm.v_template
         + jnp.einsum('vcp,bp->bvc', bm.shapedirs[:, :, :num_betas], shape_betas[:, :num_betas])
@@ -309,6 +376,40 @@ class BodyModel:
         # Host-side copy kept for fitter precompute (avoids device->host
         # transfers at fitter init — costly over a TPU tunnel).
         self.model_data = data
+
+        # Fused-LBS kernel operands (host NumPy precompute; see
+        # ops/lbs_kernels.py for the layout convention).
+        lbs_weights_pad = lbs_consts = None
+        if dtype == jnp.float32:
+            V = data.v_template.shape[0]
+            vc = lbs_kernels.VC
+            v_pad = -(-V // vc) * vc
+
+            def pad_rows(x):
+                return np.concatenate(
+                    [x, np.zeros((v_pad - V,) + x.shape[1:], x.dtype)], axis=0
+                )
+
+            v_template4 = np.concatenate(
+                [np.asarray(data.v_template), np.ones((V, 1))], axis=1
+            )
+            posedirs4 = np.concatenate(
+                [np.asarray(data.posedirs),
+                 np.zeros((V, 1, data.posedirs.shape[2]))], axis=1
+            )
+            sd4 = np.concatenate(
+                [np.asarray(data.shapedirs),
+                 np.zeros((V, 1, data.shapedirs.shape[2]))], axis=1
+            )
+            kid4 = np.concatenate(
+                [np.asarray(data.kid_shapedir), np.zeros((V, 1))], axis=1
+            )
+            consts = np.concatenate(
+                [posedirs4, v_template4[:, :, None], sd4, kid4[:, :, None]], axis=2
+            )
+            lbs_weights_pad = jnp.asarray(pad_rows(np.asarray(data.weights)), dtype)
+            lbs_consts = jnp.asarray(pad_rows(consts).transpose(1, 0, 2), dtype)
+
         self.data = BodyModelData(
             v_template=jnp.asarray(data.v_template, dtype),
             shapedirs=jnp.asarray(data.shapedirs, dtype),
@@ -322,6 +423,8 @@ class BodyModel:
             kintree_parents=tuple(int(p) for p in data.kintree_parents),
             model_name=self.model_name,
             gender=self.gender,
+            lbs_weights_pad=lbs_weights_pad,
+            lbs_consts=lbs_consts,
         )
         self.kintree_parents = list(self.data.kintree_parents)
         self.faces = data.faces
@@ -378,6 +481,7 @@ class BodyModel:
         glob_rotmats=None,
         *,
         return_vertices: bool = True,
+        use_kernels: bool = True,
     ) -> dict:
         """Compute vertices, joints and orientations for a batch. See :func:`forward`."""
         rot_inputs = [
@@ -414,7 +518,10 @@ class BodyModel:
             glob_rotmats=glob_rotmats,
         )
         args = {k: jnp.asarray(v) for k, v in args.items() if v is not None}
-        return forward(self.data, **args, return_vertices=return_vertices)
+        return forward(
+            self.data, **args, return_vertices=return_vertices,
+            use_kernels=use_kernels,
+        )
 
     def single(self, *args, return_vertices: bool = True, **kwargs) -> dict:
         """Unbatched wrapper: inputs without batch dim, outputs without batch dim."""

@@ -108,6 +108,30 @@ class TestLbsKernels:
         np.testing.assert_allclose(np.asarray(pts), d['pos'], rtol=2e-4, atol=2e-3)
 
 
+class TestForcedKernelForward:
+    def test_forward_kernel_vs_xla(self, smpl_model):
+        """BodyModel forward with the fused LBS kernel (interpret mode on CPU)
+        must match the XLA formulation."""
+        from smplfitter_tpu.ops import lbs_kernels
+
+        rng = np.random.default_rng(5)
+        pose = rng.normal(0, 0.3, (8, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (8, 10)).astype(np.float32)
+        trans = rng.normal(0, 0.5, (8, 3)).astype(np.float32)
+        plain = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            kernel = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        np.testing.assert_allclose(
+            np.asarray(kernel['vertices']), np.asarray(plain['vertices']), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(kernel['joints']), np.asarray(plain['joints']), atol=1e-6
+        )
+
+
 class TestForcedKernelFit:
     def test_full_fit_with_forced_kernels(self, smpl_model):
         """End-to-end fit with the component-major kernel path forced on CPU
