@@ -68,6 +68,22 @@ def _dot3(a, b, dimension_numbers):
     return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
 
 
+def _dot2_exact_a(a, b, dimension_numbers):
+    """2-pass f32-emulated dot for an ``a`` that is EXACTLY bf16-representable
+    (the 0/1 part-membership masks): a_lo == 0, so the a_lo x b_hi pass of
+    :func:`_dot3` is identically zero and skipped. Bit-identical result."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    b_hi, b_lo = _split_bf16(b)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo)
+
+
 _MM = (((1,), (0,)), ((), ()))  # standard 2-D matmul dimension numbers
 
 
@@ -284,13 +300,13 @@ def _part_sums_kernel(t_ref, a_ref, pm_ref, raw_ref, st_ref, sa_ref):
     contract = (((1,), (0,)), ((), ()))  # pm dim1 (VC) with points dim0 (VC)
     for c in range(3):
         t_c = t_ref[c]  # (VC, TB)
-        st_ref[c] += _dot3(pm, t_c, contract)
+        st_ref[c] += _dot2_exact_a(pm, t_c, contract)
         for d in range(3):
             a_d = a_ref[d]
             prod = t_c * a_d if a_batched else t_c * jnp.broadcast_to(a_d, t_c.shape)
-            raw_ref[c * 3 + d] += _dot3(pm, prod, contract)
+            raw_ref[c * 3 + d] += _dot2_exact_a(pm, prod, contract)
     for d in range(3):
-        sa_ref[d] += _dot3(pm, a_ref[d], contract)
+        sa_ref[d] += _dot2_exact_a(pm, a_ref[d], contract)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -586,11 +602,11 @@ def _recon_part_sums_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, pm_r
     contract = (((1,), (0,)), ((), ()))  # pm dim1 (VC) with points dim0 (VC)
     for c in range(3):
         t_c = tgt_ref[c]  # (VC, TB)
-        st_ref[c] += _dot3(pm, t_c, contract)
+        st_ref[c] += _dot2_exact_a(pm, t_c, contract)
         for d in range(3):
-            raw_ref[c * 3 + d] += _dot3(pm, t_c * pos[d], contract)
+            raw_ref[c * 3 + d] += _dot2_exact_a(pm, t_c * pos[d], contract)
     for d in range(3):
-        sa_ref[d] += _dot3(pm, pos[d], contract)
+        sa_ref[d] += _dot2_exact_a(pm, pos[d], contract)
 
 
 def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
@@ -635,15 +651,15 @@ def _recon_part_sums_bwd_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref,
     pm = pm_ref[:]  # (J, VC)
     contract_j = (((0,), (0,)), ((), ()))  # pm dim0 (J) with grad dim0 (J)
     pos = _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref)
-    W = [_dot3(pm, graw_ref[x], contract_j) for x in range(9)]  # (VC, TB)
+    W = [_dot2_exact_a(pm, graw_ref[x], contract_j) for x in range(9)]  # (VC, TB)
     for c in range(3):
-        acc = _dot3(pm, gst_ref[c], contract_j)
+        acc = _dot2_exact_a(pm, gst_ref[c], contract_j)
         for d in range(3):
             acc += W[c * 3 + d] * pos[d]
         dtgt_ref[c] = acc
     dpos = []
     for d in range(3):
-        acc = _dot3(pm, gsa_ref[d], contract_j)
+        acc = _dot2_exact_a(pm, gsa_ref[d], contract_j)
         for c in range(3):
             acc += W[c * 3 + d] * tgt_ref[c]
         dpos.append(acc)
@@ -747,7 +763,7 @@ def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
 
     # W[c*3+d] = pm^T graw_cd -> (VC, TB): per-vertex spread of part grads.
     W = [
-        _dot3(pm, graw_ref[x], contract_j)
+        _dot2_exact_a(pm, graw_ref[x], contract_j)
         for x in range(9)
     ]  # each (VC, TB)
     t = [t_ref[c] for c in range(3)]
@@ -759,14 +775,14 @@ def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
     )
 
     for c in range(3):
-        acc = _dot3(pm, gst_ref[c], contract_j)
+        acc = _dot2_exact_a(pm, gst_ref[c], contract_j)
         for d in range(3):
             acc += W[c * 3 + d] * a[d]
         dt_ref[c] = acc
 
     if a_batched:
         for d in range(3):
-            acc = _dot3(pm, gsa_ref[d], contract_j)
+            acc = _dot2_exact_a(pm, gsa_ref[d], contract_j)
             for c in range(3):
                 acc += W[c * 3 + d] * t[c]
             da_ref[d] = acc
@@ -774,8 +790,7 @@ def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
         @pl.when(i == 0)
         def _():
             for d in range(3):
-                da_ref[d] = _dot3(
-                    pm, gsa_ref[d], contract_j
+                da_ref[d] = _dot2_exact_a(pm, gsa_ref[d], contract_j
                 )
         for d in range(3):
             acc = None
