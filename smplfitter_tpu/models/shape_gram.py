@@ -59,6 +59,10 @@ class GramData:
     consts_pose: jax.Array  # (4, V_pad, P207+1): [posedirs4 | v_template4]
     consts_full: jax.Array  # (4, V_pad, P207+1+E): [... | sd4]
     sd_cm: jax.Array  # (3, V_pad, E)   shape dirs, component-major (rhs kernel)
+    # Gram-assembly kernel statics (batch-lane-major row orders):
+    Lz_e: jax.Array  # (J*3, E*J)  Lsd with rows (j,c), cols (e,k)
+    sd1_2d: jax.Array  # (J*3, E)  sd1 flattened (j,c)-major
+    W1_col: jax.Array  # (J, 1)
     n_ext: int = struct.field(pytree_node=False)  # E = n_betas (+1 if kid)
 
 
@@ -131,6 +135,11 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
         consts_pose=jnp.asarray(consts_pose, dtype),
         consts_full=jnp.asarray(consts_full, dtype),
         sd_cm=jnp.asarray(sd_cm, dtype),
+        Lz_e=jnp.asarray(
+            np.transpose(Lsd, (0, 2, 3, 1)).reshape(J * 3, E * J), dtype
+        ),
+        sd1_2d=jnp.asarray(sd1.reshape(J * 3, E), dtype),
+        W1_col=jnp.asarray(W1.reshape(J, 1), dtype),
         n_ext=E,
     )
 
@@ -249,70 +258,98 @@ def fit_shape_gram(
         b = target_vertices - pos  # (B, V, 3)
 
     # --- Gramian of the vertex block through the joint-pair moments ---
-    # X[(j,c),(k,d)] = Σ_a R[a,(j,c)] R[a,(k,d)] as a fused elementwise
-    # outer-product reduction (a K=3 batched matmul would relayout on the MXU).
-    R2 = jnp.transpose(glob_rotmats, (0, 2, 1, 3)).reshape(batch, 3, J * 3)
-    X = jnp.sum(R2[:, :, :, None] * R2[:, :, None, :], axis=1)  # (B, 3J, 3J)
-    term1 = (
-        X.reshape(batch, J * 3 * J * 3) @ gram.Ksd
-    ).reshape(batch, E, E)
-    # Z[b, a, (k,e)] = R2 @ Lsd reordered to ((j,c), (k,e)): one clean GEMM.
-    Lsd2 = jnp.transpose(gram.Lsd, (0, 2, 1, 3)).reshape(J * 3, J * E)
-    Z = (R2.reshape(batch * 3, J * 3) @ Lsd2).reshape(batch, 3, J, E)
-    Zq = jnp.einsum('jk,bake->baje', gram.q, T_perm, precision=_HI)
-    # All remaining Gramian pieces are U^T V products over a (3*J)-sized axis.
-    # Batch them into ONE GEMM and symmetrize once: with Zq/2 in U (its
-    # product with T is already symmetric), M + M^T yields
-    # sym(Z^T T) + T^T q T (+ the joints block, appended below).
-    U_blocks = [Z.reshape(batch, 3 * J, E), 0.5 * Zq.reshape(batch, 3 * J, E)]
-    V_blocks = [T_perm.reshape(batch, 3 * J, E)] * 2
-
-    SA = (
-        jnp.einsum('bjac,jce->bae', glob_rotmats, gram.sd1, precision=_HI)
-        + jnp.einsum('j,baje->bae', gram.W1, T_perm, precision=_HI)
-    )  # (B, 3, E)
-    W = jnp.full((batch,), float(bm.num_vertices), dtype)
-
-    if k_mode is not None:
-        # The rotation part Σ_v (R̄ SD)ᵀ b comes straight out of the kernel;
-        # only the joint-translation part T̄ᵀ b needs the (J-space) sums.
-        # Σ_v b_v = Σ_j y_j (skinning weight rows sum to 1).
-        Sb = jnp.sum(yk, axis=1).T  # yk is (3, J, B) -> (B, 3)
-        partB = jnp.einsum('baje,ajb->be', T_perm, yk, precision=_HI)
-        r = rk.T + partB
+    # Fast path: ONE batch-tile Pallas kernel assembles every per-instance
+    # quadratic form (term1, sym(Z^T T), (qT)^T T, joints block, SA, rhs
+    # moments) with batch in lanes — no (B, 3J, 3J) HBM intermediates. Gated
+    # on J*3 <= 96 so the in-kernel X (J3^2 rows) and Ksd fit VMEM; larger
+    # models (SMPL-X/SMPL+H) use the XLA assembly below.
+    use_gram_kernel = k_mode is not None and J * 3 <= 96
+    if use_gram_kernel:
+        has_joints = target_joints is not None
+        R_cm = jnp.transpose(glob_rotmats, (2, 1, 3, 0)).reshape(3, J * 3, batch)
+        T_cm = jnp.transpose(T_perm, (1, 3, 2, 0)).reshape(3, E * J, batch)
+        if has_joints:
+            P_cm = jnp.transpose(P_j, (2, 3, 1, 0)).reshape(3, E * J, batch)
+            bJ_cm = jnp.transpose(target_joints - p_j, (2, 1, 0))
+        else:
+            P_cm = jnp.zeros((3, 1, batch), dtype)
+            bJ_cm = jnp.zeros((3, 1, batch), dtype)
+        Gk, SAk, rbk, Sbk = lbs_kernels.gram_assembly(
+            R_cm, T_cm, yk, P_cm, bJ_cm, gram.Ksd, gram.Lz_e, gram.sd1_2d,
+            gram.q, gram.W1_col, has_joints=has_joints, interpret=interp,
+        )
+        G = Gk.T.reshape(batch, E, E)
+        SA = SAk.T.reshape(batch, 3, E)
+        r = rk.T + rbk.T
+        Sb = Sbk.T
+        W = jnp.full(
+            (batch,), float(bm.num_vertices) + (J if has_joints else 0), dtype
+        )
     else:
-        Sb = jnp.sum(b, axis=1)  # (B, 3)
+        # X[(j,c),(k,d)] = Σ_a R[a,(j,c)] R[a,(k,d)] as a fused elementwise
+        # outer-product reduction (a K=3 batched matmul would relayout on the MXU).
+        R2 = jnp.transpose(glob_rotmats, (0, 2, 1, 3)).reshape(batch, 3, J * 3)
+        X = jnp.sum(R2[:, :, :, None] * R2[:, :, None, :], axis=1)  # (B, 3J, 3J)
+        term1 = (
+            X.reshape(batch, J * 3 * J * 3) @ gram.Ksd
+        ).reshape(batch, E, E)
+        # Z[b, a, (k,e)] = R2 @ Lsd reordered to ((j,c), (k,e)): one clean GEMM.
+        Lsd2 = jnp.transpose(gram.Lsd, (0, 2, 1, 3)).reshape(J * 3, J * E)
+        Z = (R2.reshape(batch * 3, J * 3) @ Lsd2).reshape(batch, 3, J, E)
+        Zq = jnp.einsum('jk,bake->baje', gram.q, T_perm, precision=_HI)
+        # All remaining Gramian pieces are U^T V products over a (3*J)-sized axis.
+        # Batch them into ONE GEMM and symmetrize once: with Zq/2 in U (its
+        # product with T is already symmetric), M + M^T yields
+        # sym(Z^T T) + T^T q T (+ the joints block, appended below).
+        U_blocks = [Z.reshape(batch, 3 * J, E), 0.5 * Zq.reshape(batch, 3 * J, E)]
+        V_blocks = [T_perm.reshape(batch, 3 * J, E)] * 2
 
-        # --- rhs via the single large moment GEMM ---
-        def jac_dot(field):
-            """Σ_v jac_vᵀ field_v  -> (B, E)."""
-            Y = _vertex_moment_rhs(gram, field)  # (B, J, 3, E, 3)
-            partA = jnp.einsum('bjac,bjcea->be', glob_rotmats, Y, precision=_HI)
-            y = jnp.einsum('vj,bva->bja', bm.weights, field, precision=_HI)
-            partB = jnp.einsum('baje,bja->be', T_perm, y, precision=_HI)
-            return partA + partB, y
+        SA = (
+            jnp.einsum('bjac,jce->bae', glob_rotmats, gram.sd1, precision=_HI)
+            + jnp.einsum('j,baje->bae', gram.W1, T_perm, precision=_HI)
+        )  # (B, 3, E)
+        W = jnp.full((batch,), float(bm.num_vertices), dtype)
 
-        r, y_b = jac_dot(b)
+        if k_mode is not None:
+            # The rotation part Σ_v (R̄ SD)ᵀ b comes straight out of the kernel;
+            # only the joint-translation part T̄ᵀ b needs the (J-space) sums.
+            # Σ_v b_v = Σ_j y_j (skinning weight rows sum to 1).
+            Sb = jnp.sum(yk, axis=1).T  # yk is (3, J, B) -> (B, 3)
+            partB = jnp.einsum('baje,ajb->be', T_perm, yk, precision=_HI)
+            r = rk.T + partB
+        else:
+            Sb = jnp.sum(b, axis=1)  # (B, 3)
 
-    # --- joints block (small, direct) ---
-    if target_joints is not None:
-        bJ = target_joints - p_j
-        jw = joint_weights if joint_weights is not None else jnp.ones((batch, J), dtype)
-        wjac = P_j * jw[..., None, None]
-        U_blocks.append(0.5 * wjac.reshape(batch, J * 3, E))
-        V_blocks.append(P_j.reshape(batch, J * 3, E))
-        r = r + jnp.einsum('bjae,bja->be', wjac, bJ, precision=_HI)
-        SA = SA + jnp.sum(wjac, axis=1)
-        Sb = Sb + jnp.sum(bJ * jw[..., None], axis=1)
-        W = W + jnp.sum(jw, axis=1)
+            # --- rhs via the single large moment GEMM ---
+            def jac_dot(field):
+                """Σ_v jac_vᵀ field_v  -> (B, E)."""
+                Y = _vertex_moment_rhs(gram, field)  # (B, J, 3, E, 3)
+                partA = jnp.einsum('bjac,bjcea->be', glob_rotmats, Y, precision=_HI)
+                y = jnp.einsum('vj,bva->bja', bm.weights, field, precision=_HI)
+                partB = jnp.einsum('baje,bja->be', T_perm, y, precision=_HI)
+                return partA + partB, y
 
-    M = jnp.einsum(
-        'bxe,bxf->bef',
-        jnp.concatenate(U_blocks, axis=1),
-        jnp.concatenate(V_blocks, axis=1),
-        precision=_HI,
-    )
-    G = term1 + M + jnp.swapaxes(M, -1, -2)  # (B, E, E)
+            r, y_b = jac_dot(b)
+
+        # --- joints block (small, direct) ---
+        if target_joints is not None:
+            bJ = target_joints - p_j
+            jw = joint_weights if joint_weights is not None else jnp.ones((batch, J), dtype)
+            wjac = P_j * jw[..., None, None]
+            U_blocks.append(0.5 * wjac.reshape(batch, J * 3, E))
+            V_blocks.append(P_j.reshape(batch, J * 3, E))
+            r = r + jnp.einsum('bjae,bja->be', wjac, bJ, precision=_HI)
+            SA = SA + jnp.sum(wjac, axis=1)
+            Sb = Sb + jnp.sum(bJ * jw[..., None], axis=1)
+            W = W + jnp.sum(jw, axis=1)
+
+        M = jnp.einsum(
+            'bxe,bxf->bef',
+            jnp.concatenate(U_blocks, axis=1),
+            jnp.concatenate(V_blocks, axis=1),
+            precision=_HI,
+        )
+        G = term1 + M + jnp.swapaxes(M, -1, -2)  # (B, E, E)
 
     # --- optional scale column (XLA path only; see k_mode gate above) ---
     if scale_col:

@@ -861,3 +861,207 @@ def _part_sums_bwd_rule(interpret, res, g):
 
 
 _part_sums_diff.defvjp(_part_sums_fwd, _part_sums_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Gramian-assembly kernel: the shape solve's per-instance quadratic forms
+# (term1 = X:Ksd, sym(Z^T T), (qT)^T T, the joints block, SA, rhs moments)
+# computed per batch tile with batch in lanes. Replaces ~1.3 ms/iteration of
+# XLA relayout-heavy glue (copies/reshapes around (B, 3J, 3J) intermediates)
+# with a few MXU dots and sublane reductions. Semantics identical to the XLA
+# assembly in models/shape_gram.py (which remains the fallback and the
+# backward implementation).
+# ---------------------------------------------------------------------------
+
+
+def _gram_kernel(has_joints, E, J, r_ref, t_ref, y_ref, p_ref, bj_ref,
+                 ksd_ref, lz_ref, sd1_ref, q_ref, w1_ref,
+                 g_ref, sa_ref, rb_ref, sb_ref):
+    TB = r_ref.shape[2]
+    J3 = r_ref.shape[1]
+    R = [r_ref[a] for a in range(3)]  # (J3, TB)
+    T3 = [t_ref[a].reshape(E, J, TB) for a in range(3)]
+    P3 = [p_ref[a].reshape(E, J, TB) for a in range(3)] if has_joints else None
+
+    # term1 = Ksd : X with X[(jc),(kd)] = sum_a R_a[jc] R_a[kd] (VMEM-only).
+    X = None
+    for a in range(3):
+        Xa = (R[a][:, None, :] * R[a][None, :, :]).reshape(J3 * J3, TB)
+        X = Xa if X is None else X + Xa
+    G = _dot3(ksd_ref[:], X, _C0_0)  # (E*E, TB)
+
+    # Z rows (e, j): Z_a = Lz^T R_a.
+    Z3 = [_dot3(lz_ref[:], R[a], _C0_0).reshape(E, J, TB) for a in range(3)]
+    w1 = w1_ref[:]  # (J, 1)
+    q_t = (((1,), (0,)), ((), ()))  # q dim1 (k) with T dim0 (k)
+
+    m1_rows, m2_rows, m3_rows = [], [], []
+    for e in range(E):
+        acc1 = acc2 = acc3 = None
+        for a in range(3):
+            row1 = (T3[a] * Z3[a][e][None]).sum(axis=1)  # (E, TB): M1[e, :]
+            q_ae = _dot3(q_ref[:], T3[a][e], q_t)  # (J, TB)
+            row2 = (T3[a] * q_ae[None]).sum(axis=1)
+            acc1 = row1 if acc1 is None else acc1 + row1
+            acc2 = row2 if acc2 is None else acc2 + row2
+            if has_joints:
+                row3 = (P3[a] * P3[a][e][None]).sum(axis=1)
+                acc3 = row3 if acc3 is None else acc3 + row3
+        m1_rows.append(acc1)
+        m2_rows.append(acc2)
+        if has_joints:
+            m3_rows.append(acc3)
+    M1 = jnp.concatenate(m1_rows, axis=0)  # (E*E, TB), rows (e, f)
+    M1T = M1.reshape(E, E, TB).transpose(1, 0, 2).reshape(E * E, TB)
+    G = G + M1 + M1T + jnp.concatenate(m2_rows, axis=0)
+    if has_joints:
+        G = G + jnp.concatenate(m3_rows, axis=0)
+    g_ref[:] = G
+
+    sa_blocks = []
+    rb = None
+    sb_rows = []
+    for a in range(3):
+        s = _dot3(sd1_ref[:], R[a], _C0_0)  # (E, TB)
+        s = s + (T3[a] * w1[None]).sum(axis=1)
+        y_a = y_ref[a]  # (J, TB)
+        term = (T3[a] * y_a[None]).sum(axis=1)  # (E, TB)
+        sb_a = y_a.sum(axis=0, keepdims=True)  # (1, TB)
+        if has_joints:
+            s = s + P3[a].sum(axis=1)
+            term = term + (P3[a] * bj_ref[a][None]).sum(axis=1)
+            sb_a = sb_a + bj_ref[a].sum(axis=0, keepdims=True)
+        sa_blocks.append(s)
+        rb = term if rb is None else rb + term
+        sb_rows.append(sb_a)
+    sa_ref[:] = jnp.concatenate(sa_blocks, axis=0)  # (3E, TB)
+    rb_ref[:] = rb
+    sb_ref[:] = jnp.concatenate(sb_rows, axis=0)  # (3, TB)
+
+
+def _gram_tile(B: int) -> int:
+    for tb in (128, 64, 32, 16, 8):
+        if B % tb == 0:
+            return tb
+    raise ValueError(f'batch {B} not divisible by 8')
+
+
+def _gram_assembly_impl(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
+                        has_joints: bool, interpret: bool):
+    _, J3, B = R_cm.shape
+    E = sd1_2d.shape[1]
+    J = y_cm.shape[1]
+    EJ = T_cm.shape[1]
+    PJ = P_cm.shape[1]
+    tb = _gram_tile(B)
+    grid = (B // tb,)
+
+    kern = functools.partial(_gram_kernel, has_joints, E, J)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, J3, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, EJ, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, PJ, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bJ_cm.shape[1], tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J3 * J3, E * E), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J3, EJ), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J3, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((E * E, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * E, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((E * E, B), jnp.float32),
+            jax.ShapeDtypeStruct((3 * E, B), jnp.float32),
+            jax.ShapeDtypeStruct((E, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1)
+
+
+def gram_assembly_ref(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
+                      has_joints: bool):
+    """Pure-XLA statement of the gram-assembly math (fallback semantics and
+    the backward implementation of the custom VJP)."""
+    _, J3, B = R_cm.shape
+    E = sd1_2d.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    X = jnp.einsum('ajb,akb->jkb', R_cm, R_cm, precision=hi).reshape(J3 * J3, B)
+    G = jnp.einsum('xe,xb->eb', ksd, X, precision=hi)  # (E*E, B)
+    T3 = T_cm.reshape(3, E, -1, B)
+    Z3 = jnp.einsum('jx,ajb->axb', lz, R_cm, precision=hi).reshape(3, E, -1, B)
+    M1 = jnp.einsum('aejb,afjb->efb', Z3, T3, precision=hi)
+    Q3 = jnp.einsum('jk,aekb->aejb', q, T3, precision=hi)
+    M2 = jnp.einsum('aejb,afjb->efb', Q3, T3, precision=hi)
+    G = G + (M1 + jnp.swapaxes(M1, 0, 1) + M2).reshape(E * E, B)
+    SA = jnp.einsum('je,ajb->aeb', sd1_2d, R_cm, precision=hi) + jnp.einsum(
+        'j,aejb->aeb', w1[:, 0], T3, precision=hi
+    )
+    rb = jnp.einsum('aejb,ajb->eb', T3, y_cm, precision=hi)
+    Sb = jnp.sum(y_cm, axis=1)  # (3, B)
+    if has_joints:
+        P3 = P_cm.reshape(3, E, -1, B)
+        G = G + jnp.einsum('aejb,afjb->efb', P3, P3, precision=hi).reshape(E * E, B)
+        SA = SA + jnp.sum(P3, axis=2)
+        rb = rb + jnp.einsum('aejb,ajb->eb', P3, bJ_cm, precision=hi)
+        Sb = Sb + jnp.sum(bJ_cm, axis=1)
+    return G, SA.reshape(3 * E, B), rb, Sb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def _gram_assembly_diff(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
+                        has_joints, interpret):
+    return _gram_assembly_impl(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d,
+                               q, w1, has_joints, interpret)
+
+
+def _gram_assembly_fwd(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
+                       has_joints, interpret):
+    out = _gram_assembly_impl(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d,
+                              q, w1, has_joints, interpret)
+    return out, (R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1)
+
+
+def _gram_assembly_bwd(has_joints, interpret, res, g):
+    R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1 = res
+    _, vjp = jax.vjp(
+        lambda R, T, y, P, bJ: gram_assembly_ref(
+            R, T, y, P, bJ, ksd, lz, sd1_2d, q, w1, has_joints
+        ),
+        R_cm, T_cm, y_cm, P_cm, bJ_cm,
+    )
+    dR, dT, dy, dP, dbJ = vjp(tuple(g))
+    return (dR, dT, dy, dP, dbJ, jnp.zeros_like(ksd), jnp.zeros_like(lz),
+            jnp.zeros_like(sd1_2d), jnp.zeros_like(q), jnp.zeros_like(w1))
+
+
+_gram_assembly_diff.defvjp(_gram_assembly_fwd, _gram_assembly_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=('has_joints', 'interpret'))
+def gram_assembly(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
+                  has_joints: bool = False, interpret: bool = False):
+    """Fused shape-solve Gramian assembly (see :func:`gram_assembly_ref` for
+    the math). Inputs are batch-lane-major:
+
+        R_cm (3, J*3, B): glob rotmats, rows (j, c) j-major.
+        T_cm (3, E*J, B): joint translation Jacobian columns, rows (e, j).
+        y_cm (3, J, B): skinning-weighted residual sums (from rhs_moments).
+        P_cm (3, E*J, B), bJ_cm (3, J, B): joints block (dummies (3, 1, B)
+            when ``has_joints`` is False).
+        ksd (J3*J3, E*E), lz (J3, E*J), sd1_2d (J3, E), q (J, J), w1 (J, 1):
+            static joint-pair moments.
+
+    Returns G (E*E, B), SA (3E, B), rb (E, B), Sb (3, B).
+    """
+    return _gram_assembly_diff(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d,
+                               q, w1, has_joints, interpret)

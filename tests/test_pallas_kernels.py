@@ -350,3 +350,81 @@ class TestKernelVJPs:
         np.testing.assert_allclose(
             np.asarray(g_kernel) / scale, np.asarray(g_xla) / scale, atol=2e-3
         )
+
+
+class TestGramAssembly:
+    @pytest.mark.parametrize('has_joints', [False, True])
+    def test_matches_ref(self, has_joints):
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        rng = np.random.default_rng(6)
+        B, J, E = 16, 24, 10
+        J3 = J * 3
+        R = rng.normal(size=(3, J3, B)).astype(np.float32)
+        T = rng.normal(size=(3, E * J, B)).astype(np.float32)
+        y = rng.normal(size=(3, J, B)).astype(np.float32)
+        if has_joints:
+            P = rng.normal(size=(3, E * J, B)).astype(np.float32)
+            bJ = rng.normal(size=(3, J, B)).astype(np.float32)
+        else:
+            P = np.zeros((3, 1, B), np.float32)
+            bJ = np.zeros((3, 1, B), np.float32)
+        ksd = rng.normal(size=(J3 * J3, E * E)).astype(np.float32)
+        lz = rng.normal(size=(J3, E * J)).astype(np.float32)
+        sd1 = rng.normal(size=(J3, E)).astype(np.float32)
+        q = rng.normal(size=(J, J)).astype(np.float32)
+        w1 = rng.uniform(0, 1, size=(J, 1)).astype(np.float32)
+        args = [jnp.asarray(x) for x in (R, T, y, P, bJ, ksd, lz, sd1, q, w1)]
+        out_k = K.gram_assembly(*args, has_joints=has_joints, interpret=True)
+        out_r = K.gram_assembly_ref(*args, has_joints=has_joints)
+        for a, b in zip(out_k, out_r):
+            scale = max(1.0, float(np.abs(np.asarray(b)).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
+            )
+
+    def test_vjp_matches_ref(self):
+        import jax
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        rng = np.random.default_rng(7)
+        B, J, E = 8, 12, 5
+        J3 = J * 3
+        statics = (
+            jnp.asarray(rng.normal(size=(J3 * J3, E * E)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(J3, E * J)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(J3, E)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(J, J)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0, 1, size=(J, 1)).astype(np.float32)),
+        )
+        R = jnp.asarray(rng.normal(size=(3, J3, B)).astype(np.float32))
+        T = jnp.asarray(rng.normal(size=(3, E * J, B)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(3, J, B)).astype(np.float32))
+        P = jnp.asarray(rng.normal(size=(3, E * J, B)).astype(np.float32))
+        bJ = jnp.asarray(rng.normal(size=(3, J, B)).astype(np.float32))
+
+        def loss_k(R, T, y, P, bJ):
+            G, SA, rb, Sb = K.gram_assembly(
+                R, T, y, P, bJ, *statics, has_joints=True, interpret=True
+            )
+            return (jnp.sum(jnp.sin(G * 1e-2)) + jnp.sum(SA**2) * 1e-4
+                    + jnp.sum(jnp.cos(rb * 1e-2)) + jnp.sum(Sb**2) * 1e-4)
+
+        def loss_r(R, T, y, P, bJ):
+            G, SA, rb, Sb = K.gram_assembly_ref(
+                R, T, y, P, bJ, *statics, has_joints=True
+            )
+            return (jnp.sum(jnp.sin(G * 1e-2)) + jnp.sum(SA**2) * 1e-4
+                    + jnp.sum(jnp.cos(rb * 1e-2)) + jnp.sum(Sb**2) * 1e-4)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(R, T, y, P, bJ)
+        gx = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(R, T, y, P, bJ)
+        for a, b in zip(gk, gx):
+            scale = max(1.0, float(np.abs(np.asarray(b)).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
+            )
