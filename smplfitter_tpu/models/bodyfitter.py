@@ -253,7 +253,7 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
     v_pad = plan.pm_t_pad.shape[1]
     if reference_spec is not None:
         if target_vm is None:
-            target_vm = lbs_kernels.to_vertex_major(target_vertices, v_pad)
+            target_vm = lbs_kernels.to_vertex_major(target_vertices)
         raw, s_t, s_a = lbs_kernels.recon_part_sums(
             target_vm, reference_spec['pj_cm'], reference_spec['feat_cols'],
             reference_spec['weights_pad'], reference_spec['consts_pad'],
@@ -270,9 +270,9 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
         # outer products formed in VMEM and contracted on the MXU. Unused
         # vertices have zero membership, so no gather is needed.
         if target_vm is None:
-            target_vm = lbs_kernels.to_vertex_major(target_vertices, v_pad)
+            target_vm = lbs_kernels.to_vertex_major(target_vertices)
         if reference_vm is None:
-            reference_vm = lbs_kernels.to_vertex_major(reference_vertices, v_pad)
+            reference_vm = lbs_kernels.to_vertex_major(reference_vertices)
         raw, s_t, s_a = lbs_kernels.part_sums_vm(
             target_vm, reference_vm, plan.pm_t_pad,
             interpret=k_mode == 'interpret',
@@ -1021,9 +1021,7 @@ class BodyFitter:
             # consumer receives this array, instead of re-deriving it (XLA
             # fusion otherwise duplicates the (B, V, 3) -> (3, V_pad, B)
             # relayout into each consumer).
-            tgt_vm = lbs_kernels.to_vertex_major(
-                target_vertices, self.plan.pm_t_pad.shape[1]
-            )
+            tgt_vm = lbs_kernels.to_vertex_major(target_vertices)
         else:
             recon_key = 'vertices'
             tgt_vm = None

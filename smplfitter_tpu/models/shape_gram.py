@@ -229,7 +229,7 @@ def fit_shape_gram(
         tgt_vm = (
             target_vm
             if target_vm is not None
-            else lbs_kernels.to_vertex_major(target_vertices, v_pad)
+            else lbs_kernels.to_vertex_major(target_vertices)
         )
         # (B, J, 3, 4) -> (12=(a,c4), J, B)
         pj_cm = jnp.transpose(

@@ -133,11 +133,29 @@ def kernel_mode(B: int) -> str | None:
     return 'tpu' if jax.default_backend() == 'tpu' else None
 
 
-def to_vertex_major(x: jax.Array, v_pad: int) -> jax.Array:
-    """(B, V, 3) -> (3, V_pad, B), zero-padded vertices."""
+def to_vertex_major(x: jax.Array, v_pad: int | None = None) -> jax.Array:
+    """(B, V, 3) -> (3, V[_pad], B) component-major relayout.
+
+    By default NO lane padding is materialized: the kernels accept a
+    non-VC-divisible vertex dim and mask the edge chunk in-VMEM, saving a
+    full extra HBM pass over the (3, V, B) array. Pass ``v_pad`` to get the
+    old zero-padded layout (static constants are still built padded)."""
     xt = jnp.transpose(x, (2, 1, 0))
-    pad = v_pad - xt.shape[1]
-    return jnp.pad(xt, ((0, 0), (0, pad), (0, 0))) if pad else xt
+    if v_pad is None or v_pad == xt.shape[1]:
+        return xt
+    return jnp.pad(xt, ((0, 0), (0, v_pad - xt.shape[1]), (0, 0)))
+
+
+def _mask_tail_rows(x, k, nchunks: int, rem: int):
+    """Zero rows >= ``rem`` of the LAST vertex chunk (``rem`` = V % VC, 0 when
+    divisible). Guards against arbitrary bit patterns (NaN/Inf) in the
+    out-of-bounds region of a non-divisible edge block: the static operands
+    have zero rows there, but garbage * 0 would still be NaN."""
+    if rem == 0:
+        return x
+    lim = jnp.where(k == nchunks - 1, rem, x.shape[0])
+    rows = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+    return jnp.where(rows < lim, x, 0.0)
 
 
 def from_vertex_major(x_vm: jax.Array, num_vertices: int) -> jax.Array:
@@ -170,8 +188,8 @@ def _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref, blend=None):
     ]
 
 
-def _rhs_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, sd_ref,
-                r_ref, y_small_ref):
+def _rhs_kernel(nchunks, rem, tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref,
+                sd_ref, r_ref, y_small_ref):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -181,7 +199,9 @@ def _rhs_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, sd_ref,
 
     blend = _lbs_blend(pj_ref, wts_ref)
     pos = _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref, blend)
-    b = [tgt_ref[a] - pos[a] for a in range(3)]  # (VC, TB) residuals
+    b = [
+        _mask_tail_rows(tgt_ref[a], k, nchunks, rem) - pos[a] for a in range(3)
+    ]  # (VC, TB) residuals
     for a in range(3):
         # Parts-major (J, TB): J=24 on output lanes would pad 24 -> 128.
         y_small_ref[a] += _dot3(wts_ref[:], b[a], _C0_0)  # (J, TB)
@@ -202,7 +222,8 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     """Fused residual projection of the shape solve.
 
     Args:
-        tgt_vm: (3, V_pad, B) targets, component-major.
+        tgt_vm: (3, V, B) targets, component-major (V need not be a multiple
+            of VC — the edge chunk is masked in-kernel).
         pj_cm: (12, J, B) per-joint [R|t] entries, leading index (a, c4).
         feat_cols: (F, B) homogeneous features (pose feature + constant 1).
         weights_pad: (V_pad, J) skinning weights (zero rows in padding).
@@ -213,16 +234,18 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
         r (E, B) = Σ_v (R̄_v SD_v)ᵀ b_v (the rotation part of Σ jacᵀb)
         and y (3, J, B) = Σ_v w_vj b_v.
     """
-    _, v_pad, B = tgt_vm.shape
+    _, v_t, B = tgt_vm.shape
+    v_pad = weights_pad.shape[0]
     J = weights_pad.shape[1]
     E = sd_cm.shape[2]
     F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
-    assert tb is not None and v_pad % VC == 0
-    grid = (B // tb, v_pad // VC)
+    nchunks = v_pad // VC
+    assert tb is not None and v_pad % VC == 0 and nchunks * VC >= v_t > (nchunks - 1) * VC
+    grid = (B // tb, nchunks)
 
     return pl.pallas_call(
-        _rhs_kernel,
+        functools.partial(_rhs_kernel, nchunks, v_t % VC),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
@@ -282,7 +305,8 @@ def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
     )(pj_cm, feat_cols, weights_pad, consts_pad)
 
 
-def _part_sums_kernel(t_ref, a_ref, pm_ref, raw_ref, st_ref, sa_ref):
+def _part_sums_kernel(nchunks, rem_t, rem_a, t_ref, a_ref, pm_ref,
+                      raw_ref, st_ref, sa_ref):
     k = pl.program_id(1)
     tb = t_ref.shape[2]
     a_batched = a_ref.shape[2] == tb
@@ -298,15 +322,18 @@ def _part_sums_kernel(t_ref, a_ref, pm_ref, raw_ref, st_ref, sa_ref):
     # MXU would pad 24 -> 128 (5.3x waste); as the output SUBLANE dim the pad
     # is 24 -> 32.
     contract = (((1,), (0,)), ((), ()))  # pm dim1 (VC) with points dim0 (VC)
+    a_vals = [
+        _mask_tail_rows(a_ref[d], k, nchunks, rem_a) for d in range(3)
+    ]
     for c in range(3):
-        t_c = t_ref[c]  # (VC, TB)
+        t_c = _mask_tail_rows(t_ref[c], k, nchunks, rem_t)  # (VC, TB)
         st_ref[c] += _dot2_exact_a(pm, t_c, contract)
         for d in range(3):
-            a_d = a_ref[d]
+            a_d = a_vals[d]
             prod = t_c * a_d if a_batched else t_c * jnp.broadcast_to(a_d, t_c.shape)
             raw_ref[c * 3 + d] += _dot2_exact_a(pm, prod, contract)
     for d in range(3):
-        sa_ref[d] += _dot2_exact_a(pm, a_ref[d], contract)
+        sa_ref[d] += _dot2_exact_a(pm, a_vals[d], contract)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -332,16 +359,21 @@ def part_sums_vm(t_vm, a_vm, pm, interpret: bool = False):
 
 
 def _part_sums_impl(t_vm, a_vm, pm, interpret: bool = False):
-    _, v_pad, B = t_vm.shape
+    _, v_t, B = t_vm.shape
+    v_a = a_vm.shape[1]
     Ba = a_vm.shape[2]
     J = pm.shape[0]
+    v_pad = pm.shape[1]
     tb = pick_batch_tile(B)
+    nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0 and Ba in (B, 1)
-    grid = (B // tb, v_pad // VC)
+    assert nchunks * VC >= v_t > (nchunks - 1) * VC
+    assert nchunks * VC >= v_a > (nchunks - 1) * VC
+    grid = (B // tb, nchunks)
     tba = tb if Ba == B else 1
 
     raw, st, sa = pl.pallas_call(
-        _part_sums_kernel,
+        functools.partial(_part_sums_kernel, nchunks, v_t % VC, v_a % VC),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
@@ -467,14 +499,16 @@ def _lbs_points_bwd_rule(interpret, res, g):
 _lbs_points_diff.defvjp(_lbs_points_fwd, _lbs_points_bwd_rule)
 
 
-def _rhs_bwd_kernel(gr_ref, gy_ref, tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref,
-                    sd_ref, dtgt_ref, dpj_ref, dfeat_ref):
+def _rhs_bwd_kernel(nchunks, rem, gr_ref, gy_ref, tgt_ref, pj_ref, feat_ref,
+                    wts_ref, consts_ref, sd_ref, dtgt_ref, dpj_ref, dfeat_ref):
     k = pl.program_id(1)
     w = wts_ref[:]
     homog = [_mm3(consts_ref[c], feat_ref[:]) for c in range(4)]
     blend = _lbs_blend(pj_ref, wts_ref)
     pos = [sum(blend[a * 4 + c] * homog[c] for c in range(4)) for a in range(3)]
-    b = [tgt_ref[a] - pos[a] for a in range(3)]
+    b = [
+        _mask_tail_rows(tgt_ref[a], k, nchunks, rem) - pos[a] for a in range(3)
+    ]
     # Per-vertex spread of the r cotangent: G_c = SD_c @ gr, (VC, TB).
     G = [_mm3(sd_ref[c], gr_ref[:]) for c in range(3)]
     contract_j0 = (((1,), (0,)), ((), ()))  # wts (VC, J) dim1 with gy dim0 (J)
@@ -506,15 +540,17 @@ def _rhs_bwd_kernel(gr_ref, gy_ref, tgt_ref, pj_ref, feat_ref, wts_ref, consts_r
 
 def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
                      gr, gy, interpret):
-    _, v_pad, B = tgt_vm.shape
+    _, v_t, B = tgt_vm.shape
+    v_pad = weights_pad.shape[0]
     J = weights_pad.shape[1]
     E = sd_cm.shape[2]
     F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
-    grid = (B // tb, v_pad // VC)
+    nchunks = v_pad // VC
+    grid = (B // tb, nchunks)
 
     dtgt, dpj, dfeat = pl.pallas_call(
-        _rhs_bwd_kernel,
+        functools.partial(_rhs_bwd_kernel, nchunks, v_t % VC),
         grid=grid,
         in_specs=[
             pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
@@ -532,7 +568,7 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, v_t, B), jnp.float32),
             jax.ShapeDtypeStruct((12, B, J), jnp.float32),
             jax.ShapeDtypeStruct((F, B), jnp.float32),
         ],
@@ -583,8 +619,8 @@ def lbs_points(pj_cm, feat_cols, weights_pad, consts_pad, interpret: bool = Fals
     return _lbs_points_diff(pj_cm, feat_cols, weights_pad, consts_pad, interpret)
 
 
-def _recon_part_sums_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, pm_ref,
-                            raw_ref, st_ref, sa_ref):
+def _recon_part_sums_kernel(nchunks, rem, tgt_ref, pj_ref, feat_ref, wts_ref,
+                            consts_ref, pm_ref, raw_ref, st_ref, sa_ref):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -601,7 +637,7 @@ def _recon_part_sums_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, pm_r
     pm = pm_ref[:]  # (J, VC)
     contract = (((1,), (0,)), ((), ()))  # pm dim1 (VC) with points dim0 (VC)
     for c in range(3):
-        t_c = tgt_ref[c]  # (VC, TB)
+        t_c = _mask_tail_rows(tgt_ref[c], k, nchunks, rem)  # (VC, TB)
         st_ref[c] += _dot2_exact_a(pm, t_c, contract)
         for d in range(3):
             raw_ref[c * 3 + d] += _dot2_exact_a(pm, t_c * pos[d], contract)
@@ -611,16 +647,19 @@ def _recon_part_sums_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref, pm_r
 
 def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
                           interpret: bool = False):
-    _, v_pad, B = tgt_vm.shape
+    _, v_t, B = tgt_vm.shape
+    v_pad = weights_pad.shape[0]
     J_lbs = weights_pad.shape[1]
     J = pm.shape[0]
     F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
+    nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0
-    grid = (B // tb, v_pad // VC)
+    assert nchunks * VC >= v_t > (nchunks - 1) * VC
+    grid = (B // tb, nchunks)
 
     return pl.pallas_call(
-        _recon_part_sums_kernel,
+        functools.partial(_recon_part_sums_kernel, nchunks, v_t % VC),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
@@ -644,9 +683,9 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     )(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm)
 
 
-def _recon_part_sums_bwd_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref,
-                                pm_ref, graw_ref, gst_ref, gsa_ref,
-                                dtgt_ref, dpj_ref, dfeat_ref):
+def _recon_part_sums_bwd_kernel(nchunks, rem, tgt_ref, pj_ref, feat_ref,
+                                wts_ref, consts_ref, pm_ref, graw_ref, gst_ref,
+                                gsa_ref, dtgt_ref, dpj_ref, dfeat_ref):
     k = pl.program_id(1)
     pm = pm_ref[:]  # (J, VC)
     contract_j = (((0,), (0,)), ((), ()))  # pm dim0 (J) with grad dim0 (J)
@@ -658,10 +697,11 @@ def _recon_part_sums_bwd_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref,
             acc += W[c * 3 + d] * pos[d]
         dtgt_ref[c] = acc
     dpos = []
+    tgt = [_mask_tail_rows(tgt_ref[c], k, nchunks, rem) for c in range(3)]
     for d in range(3):
         acc = _dot2_exact_a(pm, gsa_ref[d], contract_j)
         for c in range(3):
-            acc += W[c * 3 + d] * tgt_ref[c]
+            acc += W[c * 3 + d] * tgt[c]
         dpos.append(acc)
     _lbs_grads_chunk(dpos, pj_ref, feat_ref, wts_ref, consts_ref,
                      dpj_ref, dfeat_ref, k)
@@ -669,15 +709,17 @@ def _recon_part_sums_bwd_kernel(tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref,
 
 def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
                          graw, gst, gsa, interpret):
-    _, v_pad, B = tgt_vm.shape
+    _, v_t, B = tgt_vm.shape
+    v_pad = weights_pad.shape[0]
     J_lbs = weights_pad.shape[1]
     J = pm.shape[0]
     F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
-    grid = (B // tb, v_pad // VC)
+    nchunks = v_pad // VC
+    grid = (B // tb, nchunks)
 
     dtgt, dpj, dfeat = pl.pallas_call(
-        _recon_part_sums_bwd_kernel,
+        functools.partial(_recon_part_sums_bwd_kernel, nchunks, v_t % VC),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
@@ -696,7 +738,7 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, v_t, B), jnp.float32),
             jax.ShapeDtypeStruct((12, B, J_lbs), jnp.float32),
             jax.ShapeDtypeStruct((F, B), jnp.float32),
         ],
@@ -751,11 +793,12 @@ def recon_part_sums(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     return raw_b, s_t, s_a
 
 
-def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
-                          dt_ref, da_ref):
+def _part_sums_bwd_kernel(nchunks, rem_t, rem_a, t_ref, a_ref, pm_ref,
+                          graw_ref, gst_ref, gsa_ref, dt_ref, da_ref):
     # Grid is (V_chunks, B_tiles) with batch innermost: the unbatched-reference
     # da block (indexed by chunk only) then accumulates over consecutive steps.
     i = pl.program_id(1)
+    k = pl.program_id(0)
     tb = t_ref.shape[2]
     a_batched = a_ref.shape[2] == tb
     pm = pm_ref[:]  # (J, VC)
@@ -766,8 +809,8 @@ def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
         _dot2_exact_a(pm, graw_ref[x], contract_j)
         for x in range(9)
     ]  # each (VC, TB)
-    t = [t_ref[c] for c in range(3)]
-    a_raw = [a_ref[d] for d in range(3)]
+    t = [_mask_tail_rows(t_ref[c], k, nchunks, rem_t) for c in range(3)]
+    a_raw = [_mask_tail_rows(a_ref[d], k, nchunks, rem_a) for d in range(3)]
     a = (
         a_raw
         if a_batched
@@ -801,15 +844,18 @@ def _part_sums_bwd_kernel(t_ref, a_ref, pm_ref, graw_ref, gst_ref, gsa_ref,
 
 
 def _part_sums_bwd(t_vm, a_vm, pm, graw, gst, gsa, interpret):
-    _, v_pad, B = t_vm.shape
+    _, v_t, B = t_vm.shape
+    v_a = a_vm.shape[1]
     Ba = a_vm.shape[2]
     J = pm.shape[0]
+    v_pad = pm.shape[1]
     tb = pick_batch_tile(B)
-    grid = (v_pad // VC, B // tb)
+    nchunks = v_pad // VC
+    grid = (nchunks, B // tb)
     tba = tb if Ba == B else 1
 
     dt, da = pl.pallas_call(
-        _part_sums_bwd_kernel,
+        functools.partial(_part_sums_bwd_kernel, nchunks, v_t % VC, v_a % VC),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, VC, tb), lambda k, i: (0, k, i), memory_space=pltpu.VMEM),
@@ -836,8 +882,8 @@ def _part_sums_bwd(t_vm, a_vm, pm, graw, gst, gsa, interpret):
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32),
-            jax.ShapeDtypeStruct((3, v_pad, Ba), jnp.float32),
+            jax.ShapeDtypeStruct((3, v_t, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, v_a, Ba), jnp.float32),
         ],
         interpret=interpret,
     )(t_vm, a_vm, pm, graw, gst, gsa)
