@@ -8,8 +8,10 @@ lane-merging reshapes, which it does not support. None of the big per-vertex
 intermediates (blended joint transforms, posed template, positions, residuals)
 ever exist in HBM; targets are transposed into this layout once per fit.
 
-Three kernels (grid = (batch_tiles, vertex_chunks); vertex chunks innermost so
-per-batch-tile output blocks accumulate in VMEM across the sweep):
+Per-vertex kernels (grid = (batch_tiles, vertex_chunks); vertex chunks
+innermost so per-batch-tile output blocks accumulate in VMEM across the
+sweep; the targets' vertex dim may be non-VC-divisible — the edge chunk is
+masked in-VMEM so no padded copy of the targets is ever materialized):
 
   - rhs_moments: extended-LBS positions + residuals against targets, reduced
     on the fly into the shape-solve right side r = Σ_v (R̄_v SD_v)ᵀ b_v (the
@@ -21,6 +23,10 @@ per-batch-tile output blocks accumulate in VMEM across the sweep):
     folding the beta step into the homogeneous feature vector.
   - part_sums_vm: per-part sufficient statistics Σ pm t aᵀ / Σ pm t / Σ pm a
     for the rotation fits, reading t and a exactly once.
+
+Plus one batch-only kernel (grid = (batch_tiles,)): gram_assembly, which
+builds the shape solve's per-instance Gramian pieces from joint-space
+operands (see its section below).
 
 Everything is f32 with f32 MXU accumulation (preferred_element_type).
 """
