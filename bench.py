@@ -139,7 +139,7 @@ def secondary(jax, smplfitter_tpu, models_dir, rng) -> None:
     B2 = 16384
     fwd_sub = jax.jit(lambda p, b: bm_sub(pose_rotvecs=p, shape_betas=b))
     subsets = []
-    for _ in range(4):
+    for _ in range(6):
         pose = rng.normal(0, 0.3, (B2, 72)).astype(np.float32)
         betas = rng.normal(0, 1, (B2, 10)).astype(np.float32)
         res = fwd_sub(pose, betas)
@@ -166,7 +166,7 @@ def secondary(jax, smplfitter_tpu, models_dir, rng) -> None:
     bm = smplfitter_tpu.BodyModel('smpl', 'neutral', model_root=models_dir + '/smpl')
     fwd = jax.jit(lambda p, b: bm(pose_rotvecs=p, shape_betas=b))
     ins = []
-    for _ in range(4):
+    for _ in range(16):
         pose = jax.numpy.asarray(rng.normal(0, 0.3, (BATCH, 72)).astype(np.float32))
         betas = jax.numpy.asarray(rng.normal(0, 1, (BATCH, 10)).astype(np.float32))
         ins.append((pose, betas))
