@@ -879,12 +879,15 @@ def fit_scale_and_translation(
 
 
 def _center_targets(target_vertices, target_joints):
+    """Shift targets to a body-centered origin (f32 conditioning for the raw
+    part moments). ANY center works — it is exactly compensated by adding
+    ``target_mean`` back to the fitted translation — so with joints given the
+    joints-mean is used: same conditioning, (B, J, 3) reduce instead of a full
+    (B, V, 3) HBM pass."""
     if target_joints is None:
         target_mean = jnp.mean(target_vertices, axis=1)
         return target_vertices - target_mean[:, None], None, target_mean
-    target_mean = jnp.mean(
-        jnp.concatenate([target_vertices, target_joints], axis=1), axis=1
-    )
+    target_mean = jnp.mean(target_joints, axis=1)
     return (
         target_vertices - target_mean[:, None],
         target_joints - target_mean[:, None],
