@@ -162,6 +162,37 @@ def secondary(jax, smplfitter_tpu, models_dir, rng) -> None:
         file=sys.stderr,
     )
 
+    # Small-batch regime (reference: 1,839 fits/s at batch 32 on a 3090).
+    B3 = 32
+    small = []
+    for _ in range(64):
+        pose = rng.normal(0, 0.3, (B3, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (B3, 10)).astype(np.float32)
+        small.append((pose, betas))
+    bm_s = smplfitter_tpu.BodyModel('smpl', 'neutral', model_root=models_dir + '/smpl')
+    fitter_s = smplfitter_tpu.BodyFitter(bm_s)
+    fwd_s = jax.jit(lambda p, b: bm_s(pose_rotvecs=p, shape_betas=b))
+    small = [fwd_s(p, b) for p, b in small]
+    small = [(r['vertices'], r['joints']) for r in small]
+    jax.block_until_ready(small)
+    fit_s = jax.jit(
+        lambda tv, tj: fitter_s.fit(
+            tv, tj, num_iter=NUM_ITER, beta_regularizer=1.0, final_adjust_rots=True,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+        )
+    )
+    jax.block_until_ready(fit_s(*small[0]))
+    t0 = time.perf_counter()
+    outs = [fit_s(tv, tj) for tv, tj in small]
+    jax.block_until_ready(outs)
+    wall = time.perf_counter() - t0
+    print(
+        f'# secondary: fit b{B3} (small-batch, {len(small)} in flight): '
+        f'{len(small) * B3 / wall:,.0f} fits/s '
+        f'({wall / len(small) * 1e3:.2f} ms/batch; reference 3090: 1,839 fits/s)',
+        file=sys.stderr,
+    )
+
     # Forward throughput (with vertices), full model, batch 4096.
     bm = smplfitter_tpu.BodyModel('smpl', 'neutral', model_root=models_dir + '/smpl')
     fwd = jax.jit(lambda p, b: bm(pose_rotvecs=p, shape_betas=b))
@@ -181,6 +212,51 @@ def secondary(jax, smplfitter_tpu, models_dir, rng) -> None:
         f'({BATCH / wall:,.0f}/s; reference 4090 PT-compile: 64,000/s)',
         file=sys.stderr,
     )
+
+    # SMPL -> SMPL-X conversion (reference: 43 ms for 33 meshes at num_iter=1,
+    # 75 ms at 2, on GPU; docs/smpl_to_smplx.rst there). Opt-in: the SMPL-X
+    # fit graph takes >10 min on this environment's remote AOT compiler the
+    # first time (persistent-cached afterwards).
+    if os.getenv('BENCH_CONVERT', '0') != '1':
+        return
+    try:
+        import os as _os
+
+        from smplfitter_tpu.utils import synthetic as _synth
+
+        full_dir = _synth.ensure_cached_models(full=True)
+        # Converter assets resolve via $DATA_ROOT/body_models.
+        link_parent = _os.path.join(_os.path.dirname(full_dir), 'full_env_root')
+        _os.makedirs(link_parent, exist_ok=True)
+        link = _os.path.join(link_parent, 'body_models')
+        if not _os.path.islink(link):
+            _os.symlink(full_dir, link)
+        _os.environ['SMPLFITTER_BODY_MODELS'] = full_dir
+        _os.environ['DATA_ROOT'] = link_parent
+        smpl_in = smplfitter_tpu.BodyModel('smpl', 'neutral')
+        smplx_out = smplfitter_tpu.BodyModel('smplx', 'neutral')
+        conv = smplfitter_tpu.BodyConverter(smpl_in, smplx_out)
+        Bc = 33
+        convert = jax.jit(lambda p, b, t: conv.convert(p, b, t, num_iter=1))
+        ins_c = []
+        for _ in range(8):
+            ins_c.append((
+                jax.numpy.asarray(rng.normal(0, 0.3, (Bc, 72)).astype(np.float32)),
+                jax.numpy.asarray(rng.normal(0, 1, (Bc, 10)).astype(np.float32)),
+                jax.numpy.asarray(rng.normal(0, 0.5, (Bc, 3)).astype(np.float32)),
+            ))
+        jax.block_until_ready(convert(*ins_c[0]))
+        t0 = time.perf_counter()
+        outs = [convert(*i) for i in ins_c]
+        jax.block_until_ready(outs)
+        wall = (time.perf_counter() - t0) / len(ins_c)
+        print(
+            f'# secondary: smpl->smplx convert b{Bc} iter1: {wall * 1e3:.1f} ms/batch '
+            f'(reference GPU: 43 ms for the same 33-mesh setup)',
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f'# secondary converter benchmark skipped: {e!r}', file=sys.stderr)
 
 
 if __name__ == '__main__':

@@ -227,6 +227,23 @@ def write_model_files(
     return model_root
 
 
+def _nearest3(v_in: np.ndarray, v_out: np.ndarray, chunk: int = 512):
+    """For each row of ``v_out``: indices + inverse-distance weights of its 3
+    nearest rows in ``v_in``. Chunked-vectorized (the naive per-row loop is
+    O(V^2) Python and takes minutes at real SMPL-X sizes)."""
+    idx = np.empty((len(v_out), 3), np.int64)
+    w = np.empty((len(v_out), 3))
+    for s0 in range(0, len(v_out), chunk):
+        blk = v_out[s0:s0 + chunk]
+        d2 = ((blk[:, None, :] - v_in[None, :, :]) ** 2).sum(-1)
+        near = np.argpartition(d2, 3, axis=1)[:, :3]
+        dn = np.take_along_axis(d2, near, axis=1)
+        ww = 1.0 / np.sqrt(dn + 1e-6)
+        idx[s0:s0 + chunk] = near
+        w[s0:s0 + chunk] = ww / ww.sum(axis=1, keepdims=True)
+    return idx, w
+
+
 def write_deftrafo(
     body_models_dir: str,
     num_verts_in: int,
@@ -243,17 +260,11 @@ def write_deftrafo(
     """
     import scipy.sparse
 
-    rows, cols, data = [], [], []
-    for r in range(num_verts_out):
-        d2 = np.sum((v_template_in - v_template_out[r]) ** 2, axis=1)
-        nearest = np.argsort(d2)[:3]
-        w = 1.0 / np.sqrt(d2[nearest] + 1e-6)
-        w = w / w.sum()
-        rows += [r] * 3
-        cols += list(nearest)
-        data += list(w)
+    idx, w = _nearest3(v_template_in, v_template_out)
+    rows = np.repeat(np.arange(num_verts_out), 3)
     mtx = scipy.sparse.coo_matrix(
-        (data, (rows, cols)), shape=(num_verts_out, 2 * num_verts_in)
+        (w.reshape(-1), (rows, idx.reshape(-1))),
+        shape=(num_verts_out, 2 * num_verts_in),
     ).tocsr()
     path = osp.join(body_models_dir, filename)
     with open(path, 'wb') as f:
@@ -324,14 +335,7 @@ def write_full_test_environment(
     # one face triple (format: closest_faces (V, 3) + bc (V, 3)).
     v = smplx.v_template
     mirrored = v * np.array([-1.0, 1.0, 1.0])
-    closest = np.empty((len(v), 3), dtype=np.int64)
-    bc = np.zeros((len(v), 3))
-    for r in range(len(v)):
-        d2 = np.sum((v - mirrored[r]) ** 2, axis=1)
-        nearest = np.argsort(d2)[:3]
-        w = 1.0 / np.sqrt(d2[nearest] + 1e-6)
-        closest[r] = nearest
-        bc[r] = w / w.sum()
+    closest, bc = _nearest3(v, mirrored)
     np.savez(
         osp.join(body_models_dir, 'smplx', 'smplx_flip_correspondences.npz'),
         closest_faces=closest,
