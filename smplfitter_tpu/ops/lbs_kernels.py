@@ -175,7 +175,16 @@ def _lbs_blend(pj_ref, wts_ref):
     return [_mm3(w, pj_ref[x]) for x in range(12)]
 
 
-def _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref, blend=None):
+def _lbs_homog(feat_ref, consts_ref):
+    """First 3 homogeneous channels, each (VC, TB). The 4th channel is
+    IDENTICALLY 1 by construction (posedirs' homogeneous row is zero, the
+    template's is 1, the feature's constant entry is 1 — see
+    models/shape_gram.py build_gram_data), so its dot is skipped; consumers
+    use the blended translation directly."""
+    return [_mm3(consts_ref[c], feat_ref[:]) for c in range(3)]
+
+
+def _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref, blend=None, homog=None):
     """Shared extended-LBS chunk, all-2D: blended [R|t] applied to the
     homogeneous feature-projected template chunk.
 
@@ -185,12 +194,11 @@ def _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref, blend=None):
     """
     if blend is None:
         blend = _lbs_blend(pj_ref, wts_ref)
-    homog = [
-        _mm3(consts_ref[c], feat_ref[:])
-        for c in range(4)
-    ]  # 4 x (VC, TB)
+    if homog is None:
+        homog = _lbs_homog(feat_ref, consts_ref)
     return [
-        sum(blend[a * 4 + c] * homog[c] for c in range(4)) for a in range(3)
+        sum(blend[a * 4 + c] * homog[c] for c in range(3)) + blend[a * 4 + 3]
+        for a in range(3)
     ]
 
 
@@ -421,10 +429,7 @@ def _lbs_grads_chunk(g, pj_ref, feat_ref, wts_ref, consts_ref, dpj_ref, dfeat_re
     """Shared backward chunk: given per-vertex cotangent g (list of 3 (VC, TB)),
     accumulate dpj (12, tb, J) and dfeat (F, tb)."""
     w = wts_ref[:]
-    homog = [
-        _mm3(consts_ref[c], feat_ref[:])
-        for c in range(4)
-    ]
+    homog = _lbs_homog(feat_ref, consts_ref)
 
     @pl.when(k == 0)
     def _():
@@ -433,7 +438,7 @@ def _lbs_grads_chunk(g, pj_ref, feat_ref, wts_ref, consts_ref, dpj_ref, dfeat_re
 
     for a in range(3):
         for c in range(4):
-            prod = g[a] * homog[c]  # (VC, TB)
+            prod = g[a] * homog[c] if c < 3 else g[a]  # (VC, TB); homog[3] == 1
             dpj_ref[a * 4 + c] += _dot3(
                 prod, w, _C0_0
             )  # (TB, J)
@@ -509,9 +514,12 @@ def _rhs_bwd_kernel(nchunks, rem, gr_ref, gy_ref, tgt_ref, pj_ref, feat_ref,
                     wts_ref, consts_ref, sd_ref, dtgt_ref, dpj_ref, dfeat_ref):
     k = pl.program_id(1)
     w = wts_ref[:]
-    homog = [_mm3(consts_ref[c], feat_ref[:]) for c in range(4)]
+    homog = _lbs_homog(feat_ref, consts_ref)
     blend = _lbs_blend(pj_ref, wts_ref)
-    pos = [sum(blend[a * 4 + c] * homog[c] for c in range(4)) for a in range(3)]
+    pos = [
+        sum(blend[a * 4 + c] * homog[c] for c in range(3)) + blend[a * 4 + 3]
+        for a in range(3)
+    ]
     b = [
         _mask_tail_rows(tgt_ref[a], k, nchunks, rem) - pos[a] for a in range(3)
     ]
@@ -535,7 +543,7 @@ def _rhs_bwd_kernel(nchunks, rem, gr_ref, gy_ref, tgt_ref, pj_ref, feat_ref,
     # rotation columns, through g_c = Σ_a blend_ac b_a (cotangent G_c ⊙ b_a).
     for a in range(3):
         for c in range(4):
-            dblend = -db[a] * homog[c]
+            dblend = -db[a] * homog[c] if c < 3 else -db[a]  # homog[3] == 1
             if c < 3:
                 dblend = dblend + G[c] * b[a]
             dpj_ref[a * 4 + c] += _dot3(dblend, w, _C0_0)  # (TB, J)

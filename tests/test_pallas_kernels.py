@@ -44,6 +44,12 @@ class TestLbsKernels:
         feat = rng.normal(size=(F, B)).astype(np.float32)
         wts = rng.uniform(0, 1, size=(V, J)).astype(np.float32)
         consts = rng.normal(size=(4, V, F)).astype(np.float32)
+        # Kernel contract: the 4th homogeneous channel projects to exactly 1
+        # (constant feature entry x unit template channel) — the kernels skip
+        # its dot and use the blended translation directly.
+        feat[-1] = 1.0
+        consts[3] = 0.0
+        consts[3, :, -1] = 1.0
         sd = rng.normal(size=(V, 3, E)).astype(np.float32)
         homog = np.einsum('cvf,fb->vcb', consts, feat)  # (V, 4, B)
         blended = np.einsum('vj,acjb->vacb', wts, pj)  # (V, 3, 4, B)
@@ -174,12 +180,17 @@ class TestKernelVJPs:
 
         rng = np.random.default_rng(0)
         B, V, J, F, E = 16, 256, 12, 15, 9
+        feat = rng.normal(size=(F, B)).astype(np.float32)
+        feat[-1] = 1.0
+        consts = rng.normal(size=(4, V, F)).astype(np.float32)
+        consts[3] = 0.0
+        consts[3, :, -1] = 1.0  # 4th homogeneous channel projects to 1
         d = dict(
             tgt=jnp.asarray(rng.normal(size=(3, V, B)).astype(np.float32)),
             pj=jnp.asarray(rng.normal(size=(12, J, B)).astype(np.float32)),
-            feat=jnp.asarray(rng.normal(size=(F, B)).astype(np.float32)),
+            feat=jnp.asarray(feat),
             wts=jnp.asarray(rng.uniform(0, 1, size=(V, J)).astype(np.float32)),
-            consts=jnp.asarray(rng.normal(size=(4, V, F)).astype(np.float32)),
+            consts=jnp.asarray(consts),
             sd_cm=jnp.asarray(rng.normal(size=(3, V, E)).astype(np.float32)),
             shape=(B, V, J, F, E),
         )
