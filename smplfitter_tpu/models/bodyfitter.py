@@ -1002,6 +1002,21 @@ class BodyFitter:
     ) -> dict:
         bm = self.body_model.data
         plan = self.plan
+        # Lane-major fast path: rotations stay (9, J, B) end-to-end, matching
+        # the fused kernels' native layouts — no (B, J, 3, 3) relayouts.
+        if (
+            lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
+            and vertex_weights is None
+            and not (scale_target or scale_fit)
+            and initial_pose_rotvecs is None
+            and initial_shape_betas is None
+            and (plan.leveladj_supported or not final_adjust_rots)
+        ):
+            return self._fit_lm(
+                target_vertices, target_joints, joint_weights, num_iter,
+                beta_regularizer, beta_regularizer2, kid_regularizer,
+                share_beta, final_adjust_rots, requested_keys,
+            )
         target_vertices, target_joints, target_mean = _center_targets(
             target_vertices, target_joints
         )
@@ -1201,6 +1216,140 @@ class BodyFitter:
         result.pop('recon_spec', None)
         return {k: v for k, v in result.items() if v is not None}
 
+    def _fit_lm(
+        self,
+        target_vertices,
+        target_joints,
+        joint_weights,
+        num_iter,
+        beta_regularizer,
+        beta_regularizer2,
+        kid_regularizer,
+        share_beta,
+        final_adjust_rots,
+        requested_keys,
+    ) -> dict:
+        """Lane-major fit driver (fused-kernel configurations; see
+        :func:`fit_global_rotations_lm`)."""
+        from .shape_gram import fit_shape_gram_lm
+
+        bm = self.body_model.data
+        plan = self.plan
+        target_vertices, target_joints, target_mean = _center_targets(
+            target_vertices, target_joints
+        )
+        tgt_vm = lbs_kernels.to_vertex_major(target_vertices)
+        tj_lm = (
+            None if target_joints is None
+            else jnp.transpose(target_joints, (2, 1, 0))
+        )
+        jw_lm = None if joint_weights is None else joint_weights.T
+        interp = lbs_kernels.kernel_mode(target_vertices.shape[0]) == 'interpret'
+        has_joints = tj_lm is not None
+
+        rj0 = (
+            jnp.transpose(bm.J_template, (1, 0))[:, :, None] if has_joints else None
+        )
+        glob9 = fit_global_rotations_lm(
+            bm, plan, tgt_vm, tj_lm, plan.default_mesh_vm, rj0, jw_lm
+        )
+
+        recon_key = 'recon_spec' if has_joints else 'vertices_vm'
+        solve_args = dict(
+            beta_regularizer=beta_regularizer,
+            beta_regularizer2=beta_regularizer2,
+            kid_regularizer=kid_regularizer,
+            share_beta=share_beta,
+            beta_regularizer_reference=None,
+            kid_regularizer_reference=None,
+            interpret=interp,
+        )
+        for _ in range(num_iter - 1):
+            res = fit_shape_gram_lm(
+                bm, plan, self.gram, glob9, tgt_vm, tj_lm,
+                requested_keys=(recon_key, 'joints_lm') if has_joints else (recon_key,),
+                **solve_args,
+            )
+            glob9 = rot_ops.matmul3x3_lm(
+                fit_global_rotations_lm(
+                    bm, plan, tgt_vm, tj_lm,
+                    res.get('vertices_vm'), res.get('joints_lm'), jw_lm,
+                    reference_spec=res.get('recon_spec'),
+                ),
+                glob9,
+            )
+
+        res = fit_shape_gram_lm(
+            bm, plan, self.gram, glob9, tgt_vm, tj_lm,
+            requested_keys=(recon_key, 'joints_lm')
+            if (has_joints or final_adjust_rots)
+            else (recon_key,),
+            **solve_args,
+        )
+
+        if final_adjust_rots:
+            glob9 = fit_global_rotations_dependent_lm(
+                bm, plan, tgt_vm, tj_lm,
+                res.get('vertices_vm'), res.get('joints_lm'), jw_lm,
+                glob9, res['shape_betas'], res['trans_lm'], res['kid_factor'],
+                reference_spec=res.get('recon_spec'),
+            )
+
+        result = dict(
+            shape_betas=res['shape_betas'],
+            kid_factor=res['kid_factor'],
+            trans=res['trans'] + target_mean,
+            relative_orientations=jnp.transpose(
+                res['relative_orientations_lm'], (2, 1, 0)
+            ).reshape(-1, bm.num_joints, 3, 3),
+        )
+
+        if 'joints' in requested_keys or 'vertices' in requested_keys:
+            batch = glob9.shape[2]
+            glob_bm = jnp.transpose(glob9, (2, 1, 0)).reshape(
+                batch, bm.num_joints, 3, 3
+            )
+            forw = forward(
+                bm,
+                glob_rotmats=glob_bm,
+                shape_betas=res['shape_betas'],
+                trans=res['trans'] + target_mean,
+                kid_factor=res['kid_factor'],
+            )
+            if 'joints' in requested_keys:
+                result['joints'] = forw['joints']
+            if 'vertices' in requested_keys:
+                result['vertices'] = forw['vertices']
+            result['orientations'] = glob_bm
+        else:
+            result['orientations'] = jnp.transpose(glob9, (2, 1, 0)).reshape(
+                -1, bm.num_joints, 3, 3
+            )
+
+        if (
+            'relative_orientations' in requested_keys
+            or 'pose_rotvecs' in requested_keys
+        ):
+            parent_indices = np.array(bm.kintree_parents[1:])
+            eye_col = jnp.broadcast_to(
+                jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], glob9.dtype)[:, None, None],
+                (9, 1, glob9.shape[2]),
+            )
+            parent9 = jnp.concatenate(
+                [eye_col, glob9[:, parent_indices]], axis=1
+            )
+            rel9 = rot_ops.matmul3x3_lm(parent9, glob9, transpose_a=True)
+            result['relative_orientations'] = jnp.transpose(
+                rel9, (2, 1, 0)
+            ).reshape(-1, bm.num_joints, 3, 3)
+            if 'pose_rotvecs' in requested_keys:
+                rv = rot_ops.mat2rotvec_lm(rel9)  # (3, J, B)
+                result['pose_rotvecs'] = jnp.transpose(rv, (2, 1, 0)).reshape(
+                    glob9.shape[2], -1
+                )
+
+        return {k: v for k, v in result.items() if v is not None}
+
     # -- known-pose / known-shape -------------------------------------------
 
     def fit_with_known_pose(
@@ -1381,3 +1530,258 @@ class BodyFitter:
             if 'pose_rotvecs' in requested_keys:
                 rotvecs = rot_ops.mat2rotvec(rel)
                 result['pose_rotvecs'] = rotvecs.reshape(batch, -1)
+
+
+# ---------------------------------------------------------------------------
+# Lane-major pipeline (kernel fast path)
+# ---------------------------------------------------------------------------
+# Rotations flow as R9 = (9, J, B) entry-major arrays (row-major ij; parts on
+# sublanes, batch in lanes) and 3-vectors as (3, J, B), matching the fused
+# kernels' native output/input layouts. Entry access is a leading-dim view —
+# no relayouts — unlike the (B, J, 3, 3) layout whose 3-wide minor dims
+# tile-pad ~40x on TPU. The batch-major functions above remain the
+# general/differentiable fallback path.
+
+
+def _regress_joints_lm(bm: BodyModelData, vertices_vm):
+    return jnp.einsum(
+        'jv,cvb->cjb', bm.J_regressor_post_lbs, vertices_vm[:, : bm.num_vertices]
+    )
+
+
+def _centered_cov_lm(raw9, s_t, s_a, s_w, c_t, c_a):
+    """Lane-major centered cross-covariance: raw9 (9, n, B) rows (c, d);
+    s_t/c_t (3, n, B); s_a/c_a (3, n, B|1); s_w (n, 1|B)."""
+    return jnp.stack(
+        [
+            raw9[c * 3 + d]
+            - s_t[c] * c_a[d]
+            - c_t[c] * s_a[d]
+            + s_w * (c_t[c] * c_a[d])
+            for c in range(3)
+            for d in range(3)
+        ],
+        axis=0,
+    )
+
+
+def part_sums_lm(plan: FitterPlan, target_vm, reference_vm=None, reference_spec=None):
+    """Lane-major per-part sums (kernel path only): raw (9, J, B) rows (c, d),
+    s_t (3, J, B), s_a (3, J, B|1), s_w (J, 1)."""
+    if reference_spec is not None:
+        raw, s_t, s_a = lbs_kernels.recon_part_sums_lm(
+            target_vm, reference_spec['pj_cm'], reference_spec['feat_cols'],
+            reference_spec['weights_pad'], reference_spec['consts_pad'],
+            plan.pm_t_pad, interpret=reference_spec['interpret'],
+        )
+    else:
+        k_mode = lbs_kernels.kernel_mode(target_vm.shape[2])
+        raw, s_t, s_a = lbs_kernels.part_sums_vm_lm(
+            target_vm, reference_vm, plan.pm_t_pad,
+            interpret=k_mode == 'interpret',
+        )
+    return raw, s_t, s_a, plan.part_counts[0]
+
+
+def fit_global_rotations_lm(
+    bm: BodyModelData,
+    plan: FitterPlan,
+    tgt_vm,
+    tj_lm,
+    reference_vm,
+    rj_lm,
+    jw_lm,
+    reference_spec=None,
+):
+    """Lane-major per-part orientation fit (same math as
+    :func:`fit_global_rotations`). ``tj_lm``/``rj_lm`` are (3, J, B|1) or None
+    (regressed from the meshes)."""
+    if tj_lm is None or rj_lm is None:
+        tj_lm = _regress_joints_lm(bm, tgt_vm)
+        rj_lm = _regress_joints_lm(bm, reference_vm)
+
+    raw, s_t, s_a, s_w = part_sums_lm(plan, tgt_vm, reference_vm, reference_spec)
+    mt = jnp.einsum('jk,ckb->cjb', plan.center_matrix, tj_lm)
+    ma = jnp.einsum('jk,ckb->cjb', plan.center_matrix, rj_lm)
+    A_vert = _centered_cov_lm(raw, s_t, s_a, s_w, mt, ma)  # (9, J, B)
+
+    if jw_lm is not None:
+        rj_w = rj_lm * jw_lm[None]
+        tj_side = tj_lm * jw_lm[None]
+        s_wj = jnp.einsum('mj,jb->mb', plan.mjp_joint_membership, jw_lm)
+    else:
+        rj_w = rj_lm
+        tj_side = tj_lm
+        s_wj = plan.mjp_joint_counts[0]  # (n_multi, 1)
+    outer9 = jnp.stack(
+        [tj_lm[c] * rj_w[d] for c in range(3) for d in range(3)], axis=0
+    )
+    raw_j = jnp.einsum('mj,xjb->xmb', plan.mjp_joint_membership, outer9)
+    mtj = jnp.einsum('mj,cjb->cmb', plan.mjp_center_matrix, tj_lm)
+    maj = jnp.einsum('mj,cjb->cmb', plan.mjp_center_matrix, rj_lm)
+    s_tj = jnp.einsum('mj,cjb->cmb', plan.mjp_joint_membership, tj_side)
+    s_aj = jnp.einsum('mj,cjb->cmb', plan.mjp_joint_membership, rj_w)
+    A_multi = _centered_cov_lm(raw_j, s_tj, s_aj, s_wj, mtj, maj)
+
+    leaf_idx = np.array(plan.leaf_parts, dtype=np.int32)
+    A_kabsch = jnp.concatenate([A_multi, A_vert[:, leaf_idx]], axis=1)
+    R_kabsch = rot_ops.proj_SO3_lm(A_kabsch)
+
+    bp = np.array(plan.bone_pairs, dtype=np.int32).reshape(-1, 2)
+    b_ref = rj_lm[:, bp[:, 1]] - rj_lm[:, bp[:, 0]]
+    b_tgt = tj_lm[:, bp[:, 1]] - tj_lm[:, bp[:, 0]]
+
+    def _norm3(v):
+        return jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+
+    b_ref_n = rot_ops.divide_no_nan(b_ref, _norm3(b_ref)[None])
+    b_tgt_n = rot_ops.divide_no_nan(b_tgt, _norm3(b_tgt)[None])
+    R_swing = rot_ops.align_unit_vectors_lm(b_ref_n, b_tgt_n)
+
+    bone_idx = np.array(plan.bone_parts, dtype=np.int32)
+    H = rot_ops.matmul3x3_lm(R_swing, A_vert[:, bone_idx], transpose_b=True)
+    trH = H[0] + H[4] + H[8]
+    bHb = sum(
+        b_tgt_n[i] * H[i * 3 + j] * b_tgt_n[j] for i in range(3) for j in range(3)
+    )
+    vee = (H[5] - H[7], H[6] - H[2], H[1] - H[3])
+    twist_angle = jnp.arctan2(
+        sum(b_tgt_n[i] * vee[i] for i in range(3)), trH - bHb
+    )
+    R_twist = rot_ops.rotvec2mat_lm(b_tgt_n * twist_angle[None])
+    R_bone = rot_ops.matmul3x3_lm(R_twist, R_swing)
+
+    R_concat = jnp.concatenate([R_kabsch, R_bone], axis=1)
+    return R_concat[:, np.array(plan.assemble_indices)]
+
+
+def fk_positions_ext_lm(bm: BodyModelData, plan: FitterPlan, glob_lm):
+    """Lane-major level-batched FK of extended joint positions:
+    (3, 1+E, J, B)."""
+    batch = glob_lm.shape[2]
+    bone_lm = jnp.transpose(plan.bone_ext, (1, 2, 0))[:, :, :, None]  # (3, n_ext, J, 1)
+    n_ext = bone_lm.shape[1]
+    root = jnp.broadcast_to(
+        jnp.transpose(plan.J_template_ext[0], (0, 1))[:, :, None, None],
+        (3, n_ext, 1, batch),
+    )
+    chunks = [root]
+    order = [0]
+    pos_by_joint = {0: 0}
+    for level in tree_levels(bm.kintree_parents):
+        js = np.array(level)
+        ps = np.array([bm.kintree_parents[i] for i in level])
+        done = jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
+        parent_pos = np.array([pos_by_joint[int(p)] for p in ps])
+        rotated = jnp.stack(
+            [
+                sum(
+                    glob_lm[a * 3 + c][ps][None] * bone_lm[c][:, js]
+                    for c in range(3)
+                )
+                for a in range(3)
+            ],
+            axis=0,
+        )  # (3, n_ext, n_lvl, B): parent rotation applied to the child bone
+        new = done[:, :, parent_pos] + rotated
+        for k, jj in enumerate(level):
+            pos_by_joint[jj] = len(order) + k
+        order.extend(level)
+        chunks = [done, new]
+    all_pos = jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
+    return all_pos[:, :, np.argsort(np.array(order))]
+
+
+def fit_global_rotations_dependent_lm(
+    bm: BodyModelData,
+    plan: FitterPlan,
+    tgt_vm,
+    tj_lm,
+    reference_vm,
+    rj_lm,
+    jw_lm,
+    glob9_prev,
+    shape_betas,
+    trans_lm,
+    kid_factor,
+    reference_spec=None,
+):
+    """Lane-major level-batched final rotation adjustment (same math as
+    :func:`fit_global_rotations_dependent`; requires
+    ``plan.leveladj_supported``)."""
+    if tj_lm is None or rj_lm is None:
+        tj_lm = _regress_joints_lm(bm, tgt_vm)
+        rj_lm = _regress_joints_lm(bm, reference_vm)
+
+    n_betas = plan.n_betas
+    j_lm = jnp.einsum(
+        'jcs,bs->cjb', bm.J_shapedirs[:, :, :n_betas], shape_betas[:, :n_betas]
+    ) + jnp.transpose(bm.J_template, (1, 0))[:, :, None]
+    if kid_factor is not None:
+        j_lm = j_lm + jnp.einsum('jc,b->cjb', bm.kid_J_shapedir, kid_factor)
+
+    parent_indices = np.array(bm.kintree_parents[1:])
+    j_parent = jnp.concatenate(
+        [jnp.zeros_like(j_lm[:, :1]), j_lm[:, parent_indices]], axis=1
+    )
+    bones = j_lm - j_parent  # (3, J, B)
+
+    raw, s_t, s_a, s_w = part_sums_lm(plan, tgt_vm, reference_vm, reference_spec)
+
+    batch = tgt_vm.shape[2]
+    num_joints = bm.num_joints
+    rots9 = glob9_prev
+    positions = jnp.zeros((3, num_joints, batch), dtype=j_lm.dtype)
+    positions = positions.at[:, 0].set(j_lm[:, 0] + trans_lm)
+
+    def refine_parts(adj, positions, rots9):
+        adj_arr = np.array(adj, dtype=np.int32)
+        c_t = positions[:, adj_arr]
+        c_a = rj_lm[:, adj_arr]
+        A_vert = _centered_cov_lm(
+            raw[:, adj_arr], s_t[:, adj_arr], s_a[:, adj_arr], s_w[adj_arr],
+            c_t, c_a,
+        )
+        joint_sel = np.array(
+            [plan.children_and_self[i] for i in adj], dtype=np.int32
+        )
+        n, k = joint_sel.shape
+        estim = tj_lm[:, joint_sel.reshape(-1)].reshape(3, n, k, batch) - c_t[:, :, None]
+        default = rj_lm[:, joint_sel.reshape(-1)].reshape(3, n, k, batch) - c_a[:, :, None]
+        if jw_lm is not None:
+            jw_sel = jw_lm[joint_sel.reshape(-1)].reshape(n, k, batch)
+            default = default * jw_sel[None]
+        A_joint = jnp.stack(
+            [
+                jnp.sum(estim[a] * default[c], axis=1)
+                for a in range(3)
+                for c in range(3)
+            ],
+            axis=0,
+        )
+        new9 = rot_ops.matmul3x3_lm(
+            rot_ops.proj_SO3_lm(A_vert + A_joint), glob9_prev[:, adj_arr]
+        )
+        return rots9.at[:, adj_arr].set(new9)
+
+    last_level = max((k for k, lvl in enumerate(plan.adj_levels) if lvl), default=-1)
+    levels = tree_levels(bm.kintree_parents)
+    for k, level in enumerate(levels):
+        if k > last_level:
+            break
+        js = np.array(level)
+        ps = np.array([bm.kintree_parents[i] for i in level])
+        rotated = jnp.stack(
+            [
+                sum(rots9[a * 3 + c][ps] * bones[c][js] for c in range(3))
+                for a in range(3)
+            ],
+            axis=0,
+        )
+        positions = positions.at[:, js].set(positions[:, ps] + rotated)
+        adj = plan.adj_levels[k]
+        if adj:
+            rots9 = refine_parts(adj, positions, rots9)
+    if plan.is_smpl_family:
+        rots9 = rots9.at[:, np.array([10, 11])].set(rots9[:, np.array([7, 8])])
+    return rots9

@@ -544,3 +544,243 @@ def _solve_partial_share(G_aug: jax.Array, r_aug: jax.Array, n_shared: int) -> j
     batch = G_aug.shape[0]
     xs_b = jnp.broadcast_to(xs, (batch, n_shared))
     return jnp.concatenate([xs_b, xi], axis=1)
+
+
+def fit_shape_gram_lm(
+    bm,
+    plan,
+    gram: GramData,
+    glob_lm: jax.Array,
+    tgt_vm: jax.Array,
+    tj_lm: Optional[jax.Array],
+    beta_regularizer: float,
+    beta_regularizer2: float,
+    kid_regularizer: Optional[float],
+    share_beta: bool,
+    beta_regularizer_reference,
+    kid_regularizer_reference,
+    requested_keys=(),
+    interpret: bool = False,
+) -> dict:
+    """Lane-major shape solve: rotations as (9, J, B) entries, targets
+    component-major, per-joint operands built by leading-dim stacks/concats —
+    no (B, J, 3, 3)-layout relayouts anywhere on the hot path. Covers the
+    fused-kernel configurations (no per-vertex weights, no scale column);
+    everything else goes through :func:`fit_shape_gram`.
+
+    Returns the usual result dict plus lane-major extras: ``joints_lm``
+    (3, J, B) and ``trans_lm`` (3, B); ``relative_orientations_lm`` (9, J, B).
+    """
+    from .bodyfitter import fk_positions_ext_lm
+
+    batch = glob_lm.shape[2]
+    J = bm.num_joints
+    E = gram.n_ext
+    n_betas = plan.n_betas
+    dtype = tgt_vm.dtype
+    parent_indices = np.array(bm.kintree_parents[1:])
+    has_joints = tj_lm is not None
+
+    eye_col = jnp.broadcast_to(
+        jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], dtype)[:, None, None],
+        (9, 1, batch),
+    )
+    parent9 = jnp.concatenate([eye_col, glob_lm[:, parent_indices]], axis=1)
+    rel9 = rot_ops.matmul3x3_lm(parent9, glob_lm, transpose_a=True)
+    # Pose feature rows (j-major, entry-minor), matching rel.reshape(B, (J-1)*9).
+    rot_params_cols = jnp.transpose(rel9[:, 1:], (1, 0, 2)).reshape(
+        (J - 1) * 9, batch
+    )
+
+    pos4 = fk_positions_ext_lm(bm, plan, glob_lm)  # (3, 1+E, J, B)
+    p_j = pos4[:, 0]  # (3, J, B)
+    P4 = pos4[:, 1:]  # (3, E, J, B)
+    jte_lm = jnp.transpose(plan.J_template_ext[..., 0], (1, 0))[:, :, None]  # (3, J, 1)
+    t_lm = jnp.stack(
+        [
+            p_j[a] - sum(glob_lm[a * 3 + c] * jte_lm[c] for c in range(3))
+            for a in range(3)
+        ],
+        axis=0,
+    )  # (3, J, B)
+    JTE_lm = jnp.transpose(plan.J_template_ext[..., 1:], (1, 2, 0))[..., None]  # (3, E, J, 1)
+    T4 = jnp.stack(
+        [
+            P4[a] - sum(glob_lm[a * 3 + c][None] * JTE_lm[c] for c in range(3))
+            for a in range(3)
+        ],
+        axis=0,
+    )  # (3, E, J, B)
+
+    pj_cm = jnp.stack(
+        [glob_lm[a * 3 + c] if c < 3 else t_lm[a] for a in range(3) for c in range(4)],
+        axis=0,
+    )  # (12, J, B)
+    feat_cols = jnp.concatenate(
+        [rot_params_cols, jnp.ones((1, batch), dtype)], axis=0
+    )
+    rk, yk = lbs_kernels.rhs_moments(
+        tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
+        gram.sd_cm, interpret=interpret,
+    )
+
+    T_cm = T4.reshape(3, E * J, batch)
+    if J * 3 <= 96:
+        R_cm = jnp.stack(
+            [
+                jnp.stack([glob_lm[a * 3 + c] for c in range(3)], axis=1).reshape(
+                    J * 3, batch
+                )
+                for a in range(3)
+            ],
+            axis=0,
+        )  # (3, 3J, B), rows (j, c)
+        if has_joints:
+            P_cm = P4.reshape(3, E * J, batch)
+            bJ_cm = tj_lm - p_j
+        else:
+            P_cm = jnp.zeros((3, 1, batch), dtype)
+            bJ_cm = jnp.zeros((3, 1, batch), dtype)
+        Gk, SAk, rbk, Sbk = lbs_kernels.gram_assembly(
+            R_cm, T_cm, yk, P_cm, bJ_cm, gram.Ksd, gram.Lz_e, gram.sd1_2d,
+            gram.q, gram.W1_col, has_joints=has_joints, interpret=interpret,
+        )
+        G = Gk.T.reshape(batch, E, E)
+        SA = SAk.T.reshape(batch, 3, E)
+        r = rk.T + rbk.T
+        Sb = Sbk.T
+        W = jnp.full(
+            (batch,), float(bm.num_vertices) + (J if has_joints else 0), dtype
+        )
+    else:
+        # Large-J models: XLA gram assembly from the lm operands.
+        hi = _HI
+        G9, SA30, rb, Sb2 = lbs_kernels.gram_assembly_ref(
+            jnp.stack(
+                [
+                    jnp.stack([glob_lm[a * 3 + c] for c in range(3)], axis=1).reshape(
+                        J * 3, batch
+                    )
+                    for a in range(3)
+                ],
+                axis=0,
+            ),
+            T_cm, yk,
+            P4.reshape(3, E * J, batch) if has_joints else jnp.zeros((3, 1, batch), dtype),
+            (tj_lm - p_j) if has_joints else jnp.zeros((3, 1, batch), dtype),
+            gram.Ksd, gram.Lz_e, gram.sd1_2d, gram.q, gram.W1_col,
+            has_joints=has_joints,
+        )
+        G = G9.T.reshape(batch, E, E)
+        SA = SA30.T.reshape(batch, 3, E)
+        r = rk.T + rb.T
+        Sb = Sb2.T
+        W = jnp.full(
+            (batch,), float(bm.num_vertices) + (J if has_joints else 0), dtype
+        )
+
+    # --- regularizers (same semantics as fit_shape_gram) ---
+    l2 = jnp.concatenate(
+        [
+            jnp.full((2,), beta_regularizer2, dtype),
+            jnp.full((n_betas - 2,), beta_regularizer, dtype),
+        ]
+    )
+    if beta_regularizer_reference is None:
+        l2_ref = jnp.zeros((batch, n_betas), dtype)
+    else:
+        ref = jnp.asarray(beta_regularizer_reference).astype(dtype)
+        if ref.shape[1] < n_betas:
+            ref = jnp.pad(ref, ((0, 0), (0, n_betas - ref.shape[1])))
+        l2_ref = ref[:, :n_betas]
+    if plan.enable_kid:
+        if kid_regularizer is None:
+            kid_regularizer = beta_regularizer
+        l2 = jnp.concatenate([l2, jnp.full((1,), kid_regularizer, dtype)])
+        if kid_regularizer_reference is None:
+            kid_ref = jnp.zeros((batch, 1), dtype)
+        else:
+            kid_ref = jnp.asarray(kid_regularizer_reference).reshape(batch, 1).astype(dtype)
+        l2_ref = jnp.concatenate([l2_ref, kid_ref], axis=1)
+    l2_rhs = l2 * l2_ref
+
+    eyeW = W[:, None, None] * jnp.eye(3, dtype=dtype)
+    SAT = jnp.swapaxes(SA, -1, -2)
+    row_b = jnp.concatenate([G, SAT], axis=2)
+    row_t = jnp.concatenate([SA, eyeW], axis=2)
+    G_aug = jnp.concatenate([row_b, row_t], axis=1)
+    r_aug = jnp.concatenate([r + l2_rhs, Sb], axis=1)
+    G_aug = G_aug + jnp.diag(jnp.concatenate([l2, jnp.zeros((3,), dtype)]))
+
+    if share_beta:
+        sol = _solve_partial_share(G_aug, r_aug, n_shared=E)
+    else:
+        sol = solve_spd_unrolled(G_aug, r_aug)
+
+    new_shape = sol[:, :n_betas]
+    new_kid_factor = sol[:, n_betas] if plan.enable_kid else None
+    new_trans = sol[:, E:]
+
+    result = dict(
+        shape_betas=new_shape,
+        kid_factor=new_kid_factor,
+        trans=new_trans,
+        trans_lm=new_trans.T,
+        relative_orientations_lm=rel9,
+        scale_corr=None,
+        joints=None,
+        vertices=None,
+    )
+
+    full_x = new_shape
+    if plan.enable_kid:
+        full_x = jnp.concatenate([full_x, new_kid_factor[:, None]], axis=1)
+    x_T = full_x.T  # (E, B)
+
+    if 'joints_lm' in requested_keys or 'joints' in requested_keys:
+        joints_lm = (
+            p_j
+            + sum(P4[:, e] * x_T[e][None, None] for e in range(E))
+            + new_trans.T[:, None, :]
+        )
+        if 'joints_lm' in requested_keys:
+            result['joints_lm'] = joints_lm
+        if 'joints' in requested_keys:
+            result['joints'] = jnp.transpose(joints_lm, (2, 1, 0))
+
+    recon_requested = (
+        'vertices' in requested_keys
+        or 'vertices_vm' in requested_keys
+        or 'recon_spec' in requested_keys
+    )
+    if recon_requested:
+        t2 = (
+            t_lm
+            + sum(T4[:, e] * x_T[e][None, None] for e in range(E))
+            + new_trans.T[:, None, :]
+        )
+        pj2_cm = jnp.stack(
+            [glob_lm[a * 3 + c] if c < 3 else t2[a] for a in range(3) for c in range(4)],
+            axis=0,
+        )
+        f2_cols = jnp.concatenate(
+            [rot_params_cols, jnp.ones((1, batch), dtype), x_T], axis=0
+        )
+        if 'recon_spec' in requested_keys:
+            result['recon_spec'] = dict(
+                pj_cm=pj2_cm, feat_cols=f2_cols,
+                weights_pad=gram.weights_pad, consts_pad=gram.consts_full,
+                interpret=interpret,
+            )
+        if 'vertices_vm' in requested_keys or 'vertices' in requested_keys:
+            recon_vm = lbs_kernels.lbs_points(
+                pj2_cm, f2_cols, gram.weights_pad, gram.consts_full,
+                interpret=interpret,
+            )
+            if 'vertices_vm' in requested_keys:
+                result['vertices_vm'] = recon_vm
+            if 'vertices' in requested_keys:
+                result['vertices'] = lbs_kernels.from_vertex_major(
+                    recon_vm, bm.num_vertices
+                )
+    return result

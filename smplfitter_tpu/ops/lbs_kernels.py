@@ -372,6 +372,14 @@ def part_sums_vm(t_vm, a_vm, pm, interpret: bool = False):
     return raw_b, s_t, s_a
 
 
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def part_sums_vm_lm(t_vm, a_vm, pm, interpret: bool = False):
+    """Lane-major :func:`part_sums_vm`: returns the kernel-native layouts
+    raw (9, J, B) with rows (c, d), s_t (3, J, B), s_a (3, J, B_a) — no
+    transposes (the rotation fits consume these directly)."""
+    return _part_sums_diff(t_vm, a_vm, pm, interpret)
+
+
 def _part_sums_impl(t_vm, a_vm, pm, interpret: bool = False):
     _, v_t, B = t_vm.shape
     v_a = a_vm.shape[1]
@@ -805,6 +813,16 @@ def recon_part_sums(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     s_t = jnp.transpose(st, (2, 1, 0))
     s_a = jnp.transpose(sa, (2, 1, 0))
     return raw_b, s_t, s_a
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def recon_part_sums_lm(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
+                       interpret: bool = False):
+    """Lane-major :func:`recon_part_sums`: kernel-native raw (9, J, B) rows
+    (c, d), s_t (3, J, B), s_a (3, J, B)."""
+    return _recon_part_sums_diff(
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, interpret
+    )
 
 
 def _part_sums_bwd_kernel(nchunks, rem_t, rem_a, t_ref, a_ref, pm_ref,

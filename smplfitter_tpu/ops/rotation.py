@@ -515,3 +515,282 @@ def rot6d_to_rotmat(rot6d: jax.Array) -> jax.Array:
 def rotmat_to_rot6d(rotmat: jax.Array) -> jax.Array:
     """First two columns of a rotation matrix, concatenated."""
     return jnp.concatenate([rotmat[..., :, 0], rotmat[..., :, 1]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Lane-major (entry-leading) variants
+# ---------------------------------------------------------------------------
+# The fit pipeline keeps rotations as ``R9`` arrays of shape (9, N, B) — entry
+# index leading (row-major ij), parts on sublanes, batch in lanes — and
+# 3-vectors as (3, N, B). Entry slices x[i] are LEADING-dim views (free, no
+# relayout), unlike the (..., 3, 3) layout whose entry access strides the
+# 3-wide lane dim (tile-padded ~40x on TPU). All the scalar math below is
+# shared with the batch-major wrappers above.
+
+
+def _unpack9(x9):
+    return [x9[i] for i in range(9)]
+
+
+def _proj_SO3_core(ent, dtype):
+    """proj_SO3_scalar's math on a list of 9 same-shaped entry arrays."""
+    a00, a01, a02, a10, a11, a12, a20, a21, a22 = ent
+
+    fro2 = (
+        a00 * a00 + a01 * a01 + a02 * a02
+        + a10 * a10 + a11 * a11 + a12 * a12
+        + a20 * a20 + a21 * a21 + a22 * a22
+    )
+    fro = jnp.sqrt(fro2)
+    inv = 1.0 / jnp.maximum(fro, 1e-30)
+    a00, a01, a02 = a00 * inv, a01 * inv, a02 * inv
+    a10, a11, a12 = a10 * inv, a11 * inv, a12 * inv
+    a20, a21, a22 = a20 * inv, a21 * inv, a22 * inv
+
+    m00 = a00 * a00 + a10 * a10 + a20 * a20
+    m11 = a01 * a01 + a11 * a11 + a21 * a21
+    m22 = a02 * a02 + a12 * a12 + a22 * a22
+    m01 = a00 * a01 + a10 * a11 + a20 * a21
+    m02 = a00 * a02 + a10 * a12 + a20 * a22
+    m12 = a01 * a02 + a11 * a12 + a21 * a22
+
+    qv = (m00 + m11 + m22) / 3.0
+    p1 = m01 * m01 + m02 * m02 + m12 * m12
+    b00, b11, b22 = m00 - qv, m11 - qv, m22 - qv
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(p2 / 6.0)
+    det_shifted = (
+        b00 * (b11 * b22 - m12 * m12)
+        - m01 * (m01 * b22 - m12 * m02)
+        + m02 * (m01 * m12 - b11 * m02)
+    )
+    rr = jnp.clip(divide_no_nan(det_shifted, 2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(rr) / 3.0
+    lam1 = qv + 2.0 * p * jnp.cos(phi)
+    lam3 = qv + 2.0 * p * jnp.cos(phi + 2.0 * math.pi / 3.0)
+    lam2 = 3.0 * qv - lam1 - lam3
+
+    def cross(x, y):
+        return (
+            x[1] * y[2] - x[2] * y[1],
+            x[2] * y[0] - x[0] * y[2],
+            x[0] * y[1] - x[1] * y[0],
+        )
+
+    def dot(x, y):
+        return x[0] * y[0] + x[1] * y[1] + x[2] * y[2]
+
+    def norm2(x):
+        return dot(x, x)
+
+    def normalize_or(x, fallback, eps):
+        n2 = norm2(x)
+        ok = n2 > eps * eps
+        invn = jax.lax.rsqrt(jnp.where(ok, n2, jnp.ones_like(n2)))
+        return tuple(jnp.where(ok, xi * invn, fi) for xi, fi in zip(x, fallback))
+
+    def matvec_sym(v):
+        return (
+            m00 * v[0] + m01 * v[1] + m02 * v[2],
+            m01 * v[0] + m11 * v[1] + m12 * v[2],
+            m02 * v[0] + m12 * v[1] + m22 * v[2],
+        )
+
+    def matvec_A(v):
+        return (
+            a00 * v[0] + a01 * v[1] + a02 * v[2],
+            a10 * v[0] + a11 * v[1] + a12 * v[2],
+            a20 * v[0] + a21 * v[1] + a22 * v[2],
+        )
+
+    eps = 1e-9
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+    e0 = (one, zero, zero)
+
+    use_top = (lam1 - lam2) >= (lam2 - lam3)
+    lam_ext = jnp.where(use_top, lam1, lam3)
+
+    r0 = (m00 - lam_ext, m01, m02)
+    r1 = (m01, m11 - lam_ext, m12)
+    r2 = (m02, m12, m22 - lam_ext)
+    c0 = cross(r0, r1)
+    c1 = cross(r1, r2)
+    c2 = cross(r2, r0)
+    n0, n1, n2 = norm2(c0), norm2(c1), norm2(c2)
+    pick01 = n0 >= n1
+    best = tuple(jnp.where(pick01, x, y) for x, y in zip(c0, c1))
+    nbest = jnp.where(pick01, n0, n1)
+    pick = nbest >= n2
+    raw = tuple(jnp.where(pick, x, y) for x, y in zip(best, c2))
+    v_a = normalize_or(raw, e0, eps)
+
+    av0, av1, av2 = jnp.abs(v_a[0]), jnp.abs(v_a[1]), jnp.abs(v_a[2])
+    is0 = jnp.logical_and(av0 <= av1, av0 <= av2)
+    is1 = jnp.logical_and(av1 <= av0, av1 <= av2)
+    e = (
+        is0.astype(dtype),
+        jnp.logical_and(is1, ~is0).astype(dtype),
+        jnp.logical_and(~is0, ~is1).astype(dtype),
+    )
+    pvec = cross(v_a, e)
+    pinv = jax.lax.rsqrt(jnp.maximum(norm2(pvec), 1e-30))
+    pvec = tuple(x * pinv for x in pvec)
+    qvec = cross(v_a, pvec)
+
+    Mp = matvec_sym(pvec)
+    Mq = matvec_sym(qvec)
+    mpp = dot(pvec, Mp)
+    mpq = dot(pvec, Mq)
+    mqq = dot(qvec, Mq)
+    th = 0.5 * jnp.arctan2(2.0 * mpq, mpp - mqq)
+    cth, sth = jnp.cos(th), jnp.sin(th)
+    v_big = tuple(cth * pi + sth * qi for pi, qi in zip(pvec, qvec))
+    v_small = tuple(-sth * pi + cth * qi for pi, qi in zip(pvec, qvec))
+
+    v1 = tuple(jnp.where(use_top, x, y) for x, y in zip(v_a, v_big))
+    v2 = tuple(jnp.where(use_top, x, y) for x, y in zip(v_big, v_small))
+    v3 = cross(v1, v2)
+
+    u1 = normalize_or(matvec_A(v1), e0, eps)
+    u2r = matvec_A(v2)
+    proj = dot(u2r, u1)
+    u2r = tuple(x - proj * u for x, u in zip(u2r, u1))
+    au0, au1_, au2_ = jnp.abs(u1[0]), jnp.abs(u1[1]), jnp.abs(u1[2])
+    j0 = jnp.logical_and(au0 <= au1_, au0 <= au2_)
+    j1 = jnp.logical_and(au1_ <= au0, au1_ <= au2_)
+    eu = (
+        j0.astype(dtype),
+        jnp.logical_and(j1, ~j0).astype(dtype),
+        jnp.logical_and(~j0, ~j1).astype(dtype),
+    )
+    fb = cross(u1, eu)
+    fbinv = jax.lax.rsqrt(jnp.maximum(norm2(fb), 1e-30))
+    fb = tuple(x * fbinv for x in fb)
+    u2 = normalize_or(u2r, fb, eps)
+    u3 = cross(u1, u2)
+
+    def r_entry(urow, vrow):
+        return urow[0] * vrow[0] + urow[1] * vrow[1] + urow[2] * vrow[2]
+
+    U_rows = [(u1[i], u2[i], u3[i]) for i in range(3)]
+    V_rows = [(v1[i], v2[i], v3[i]) for i in range(3)]
+    entries = [r_entry(U_rows[i], V_rows[j]) for i in range(3) for j in range(3)]
+
+    ok = fro > 1e-20
+    eye_flat = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    return [
+        jnp.where(ok, x, jnp.full_like(x, ident)).astype(dtype)
+        for x, ident in zip(entries, eye_flat)
+    ]
+
+
+def proj_SO3_lm(A9: jax.Array) -> jax.Array:
+    """Analytic SO(3) projection on lane-major (9, ...) entry arrays."""
+    return jnp.stack(_proj_SO3_core(_unpack9(A9), A9.dtype), axis=0)
+
+
+def matmul3x3_lm(a9, b9, transpose_a: bool = False, transpose_b: bool = False):
+    """(9, ...) @ (9, ...) componentwise (broadcasting trailing dims)."""
+    def ai(i, k):
+        return a9[k * 3 + i] if transpose_a else a9[i * 3 + k]
+
+    def bi(k, j):
+        return b9[j * 3 + k] if transpose_b else b9[k * 3 + j]
+
+    return jnp.stack(
+        [
+            ai(i, 0) * bi(0, j) + ai(i, 1) * bi(1, j) + ai(i, 2) * bi(2, j)
+            for i in range(3)
+            for j in range(3)
+        ],
+        axis=0,
+    )
+
+
+def matvec3_lm(m9, v3, transpose_m: bool = False):
+    """(9, ...) rotation of (3, ...) vectors (broadcasting trailing dims)."""
+    def mi(i, k):
+        return m9[k * 3 + i] if transpose_m else m9[i * 3 + k]
+
+    return jnp.stack(
+        [mi(i, 0) * v3[0] + mi(i, 1) * v3[1] + mi(i, 2) * v3[2] for i in range(3)],
+        axis=0,
+    )
+
+
+def rotvec2mat_lm(v3: jax.Array) -> jax.Array:
+    """Rodrigues on lane-major (3, ...) rotation vectors -> (9, ...)."""
+    angle = jnp.sqrt(v3[0] * v3[0] + v3[1] * v3[1] + v3[2] * v3[2])
+    ax = divide_no_nan(v3[0], angle)
+    ay = divide_no_nan(v3[1], angle)
+    az = divide_no_nan(v3[2], angle)
+    sin_a = jnp.sin(angle)
+    cos_a = jnp.cos(angle)
+    c1 = 1.0 - cos_a
+    sx, sy, sz = sin_a * ax, sin_a * ay, sin_a * az
+    c1x, c1y = c1 * ax, c1 * ay
+
+    tmp = c1x * ay
+    m01 = tmp - sz
+    m10 = tmp + sz
+    tmp = c1x * az
+    m02 = tmp + sy
+    m20 = tmp - sy
+    tmp = c1y * az
+    m12 = tmp - sx
+    m21 = tmp + sx
+    m00 = c1x * ax + cos_a
+    m11 = c1y * ay + cos_a
+    m22 = c1 * az * az + cos_a
+    return jnp.stack([m00, m01, m02, m10, m11, m12, m20, m21, m22], axis=0)
+
+
+def mat2rotvec_lm(R9: jax.Array) -> jax.Array:
+    """Lane-major (9, ...) rotation matrices -> (3, ...) rotation vectors."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = _unpack9(R9)
+
+    p10p01 = r10 + r01
+    p10m01 = r10 - r01
+    p02p20 = r02 + r20
+    p02m20 = r02 - r20
+    p21p12 = r21 + r12
+    p21m12 = r21 - r12
+    p00p11 = r00 + r11
+    p00m11 = r00 - r11
+    one_p22 = 1.0 + r22
+    one_m22 = 1.0 - r22
+
+    trace = r00 + r11 + r22
+    cands = [
+        (p21m12, p02m20, p10m01, 1.0 + trace),
+        (one_m22 + p00m11, p10p01, p02p20, p21m12),
+        (p10p01, one_m22 - p00m11, p21p12, p02m20),
+        (p02p20, p21p12, one_p22 - p00p11, p10m01),
+    ]
+    trace_pos = trace > 0.0
+    d00_large = jnp.logical_and(r00 > r11, r00 > r22)
+    d11_large = r11 > r22
+    q = [
+        jnp.where(
+            trace_pos,
+            cands[0][i],
+            jnp.where(d00_large, cands[1][i], jnp.where(d11_large, cands[2][i], cands[3][i])),
+        )
+        for i in range(4)
+    ]
+    norm = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2])
+    scale = divide_no_nan(jnp.full_like(norm, 2.0), norm) * jnp.arctan2(norm, q[3])
+    return jnp.stack([scale * q[0], scale * q[1], scale * q[2]], axis=0)
+
+
+def align_unit_vectors_lm(a3, b3) -> jax.Array:
+    """Rotation mapping unit vectors a -> b, lane-major (3, ...) -> (9, ...)."""
+    cx = a3[1] * b3[2] - a3[2] * b3[1]
+    cy = a3[2] * b3[0] - a3[0] * b3[2]
+    cz = a3[0] * b3[1] - a3[1] * b3[0]
+    dot = a3[0] * b3[0] + a3[1] * b3[1] + a3[2] * b3[2]
+    sin_a = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+    angle = jnp.arctan2(sin_a, dot)
+    f = divide_no_nan(angle, sin_a)
+    return rotvec2mat_lm(jnp.stack([cx * f, cy * f, cz * f], axis=0))
