@@ -1709,9 +1709,15 @@ def fit_global_rotations_dependent_lm(
     """Lane-major level-batched final rotation adjustment (same math as
     :func:`fit_global_rotations_dependent`; requires
     ``plan.leveladj_supported``)."""
+    # Parts are re-anchored at the SOLVED model joints (true_rj) even when the
+    # working joints are regressed from the meshes (no-target-joints case) —
+    # reference semantics, np/bodyfitter.py:966-1052.
+    true_rj_lm = rj_lm
     if tj_lm is None or rj_lm is None:
         tj_lm = _regress_joints_lm(bm, tgt_vm)
         rj_lm = _regress_joints_lm(bm, reference_vm)
+    if true_rj_lm is None:
+        true_rj_lm = rj_lm
 
     n_betas = plan.n_betas
     j_lm = jnp.einsum(
@@ -1737,7 +1743,7 @@ def fit_global_rotations_dependent_lm(
     def refine_parts(adj, positions, rots9):
         adj_arr = np.array(adj, dtype=np.int32)
         c_t = positions[:, adj_arr]
-        c_a = rj_lm[:, adj_arr]
+        c_a = true_rj_lm[:, adj_arr]
         A_vert = _centered_cov_lm(
             raw[:, adj_arr], s_t[:, adj_arr], s_a[:, adj_arr], s_w[adj_arr],
             c_t, c_a,

@@ -439,3 +439,36 @@ class TestGramAssembly:
             np.testing.assert_allclose(
                 np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-4
             )
+
+
+class TestForcedKernelFitVerticesOnly:
+    def test_fit_without_joints(self, smpl_model):
+        """Vertices-only fit through the lane-major kernel path (joints
+        regressed from the meshes, recon materialized vertex-major)."""
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+
+        fitter = BodyFitter(smpl_model)
+        rng = np.random.default_rng(9)
+        pose = rng.normal(0, 0.1, (8, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (8, 10)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        kwargs = dict(num_iter=2, beta_regularizer=0.0, final_adjust_rots=True,
+                      requested_keys=['pose_rotvecs', 'shape_betas', 'trans'])
+        plain = fitter.fit(res['vertices'], None, **kwargs)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            kernel = fitter.fit(res['vertices'], None, **kwargs)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        np.testing.assert_allclose(
+            np.asarray(kernel['shape_betas']), np.asarray(plain['shape_betas']),
+            atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(kernel['trans']), np.asarray(plain['trans']), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(kernel['pose_rotvecs']), np.asarray(plain['pose_rotvecs']),
+            atol=5e-3,
+        )
