@@ -99,7 +99,8 @@ def resolve_body_models_dir() -> str:
     """Resolve the body-models directory from env vars, like the reference.
 
     Order: $SMPLFITTER_BODY_MODELS, then $DATA_ROOT/body_models, then
-    ./body_models (cf. /root/reference/src/smplfitter/common.py:229-239).
+    ./body_models if it exists, then the platform-appropriate per-user data
+    directory (cf. /root/reference/src/smplfitter/common.py:212-239).
     """
     body_models_dir = os.getenv('SMPLFITTER_BODY_MODELS')
     if body_models_dir is not None:
@@ -107,7 +108,13 @@ def resolve_body_models_dir() -> str:
     data_root = os.getenv('DATA_ROOT')
     if data_root is not None:
         return osp.join(data_root, 'body_models')
-    return 'body_models'
+    if osp.isdir('body_models'):
+        return 'body_models'
+    try:
+        import platformdirs
+    except ImportError:
+        return 'body_models'
+    return osp.join(platformdirs.user_data_dir('smplfitter'), 'body_models')
 
 
 def model_filename(model_name: str, gender: str) -> str:
