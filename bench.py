@@ -97,6 +97,12 @@ def main() -> None:
         )
     )
 
+    # Oracle parity gate: a batch-32 fit must match the reference NumPy
+    # backend on the same synthetic model (betas within 1e-3, reconstruction
+    # v2v within 0.01 mm of the oracle's). A kernel-precision regression
+    # fails the bench loudly instead of shipping a green number.
+    parity = parity_gate(jax, models_dir, fitter, fwd)
+
     print(
         json.dumps(
             dict(
@@ -104,6 +110,7 @@ def main() -> None:
                 value=round(fits_per_sec, 1),
                 unit='fits/s',
                 vs_baseline=round(fits_per_sec / BASELINE_FITS_PER_SEC, 3),
+                parity=None if parity is None else parity['ok'],
             )
         ),
         flush=True,
@@ -120,6 +127,79 @@ def main() -> None:
             secondary(jax, smplfitter_tpu, models_dir, rng)
         except Exception as e:  # secondary metrics are informational only
             print(f'# secondary benchmarks failed: {e!r}', file=sys.stderr)
+
+    if parity is not None and not parity['ok']:
+        sys.exit(1)
+
+
+def parity_gate(jax, models_dir, fitter, fwd):
+    """Compare a batch-32 fit against the reference NumPy oracle.
+
+    Returns dict(ok, max_dbetas, v2v_ours_mm, v2v_ref_mm) or None when the
+    reference is unavailable. Thresholds: max|Δbetas| ≤ 1e-3 and
+    |v2v_ours − v2v_ref| ≤ 0.01 mm.
+    """
+    ref_src = '/root/reference/src'
+    if not os.path.isdir(ref_src):
+        print('# parity: reference oracle unavailable, skipped', file=sys.stderr)
+        return None
+    if ref_src not in sys.path:
+        sys.path.insert(0, ref_src)
+    try:
+        import smplfitter.np as ref_np
+    except Exception as e:
+        print(f'# parity: reference import failed ({e!r}), skipped', file=sys.stderr)
+        return None
+
+    rng = np.random.default_rng(3)
+    B = 32
+    pose = rng.normal(0, 0.3, (B, 72)).astype(np.float32)
+    betas = rng.normal(0, 1, (B, 10)).astype(np.float32)
+    trans = rng.normal(0, 0.5, (B, 3)).astype(np.float32)
+    res = jax.block_until_ready(fwd(pose, betas, trans))
+    tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+
+    fit_kw = dict(
+        num_iter=NUM_ITER, beta_regularizer=1.0, final_adjust_rots=True,
+        requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+    )
+    fit_fn = jax.jit(lambda v, j: fitter.fit(v, j, **fit_kw))
+    ours = jax.block_until_ready(fit_fn(tv, tj))
+
+    ref_model = ref_np.BodyModel(
+        'smpl', 'neutral', model_root=models_dir + '/smpl', num_betas=10
+    )
+    ref = ref_np.BodyFitter(ref_model).fit(
+        target_vertices=tv, target_joints=tj,
+        num_iter=NUM_ITER, beta_regularizer=1.0, final_adjust_rots=True,
+        requested_keys=list(fit_kw['requested_keys']),
+    )
+
+    max_dbetas = float(
+        np.max(np.abs(np.asarray(ours['shape_betas']) - ref['shape_betas']))
+    )
+
+    def recon_v2v(params):
+        re = jax.block_until_ready(
+            fwd(
+                np.asarray(params['pose_rotvecs'], np.float32),
+                np.asarray(params['shape_betas'], np.float32),
+                np.asarray(params['trans'], np.float32),
+            )
+        )
+        return float(
+            np.mean(np.linalg.norm(np.asarray(re['vertices']) - tv, axis=-1)) * 1e3
+        )
+
+    v2v_ours = recon_v2v(ours)
+    v2v_ref = recon_v2v(ref)
+    ok = max_dbetas <= 1e-3 and abs(v2v_ours - v2v_ref) <= 0.01
+    print(
+        f'# parity: ok={ok} max|dbetas|={max_dbetas:.2e} '
+        f'v2v ours={v2v_ours:.4f}mm ref={v2v_ref:.4f}mm',
+        file=sys.stderr,
+    )
+    return dict(ok=ok, max_dbetas=max_dbetas, v2v_ours_mm=v2v_ours, v2v_ref_mm=v2v_ref)
 
 
 def secondary(jax, smplfitter_tpu, models_dir, rng) -> None:

@@ -1,0 +1,124 @@
+"""TPU timings for the NON-kernel (general/batch-major) fit entry points.
+
+The lane-major kernel pipeline covers plain ``fit`` without per-vertex weights;
+everything else — weighted fit (the HandReplacer configuration),
+``fit_with_known_pose``, ``fit_with_known_shape``, ``share_beta`` — runs the
+general XLA formulation. This records what that fallback costs, so the policy
+"general path is the fallback" has a measured price (cf. STATUS.md secondary
+metrics).
+
+Usage: python benchmark/bench_fallback_paths.py [--batch 4096] [--reps 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def measure(jax, fn, inputs, reps):
+    """Pipelined ms/batch over distinct inputs (memoizing-runtime safe)."""
+    jax.block_until_ready(fn(*inputs[0]))
+    t0 = time.perf_counter()
+    outs = [fn(*i) for i in inputs]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--batch', type=int, default=4096)
+    parser.add_argument('--reps', type=int, default=6)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_compilation_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    import smplfitter_tpu
+    from smplfitter_tpu.utils import synthetic
+
+    B, reps = args.batch, args.reps
+    models_dir = synthetic.ensure_cached_models()
+    bm = smplfitter_tpu.BodyModel('smpl', 'neutral', model_root=models_dir + '/smpl')
+    fitter = smplfitter_tpu.BodyFitter(bm)
+    V = bm.num_vertices
+
+    rng = np.random.default_rng(0)
+    fwd = jax.jit(lambda p, b, t: bm(pose_rotvecs=p, shape_betas=b, trans=t))
+    targets = []
+    for _ in range(reps):
+        pose = rng.normal(0, 0.3, (B, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (B, 10)).astype(np.float32)
+        trans = rng.normal(0, 0.5, (B, 3)).astype(np.float32)
+        res = fwd(pose, betas, trans)
+        targets.append((res['vertices'], res['joints'], pose, betas, trans))
+    jax.block_until_ready(targets)
+
+    common = dict(num_iter=3, beta_regularizer=1.0, final_adjust_rots=True)
+    results = {}
+
+    # 1. Weighted fit — the HandReplacer configuration (hand verts at 0.1).
+    vweights = np.ones((B, V), np.float32)
+    vweights[:, : V // 8] = 0.1
+    jweights = np.ones((B, bm.num_joints), np.float32)
+    fit_w = jax.jit(
+        lambda tv, tj, vw, jw: fitter.fit(
+            tv, tj, vertex_weights=vw, joint_weights=jw,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'), **common,
+        )
+    )
+    ms = measure(jax, fit_w, [(tv, tj, vweights, jweights) for tv, tj, *_ in targets], reps)
+    results['weighted_fit'] = ms
+
+    # 2. fit_with_known_pose (solves shape/trans only).
+    fit_kp = jax.jit(
+        lambda tv, tj, p: fitter.fit_with_known_pose(
+            tv, pose_rotvecs=p, target_joints=tj, beta_regularizer=1.0,
+        )
+    )
+    ms = measure(jax, fit_kp, [(tv, tj, p) for tv, tj, p, *_ in targets], reps)
+    results['fit_with_known_pose'] = ms
+
+    # 3. fit_with_known_shape (solves rotations/trans only).
+    fit_ks = jax.jit(
+        lambda tv, tj, b: fitter.fit_with_known_shape(
+            tv, shape_betas=b, target_joints=tj,
+        )
+    )
+    ms = measure(jax, fit_ks, [(tv, tj, b) for tv, tj, _, b, _ in targets], reps)
+    results['fit_with_known_shape'] = ms
+
+    # 4. share_beta at full batch (the cross-chip-collective configuration).
+    fit_sb = jax.jit(
+        lambda tv, tj: fitter.fit(
+            tv, tj, share_beta=True,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'), **common,
+        )
+    )
+    ms = measure(jax, fit_sb, [(tv, tj) for tv, tj, *_ in targets], reps)
+    results['share_beta_fit'] = ms
+
+    # 5. Plain kernel-path fit for scale (the headline config).
+    fit_k = jax.jit(
+        lambda tv, tj: fitter.fit(
+            tv, tj, requested_keys=('pose_rotvecs', 'shape_betas', 'trans'), **common,
+        )
+    )
+    ms = measure(jax, fit_k, [(tv, tj) for tv, tj, *_ in targets], reps)
+    results['plain_fit_kernel_path'] = ms
+
+    print(f'\n== fallback-path timings, batch {B}, {jax.devices()[0].device_kind} ==')
+    for name, ms in results.items():
+        print(f'{name:28s} {ms:8.1f} ms/batch   {B / ms * 1e3:12,.0f} fits/s')
+
+
+if __name__ == '__main__':
+    main()

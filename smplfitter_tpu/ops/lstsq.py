@@ -27,8 +27,27 @@ from jax import lax
 _HI = lax.Precision.HIGHEST
 
 
-def _matmul_t_a(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.einsum('...ji,...jk->...ik', a, b, precision=_HI)
+def normal_equations(
+    matrix: jax.Array,
+    rhs: jax.Array,
+    weights: jax.Array,
+    ridge: Optional[jax.Array] = None,
+    ridge_rhs: Optional[jax.Array] = None,
+):
+    """Reduce a weighted least-squares system to its normal equations.
+
+    One MXU GEMM each for the Gramian ``A^T W A`` (..., P, P) and the moment
+    ``A^T W b`` (..., P, K); ``ridge`` adds a Tikhonov diagonal and
+    ``ridge_rhs`` a raw additive pull-target term on the moment.
+    """
+    row_scaled = matrix * weights[..., None]
+    gram = jnp.einsum('...ji,...jk->...ik', row_scaled, matrix, precision=_HI)
+    moment = jnp.einsum('...ji,...jk->...ik', row_scaled, rhs, precision=_HI)
+    if ridge is not None:
+        gram = gram + jnp.diag(ridge)
+    if ridge_rhs is not None:
+        moment = moment + ridge_rhs
+    return gram, moment
 
 
 def lstsq(
@@ -54,21 +73,13 @@ def lstsq(
     Returns:
         (B, P, K) solution (batch dim 1 if shared).
     """
-    weighted_matrix = weights[..., None] * matrix
-    gramian = _matmul_t_a(weighted_matrix, matrix)
-    if l2_regularizer is not None:
-        gramian = gramian + jnp.diag(l2_regularizer)
-
-    atb = _matmul_t_a(weighted_matrix, rhs)
-    if l2_regularizer_rhs is not None:
-        atb = atb + l2_regularizer_rhs
-
+    gram, moment = normal_equations(
+        matrix, rhs, weights, l2_regularizer, l2_regularizer_rhs
+    )
     if shared:
-        gramian = jnp.sum(gramian, axis=0, keepdims=True)
-        atb = jnp.sum(atb, axis=0, keepdims=True)
-
-    chol = jnp.linalg.cholesky(gramian)
-    return cholesky_solve(chol, atb)
+        gram = jnp.sum(gram, axis=0, keepdims=True)
+        moment = jnp.sum(moment, axis=0, keepdims=True)
+    return cholesky_solve(jnp.linalg.cholesky(gram), moment)
 
 
 def cholesky_solve(chol: jax.Array, rhs: jax.Array) -> jax.Array:
@@ -137,51 +148,61 @@ def lstsq_partial_share(
 ) -> jax.Array:
     """Batch least squares where the first ``n_shared`` params are shared batch-wide.
 
-    Block elimination: (1) solve each instance for its independent params (and
-    regress the shared columns on the independent ones), (2) one summed-Gramian
-    solve for the shared params on the residual system, (3) back-substitute.
-    Regularization enters as extra identity rows appended to the design matrix,
-    so only the unregularized solver is needed.
+    Schur-complement elimination on the PARTITIONED NORMAL EQUATIONS: the full
+    (P, P) Gramian is formed once per instance and split into shared (s) /
+    independent (i) blocks; each instance locally eliminates its independent
+    block (one small Cholesky serving both the coupling columns and the
+    moment), and only the (S, S) Schur complement ``Gss − Gsi Gii⁻¹ Gis`` and
+    its moment are summed over the batch — that sum is the cross-chip
+    all-reduce under batch sharding. Back-substitution recovers per-instance
+    independent params. Equivalent to the reference's appended-identity-row
+    residual scheme (/root/reference/src/smplfitter/np/lstsq.py:26-55) but
+    never materializes augmented design matrices, and runs one Gramian GEMM
+    instead of two.
+
+    Regularization semantics match the reference's identity-row trick: the
+    Tikhonov diagonal is applied per instance (so the shared block accumulates
+    it B times), and the pull-target ``l2_regularizer_rhs`` enters scaled by
+    the regularizer weights.
     """
     n_params = matrix.shape[-1]
-    n_rhs_outputs = rhs.shape[-1]
+    n_out = rhs.shape[-1]
     n_indep = n_params - n_shared
     batch = matrix.shape[0]
 
-    if n_indep == 0:
-        result = lstsq(matrix, rhs, weights, l2_regularizer, l2_regularizer_rhs, shared=True)
-        return jnp.broadcast_to(result, (batch, n_params, n_rhs_outputs))
-
-    eye = jnp.broadcast_to(jnp.eye(n_params, dtype=matrix.dtype), (batch, n_params, n_params))
-    matrix = jnp.concatenate([matrix, eye], axis=1)
+    pull = None
     if l2_regularizer_rhs is not None:
-        rhs = jnp.concatenate([rhs, l2_regularizer_rhs], axis=1)
-    else:
-        rhs = jnp.concatenate(
-            [rhs, jnp.zeros((batch, n_params, n_rhs_outputs), dtype=rhs.dtype)], axis=1
-        )
-    weights = jnp.concatenate(
-        [weights, jnp.broadcast_to(l2_regularizer, (batch, n_params)).astype(weights.dtype)],
-        axis=1,
+        pull = l2_regularizer[:, None] * l2_regularizer_rhs
+
+    if n_indep == 0:
+        result = lstsq(matrix, rhs, weights, l2_regularizer, pull, shared=True)
+        return jnp.broadcast_to(result, (batch, n_params, n_out))
+
+    gram, moment = normal_equations(matrix, rhs, weights, l2_regularizer, pull)
+    g_ss = gram[..., :n_shared, :n_shared]
+    g_si = gram[..., :n_shared, n_shared:]
+    g_ii = gram[..., n_shared:, n_shared:]
+    m_s = moment[..., :n_shared, :]
+    m_i = moment[..., n_shared:, :]
+
+    # Local elimination of the independent block, for coupling and moment at once.
+    chol_ii = jnp.linalg.cholesky(g_ii)
+    eliminated = cholesky_solve(
+        chol_ii, jnp.concatenate([jnp.swapaxes(g_si, -1, -2), m_i], axis=-1)
     )
+    pivot_s = eliminated[..., :n_shared]  # Gii⁻¹ Gis, (B, I, S)
+    pivot_k = eliminated[..., n_shared:]  # Gii⁻¹ bi,  (B, I, K)
 
-    matrix_shared = matrix[..., :n_shared]
-    matrix_indep = matrix[..., n_shared:]
-
-    both = lstsq(matrix_indep, jnp.concatenate([matrix_shared, rhs], axis=-1), weights)
-    coeff_indep2shared = both[..., :n_shared]
-    coeff_indep2rhs = both[..., n_shared:]
-
-    coeff_shared2rhs = lstsq(
-        matrix_shared - jnp.matmul(matrix_indep, coeff_indep2shared, precision=_HI),
-        rhs - jnp.matmul(matrix_indep, coeff_indep2rhs, precision=_HI),
-        weights,
-        shared=True,
+    schur = jnp.sum(
+        g_ss - jnp.matmul(g_si, pivot_s, precision=_HI), axis=0, keepdims=True
     )
+    schur_moment = jnp.sum(
+        m_s - jnp.matmul(g_si, pivot_k, precision=_HI), axis=0, keepdims=True
+    )
+    x_shared = cholesky_solve(jnp.linalg.cholesky(schur), schur_moment)  # (1, S, K)
 
     # matmul broadcasts the batch-1 shared solution against the full batch.
-    coeff_indep2rhs = coeff_indep2rhs - jnp.matmul(
-        coeff_indep2shared, coeff_shared2rhs, precision=_HI
+    x_indep = pivot_k - jnp.matmul(pivot_s, x_shared, precision=_HI)
+    return jnp.concatenate(
+        [jnp.broadcast_to(x_shared, (batch, n_shared, n_out)), x_indep], axis=1
     )
-    coeff_shared2rhs = jnp.broadcast_to(coeff_shared2rhs, (batch, n_shared, n_rhs_outputs))
-    return jnp.concatenate([coeff_shared2rhs, coeff_indep2rhs], axis=1)

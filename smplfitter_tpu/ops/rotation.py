@@ -118,156 +118,35 @@ def mat2rotvec(rotmat: jax.Array) -> jax.Array:
 
 
 def proj_SO3_svd(A: jax.Array) -> jax.Array:
-    """SVD-based projection with reflection fix. Reference path for testing."""
+    """SVD-based projection (test oracle; not used in compiled TPU paths).
+
+    Standard Kabsch form: ``R = U diag(1, 1, s) V^T`` where ``s = sign(det)``
+    flips the smallest-singular-value direction when ``U V^T`` is a reflection.
+    """
     U, _, Vh = jnp.linalg.svd(A)
-    T = U @ Vh
-    has_reflection = (jnp.linalg.det(T) < 0)[..., None, None]
-    T_mirror = T - 2 * U[..., -1:] @ Vh[..., -1:, :]
-    return jnp.where(has_reflection, T_mirror, T)
-
-
-def _sym_eigvals3(M: jax.Array):
-    """Eigenvalues (descending) of symmetric (..., 3, 3) via the trigonometric cubic."""
-    a00, a11, a22 = M[..., 0, 0], M[..., 1, 1], M[..., 2, 2]
-    a01, a02, a12 = M[..., 0, 1], M[..., 0, 2], M[..., 1, 2]
-
-    q = (a00 + a11 + a22) / 3.0
-    p1 = a01 * a01 + a02 * a02 + a12 * a12
-    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
-    p = jnp.sqrt(p2 / 6.0)
-
-    b00, b11, b22 = a00 - q, a11 - q, a22 - q
-    det_shifted = (
-        b00 * (b11 * b22 - a12 * a12)
-        - a01 * (a01 * b22 - a12 * a02)
-        + a02 * (a01 * a12 - b11 * a02)
+    det = jnp.linalg.det(U @ Vh)
+    signs = jnp.stack(
+        [jnp.ones_like(det), jnp.ones_like(det), jnp.sign(det)], axis=-1
     )
-    r = jnp.clip(divide_no_nan(det_shifted, 2.0 * p * p * p), -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-
-    lam1 = q + 2.0 * p * jnp.cos(phi)
-    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * math.pi / 3.0)
-    lam2 = 3.0 * q - lam1 - lam3
-    return lam1, lam2, lam3
-
-
-def _eigvec_raw(M: jax.Array, lam: jax.Array) -> jax.Array:
-    """Unnormalized eigenvector of symmetric M for eigenvalue lam.
-
-    Largest-norm cross product of row pairs of ``M - lam I`` (null-space vector).
-    Only well-conditioned for an extreme eigenvalue with a gap, which is how the
-    caller uses it.
-    """
-    N = M - lam[..., None, None] * jnp.eye(3, dtype=M.dtype)
-    r0, r1, r2 = N[..., 0, :], N[..., 1, :], N[..., 2, :]
-    c0 = jnp.cross(r0, r1)
-    c1 = jnp.cross(r1, r2)
-    c2 = jnp.cross(r2, r0)
-    n0 = jnp.sum(c0 * c0, -1, keepdims=True)
-    n1 = jnp.sum(c1 * c1, -1, keepdims=True)
-    n2 = jnp.sum(c2 * c2, -1, keepdims=True)
-    best01 = jnp.where(n0 >= n1, c0, c1)
-    nbest01 = jnp.where(n0 >= n1, n0, n1)
-    return jnp.where(nbest01 >= n2, best01, c2)
-
-
-def _any_orthogonal(u: jax.Array) -> jax.Array:
-    """A unit vector orthogonal to unit vector u, branch-free."""
-    au = jnp.abs(u)
-    a0, a1, a2 = au[..., 0], au[..., 1], au[..., 2]
-    is0 = jnp.logical_and(a0 <= a1, a0 <= a2)
-    is1 = jnp.logical_and(a1 <= a0, a1 <= a2)
-    e = jnp.stack(
-        [
-            is0.astype(u.dtype),
-            jnp.logical_and(is1, ~is0).astype(u.dtype),
-            jnp.logical_and(~is0, ~is1).astype(u.dtype),
-        ],
-        axis=-1,
-    )
-    w = jnp.cross(u, e)
-    return w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-30)
-
-
-def _normalize_or(x: jax.Array, fallback: jax.Array, eps: float) -> jax.Array:
-    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    ok = n > eps
-    xn = x / jnp.where(ok, n, jnp.ones_like(n))
-    return jnp.where(ok, xn, fallback)
-
-
-def proj_SO3_analytic(A: jax.Array) -> jax.Array:
-    """Closed-form polar decomposition of (..., 3, 3) onto SO(3).
-
-    Solves the symmetric eigenproblem of ``M = An^T An`` (``An = A/|A|_F``) with
-    Smith's trigonometric cubic, extracts the better-conditioned extreme
-    eigenvector via the null-space cross-product trick, gets the remaining pair
-    from the 2x2 restriction to the orthogonal complement (half-angle atan2), and
-    rebuilds ``R = U V^T`` with right-handed bases (``u3 = u1 x u2``), which bakes
-    in the reflection fix. Fully branch-free; internal math in float32 — the
-    Frobenius pre-normalization keeps every threshold relative.
-
-    This is the TPU-native analogue of the reference's compiled-mode projection
-    (/root/reference/src/smplfitter/pt/rotation.py:26-97): no SVD, no
-    data-dependent control flow, everything VPU-friendly elementwise math.
-    """
-    dtype = A.dtype
-    eps = 1e-9
-    fro = jnp.linalg.norm(A.reshape(*A.shape[:-2], 9), axis=-1)
-    An = A / jnp.maximum(fro, 1e-30)[..., None, None]
-
-    M = jnp.swapaxes(An, -1, -2) @ An  # symmetric PSD, trace == 1 after normalization
-    lam1, lam2, lam3 = _sym_eigvals3(M)
-
-    e0 = jnp.zeros_like(An[..., 0, :]).at[..., 0].set(1.0)
-
-    # Extreme eigenvector with the larger gap (never the ill-conditioned middle one).
-    use_top = (lam1 - lam2) >= (lam2 - lam3)
-    lam_ext = jnp.where(use_top, lam1, lam3)
-    v_a = _normalize_or(_eigvec_raw(M, lam_ext), e0, eps)
-
-    # Diagonalize the 2x2 restriction of M to the complement of v_a.
-    p = _any_orthogonal(v_a)
-    q = jnp.cross(v_a, p)
-    Mp = jnp.einsum('...ij,...j->...i', M, p)
-    Mq = jnp.einsum('...ij,...j->...i', M, q)
-    mpp = jnp.sum(p * Mp, -1)
-    mpq = jnp.sum(p * Mq, -1)
-    mqq = jnp.sum(q * Mq, -1)
-    th = 0.5 * jnp.arctan2(2.0 * mpq, mpp - mqq)
-    c = jnp.cos(th)[..., None]
-    s = jnp.sin(th)[..., None]
-    v_big = c * p + s * q
-    v_small = -s * p + c * q
-
-    use_top_b = use_top[..., None]
-    v1 = jnp.where(use_top_b, v_a, v_big)
-    v2 = jnp.where(use_top_b, v_big, v_small)
-    v3 = jnp.cross(v1, v2)
-
-    u1 = _normalize_or(jnp.einsum('...ij,...j->...i', An, v1), e0, eps)
-    u2 = jnp.einsum('...ij,...j->...i', An, v2)
-    u2 = u2 - jnp.sum(u2 * u1, -1, keepdims=True) * u1
-    u2 = _normalize_or(u2, _any_orthogonal(u1), eps)
-    u3 = jnp.cross(u1, u2)
-
-    U = jnp.stack([u1, u2, u3], axis=-1)
-    V = jnp.stack([v1, v2, v3], axis=-1)
-    R = U @ jnp.swapaxes(V, -1, -2)
-
-    # Fully degenerate A ~ 0 -> identity.
-    R = jnp.where((fro > 1e-20)[..., None, None], R, jnp.eye(3, dtype=dtype))
-    return R.astype(dtype)
+    return (U * signs[..., None, :]) @ Vh
 
 
 def proj_SO3_scalar(A: jax.Array) -> jax.Array:
     """Scalarized analytic polar decomposition — the TPU fast path.
 
-    Same math as :func:`proj_SO3_analytic`, but computed in structure-of-arrays
-    form: the nine matrix components live in flat (N,) arrays, so the entire
-    projection fuses into one VPU kernel. Matrix-shaped (..., 3, 3)
-    intermediates would be tiled to (8, 128) on TPU — a ~40x memory/bandwidth
-    blow-up between fusion breaks — which this layout avoids entirely.
+    Closed-form polar decomposition: diagonalize ``M = An^T An`` (``An``
+    Frobenius-normalized) with the trigonometric 3x3 symmetric eigensolver,
+    recover the extreme eigenvector from the null space of ``M - λI`` (largest
+    cross product of row pairs), diagonalize the 2x2 restriction to its
+    orthogonal complement by half-angle atan2, and rebuild ``R = U V^T`` with
+    right-handed bases (``u3 = u1 × u2`` bakes in the reflection fix). Fully
+    branch-free — the role the analytic projection plays in the reference's
+    compiled mode (/root/reference/src/smplfitter/pt/rotation.py:19-22), but
+    computed in structure-of-arrays form: the nine matrix components live in
+    flat (N,) arrays, so the entire projection fuses into one VPU kernel.
+    Matrix-shaped (..., 3, 3) intermediates would be tiled to (8, 128) on TPU —
+    a ~40x memory/bandwidth blow-up between fusion breaks — which this layout
+    avoids entirely.
     """
     dtype = A.dtype
     batch_shape = A.shape[:-2]
@@ -435,6 +314,11 @@ def proj_SO3(A: jax.Array) -> jax.Array:
     """Project (..., 3, 3) onto SO(3). Default: branch-free scalarized analytic
     polar decomposition (one fused VPU kernel on TPU)."""
     return proj_SO3_scalar(A)
+
+
+# Matrix-layout entry point to the same SoA math (kept for API parity with the
+# reference's proj_SO3_analytic; there is no separate matrix-shaped algorithm).
+proj_SO3_analytic = proj_SO3_scalar
 
 
 def matmul3x3(

@@ -317,54 +317,51 @@ def csr_to_dense_gather(csr, max_nnz_per_row: int | None = None):
 
 
 @contextlib.contextmanager
+def _temporary_modules(entries: dict):
+    """Install ``entries`` into ``sys.modules`` for the duration of the block,
+    restoring whatever (if anything) was there before."""
+    displaced = {name: sys.modules.get(name) for name in entries}
+    sys.modules.update(entries)
+    try:
+        yield
+    finally:
+        for name, previous in displaced.items():
+            if previous is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = previous
+
+
 def scipy_sparse_forward_compat():
-    """Allow unpickling files that reference removed scipy.sparse submodules."""
+    """Unpickle files naming removed ``scipy.sparse.{coo,csr,csc}`` submodules
+    (deftrafo pickles predate their removal) by aliasing them to the package."""
     import scipy.sparse
 
-    saved = {}
-    for name in ['coo', 'csr', 'csc']:
-        mod_path = f'scipy.sparse.{name}'
-        saved[mod_path] = sys.modules.get(mod_path)
-        sys.modules[mod_path] = scipy.sparse
-    try:
-        yield
-    finally:
-        for mod_path, old_val in saved.items():
-            if old_val is None:
-                sys.modules.pop(mod_path, None)
-            else:
-                sys.modules[mod_path] = old_val
+    return _temporary_modules(
+        {f'scipy.sparse.{sub}': scipy.sparse for sub in ('coo', 'csr', 'csc')}
+    )
 
 
-@contextlib.contextmanager
-def chumpy_stub_modules():
-    """Register minimal chumpy stubs so official .pkl files unpickle without chumpy."""
+class _UnpickledChumpyArray:
+    """Shape-shifts into whatever chumpy class pickle assigns attributes to;
+    ``__array__`` recovers the plain ndarray. Covers ``chumpy.ch.Ch`` (data in
+    ``.x``) and ``chumpy.reordering.Select`` (flat-index view ``.a[.idxs]``,
+    optionally reshaped to ``.preferred_shape``) — the two chumpy types that
+    appear in the official SMPL-family .pkl files."""
 
-    class _ChStub:
-        def __array__(self, dtype=None):
+    def __array__(self, dtype=None):
+        if hasattr(self, 'x'):
             return np.array(self.x, dtype=dtype)
+        picked = np.array(self.a, dtype=dtype).ravel()[self.idxs]
+        shape = getattr(self, 'preferred_shape', None)
+        return picked if shape is None else picked.reshape(shape)
 
-    class _SelectStub:
-        def __array__(self, dtype=None):
-            result = np.array(self.a, dtype=dtype).ravel()[self.idxs]
-            preferred = getattr(self, 'preferred_shape', None)
-            return result.reshape(preferred) if preferred is not None else result
 
-    stubs = {
-        'chumpy': types.ModuleType('chumpy'),
-        'chumpy.ch': types.ModuleType('chumpy.ch'),
-        'chumpy.reordering': types.ModuleType('chumpy.reordering'),
-    }
-    stubs['chumpy.ch'].Ch = _ChStub
-    stubs['chumpy.reordering'].Select = _SelectStub
-
-    saved = {mod_path: sys.modules.get(mod_path) for mod_path in stubs}
-    sys.modules.update(stubs)
-    try:
-        yield
-    finally:
-        for mod_path, old_val in saved.items():
-            if old_val is None:
-                sys.modules.pop(mod_path, None)
-            else:
-                sys.modules[mod_path] = old_val
+def chumpy_stub_modules():
+    """Unpickle official .pkl files without chumpy installed: fake modules whose
+    ``Ch``/``Select`` classes are array-convertible attribute bags."""
+    fakes = {name: types.ModuleType(name)
+             for name in ('chumpy', 'chumpy.ch', 'chumpy.reordering')}
+    fakes['chumpy.ch'].Ch = _UnpickledChumpyArray
+    fakes['chumpy.reordering'].Select = _UnpickledChumpyArray
+    return _temporary_modules(fakes)

@@ -138,3 +138,86 @@ class TestCachedFitFn:
         )
         out5 = fit_fn(verts5)
         assert out5['shape_betas'].shape[:2] == (3, 2)
+
+
+class TestPickleCompatShims:
+    def _fake_chumpy_pickle(self, attrs, clsname='Ch', modname='chumpy.ch'):
+        """Pickle an object whose class claims to live at chumpy.ch/reordering,
+        as the official model files do — without chumpy installed."""
+        import pickle
+        import sys
+        import types
+
+        mods = {'chumpy': types.ModuleType('chumpy'), modname: types.ModuleType(modname)}
+        cls = type(clsname, (), {'__module__': modname, '__qualname__': clsname})
+        setattr(mods[modname], clsname, cls)
+        obj = cls()
+        for k, v in attrs.items():
+            setattr(obj, k, v)
+        saved = {n: sys.modules.get(n) for n in mods}
+        sys.modules.update(mods)
+        try:
+            return pickle.dumps({'payload': obj})
+        finally:
+            for n, old in saved.items():
+                if old is None:
+                    sys.modules.pop(n, None)
+                else:
+                    sys.modules[n] = old
+
+    def test_chumpy_ch_roundtrip(self):
+        import pickle
+
+        from smplfitter_tpu.utils.modeldata import chumpy_stub_modules
+
+        data = self._fake_chumpy_pickle({'x': np.arange(6.0).reshape(2, 3)})
+        with pytest.raises(ModuleNotFoundError):
+            pickle.loads(data)  # chumpy really is absent
+        with chumpy_stub_modules():
+            loaded = pickle.loads(data)['payload']
+        np.testing.assert_array_equal(np.asarray(loaded), np.arange(6.0).reshape(2, 3))
+
+    def test_chumpy_select_roundtrip(self):
+        import pickle
+
+        from smplfitter_tpu.utils.modeldata import chumpy_stub_modules
+
+        data = self._fake_chumpy_pickle(
+            {'a': np.arange(12.0), 'idxs': np.array([3, 5, 7, 9]),
+             'preferred_shape': (2, 2)},
+            clsname='Select', modname='chumpy.reordering',
+        )
+        with chumpy_stub_modules():
+            loaded = pickle.loads(data)['payload']
+        np.testing.assert_array_equal(
+            np.asarray(loaded), np.array([[3.0, 5.0], [7.0, 9.0]])
+        )
+
+    def test_scipy_sparse_submodule_alias(self):
+        import pickle
+        import sys
+
+        from smplfitter_tpu.utils.modeldata import scipy_sparse_forward_compat
+
+        assert 'scipy.sparse.coo' not in sys.modules or True  # env-dependent
+        with scipy_sparse_forward_compat():
+            import scipy.sparse
+
+            assert sys.modules['scipy.sparse.coo'] is scipy.sparse
+            assert sys.modules['scipy.sparse.csr'] is scipy.sparse
+        # restored afterwards
+        import importlib.util
+        if importlib.util.find_spec('scipy.sparse.coo') is None:
+            assert sys.modules.get('scipy.sparse.coo') is not scipy.sparse or (
+                'scipy.sparse.coo' not in sys.modules
+            )
+        # An old-path pickle loads under the shim.
+        import scipy.sparse as sp
+        m = sp.coo_matrix(np.eye(2))
+        # Protocol 2: module paths are length-free text opcodes, so the
+        # old-submodule rename below doesn't corrupt framing.
+        raw = pickle.dumps(m, protocol=2)
+        patched = raw.replace(b'scipy.sparse._coo', b'scipy.sparse.coo')
+        with scipy_sparse_forward_compat():
+            out = pickle.loads(patched)
+        np.testing.assert_array_equal(out.toarray(), np.eye(2))
