@@ -346,6 +346,51 @@ def install_remote_archive(opener, asset: ArchiveAsset, body_models_dir: str,
     create_symlinks(asset.symlinks, body_models_dir)
 
 
+def install_auxiliary_regressors(body_models_dir: str) -> None:
+    """Best-effort fetch of third-party (non-MPI) regressor assets that the
+    wider SMPL ecosystem expects next to the model files: the SPIN project's
+    extra/H36M joint regressors into ``smpl/`` and the SMPLX_to_J14 regressor
+    into ``smplx/``. Failures are reported but never fatal — these assets are
+    not needed by smplfitter_tpu itself."""
+    jobs = []
+    smpl_dir = osp.join(body_models_dir, 'smpl')
+    if osp.isdir(smpl_dir) and not osp.exists(
+        osp.join(smpl_dir, 'J_regressor_extra.npy')
+    ):
+        jobs.append(('spin', smpl_dir))
+    smplx_dir = osp.join(body_models_dir, 'smplx')
+    j14 = osp.join(smplx_dir, 'SMPLX_to_J14.pkl')
+    if osp.isdir(smplx_dir) and not osp.exists(j14):
+        jobs.append(('j14', j14))
+
+    for kind, dest in jobs:
+        try:
+            if kind == 'spin':
+                print('  fetching SPIN J_regressor files ...')
+                with tempfile.TemporaryDirectory() as tmp:
+                    tar_path = osp.join(tmp, 'data.tar.gz')
+                    urllib.request.urlretrieve(
+                        'http://visiondata.cis.upenn.edu/spin/data.tar.gz', tar_path
+                    )
+
+                    def spin_layout(member):
+                        base = posixpath.basename(member)
+                        if base in ('J_regressor_extra.npy', 'J_regressor_h36m.npy'):
+                            return posixpath.join('smpl', base)
+                        return None
+
+                    install_archive(tar_path, spin_layout, body_models_dir)
+            else:
+                print('  fetching SMPLX_to_J14.pkl ...')
+                urllib.request.urlretrieve(
+                    'https://huggingface.co/camenduru/SMPLer-X/resolve/main/'
+                    'SMPLX_to_J14.pkl',
+                    dest,
+                )
+        except Exception as e:
+            print(f'  (skipped auxiliary asset {kind}: {e})', file=sys.stderr)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__.split('\n')[0])
     parser.add_argument('target_dir', nargs='?', default=None,
@@ -394,6 +439,8 @@ def main(argv=None) -> int:
                 opener, fasset.domain, fasset.remote_file, dest, username, password
             )
         create_symlinks(fasset.symlinks, target)
+
+    install_auxiliary_regressors(target)
 
     print('\nDone. Set SMPLFITTER_BODY_MODELS or DATA_ROOT accordingly.')
     return 0

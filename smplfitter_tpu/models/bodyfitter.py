@@ -953,10 +953,29 @@ class BodyFitter:
         kernels of the same structure), so the fast path is differentiable.
         ``use_kernels=False`` selects the pure-XLA formulation — identical
         math; useful as a fallback when the compiler balks at very large
-        gradient graphs, and automatic on CPU/odd batch sizes."""
+        gradient graphs, and automatic on CPU/odd batch sizes.
+
+        When this method is traced under autodiff (``jax.grad``/``jax.vjp``),
+        ``lbs_kernels.autodiff_policy`` governs the path: ``'fallback'``
+        (default) silently uses the pure-XLA formulation, ``'kernels'`` keeps
+        the fused backward kernels, ``'error'`` raises. See docs/howto.md
+        "Differentiate through the fit"."""
         import contextlib
 
         from ..ops import lbs_kernels as _lk
+
+        if use_kernels and _lk.autodiff_policy != 'kernels' and _lk.under_autodiff(
+            target_vertices, target_joints, vertex_weights, joint_weights
+        ):
+            if _lk.autodiff_policy == 'error':
+                raise ValueError(
+                    'BodyFitter.fit was traced under autodiff with the fused '
+                    'kernels enabled. The backward graph of a full fit can be '
+                    'very expensive to compile; pass use_kernels=False (the '
+                    'pure-XLA path, identical math) or set '
+                    "lbs_kernels.autodiff_policy = 'kernels' to allow it."
+                )
+            use_kernels = False
 
         ctx = contextlib.nullcontext() if use_kernels else _lk.disabled()
         with ctx, matmul_precision():

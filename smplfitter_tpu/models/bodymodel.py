@@ -523,6 +523,10 @@ class BodyModel:
             use_kernels=use_kernels,
         )
 
+    # API parity with the reference's nn.Module-style models, where
+    # ``model.forward(...)`` and ``model(...)`` are interchangeable.
+    forward = __call__
+
     def single(self, *args, return_vertices: bool = True, **kwargs) -> dict:
         """Unbatched wrapper: inputs without batch dim, outputs without batch dim."""
         args = [jnp.expand_dims(jnp.asarray(x), axis=0) for x in args]

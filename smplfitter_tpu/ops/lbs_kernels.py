@@ -111,9 +111,8 @@ import contextlib
 
 @contextlib.contextmanager
 def disabled():
-    """Trace-time switch to the pure-XLA paths (e.g. for differentiation:
-    the kernels have no VJPs yet, while the XLA formulation is fully
-    differentiable)."""
+    """Trace-time switch to the pure-XLA paths (identical math; the general
+    fallback for differentiation and non-kernel-eligible configurations)."""
     global _DISABLED
     prev = _DISABLED
     _DISABLED = True
@@ -121,6 +120,46 @@ def disabled():
         yield
     finally:
         _DISABLED = prev
+
+
+# How BodyFitter.fit treats the kernel path when traced under autodiff:
+#   'fallback' (default) — use the pure-XLA formulation (identical math; the
+#       kernels' custom-VJP backward graphs of a FULL fit can strain AOT
+#       compilers, cf. STATUS.md);
+#   'kernels' — keep the fused kernels and their custom VJPs (appropriate on
+#       directly-attached TPUs where the backward kernels compile normally);
+#   'error' — raise, for deployments that must never silently change paths.
+autodiff_policy = 'fallback'
+
+
+def under_autodiff(*arrays) -> bool:
+    """Best-effort detection of a Python-level autodiff trace.
+
+    True when any argument is (or wraps) a JVP tracer, i.e. the caller is
+    being traced by ``jax.grad``/``jax.vjp``/``jax.jvp`` — including under an
+    outer ``jit`` or ``vmap``. Jaxpr-level transforms of an already-traced
+    function (``grad(jit(f))``) do not re-run Python and are not detectable
+    here; use ``use_kernels=False`` explicitly for those.
+    """
+    from jax._src.interpreters import ad  # LinearizeTracer isn't re-exported
+
+    # jax.grad/vjp trace with LinearizeTracer (stackless JAX), jax.jvp with
+    # JVPTracer; either means an autodiff transform is running this Python.
+    ad_tracers = (ad.JVPTracer, ad.LinearizeTracer)
+    pending = [a for a in arrays if isinstance(a, jax.core.Tracer)]
+    visited = set()
+    while pending:
+        tracer = pending.pop()
+        if id(tracer) in visited:
+            continue
+        visited.add(id(tracer))
+        if isinstance(tracer, ad_tracers):
+            return True
+        for attr in ('primal', 'val'):
+            inner = getattr(tracer, attr, None)
+            if isinstance(inner, jax.core.Tracer):
+                pending.append(inner)
+    return False
 
 
 def pick_batch_tile(B: int) -> int | None:

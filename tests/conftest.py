@@ -13,15 +13,19 @@ import os
 import os.path as osp
 import sys
 
-# Must happen before jax initializes its backends.
-os.environ['XLA_FLAGS'] = (
-    os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8'
-)
-os.environ['JAX_PLATFORMS'] = 'cpu'
+# Must happen before jax initializes its backends. SMPLFITTER_TPU_TESTS=1
+# keeps the real backend (for tests/test_tpu_grad.py on an attached TPU).
+if os.environ.get('SMPLFITTER_TPU_TESTS') != '1':
+    os.environ['XLA_FLAGS'] = (
+        os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8'
+    )
+    os.environ['JAX_PLATFORMS'] = 'cpu'
 
-import jax
+    import jax
 
-jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_platforms', 'cpu')
+else:
+    import jax
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

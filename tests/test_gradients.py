@@ -72,3 +72,92 @@ class TestFitGrad:
         np.testing.assert_allclose(
             float(analytic), float(fd), rtol=0.12, atol=1e-3
         )
+
+
+class TestAutodiffPolicy:
+    """fit's kernel path under autodiff follows lbs_kernels.autodiff_policy."""
+
+    def _loss(self, fitter, tj):
+        def loss(tv):
+            fit = fitter.fit(
+                tv, tj, num_iter=1, beta_regularizer=0.0,
+                requested_keys=['shape_betas'],
+            )
+            return jnp.sum(fit['shape_betas'] ** 2)
+        return loss
+
+    def test_default_fallback_matches_explicit_xla(self, smpl_model):
+        """With the default policy, grad-of-fit with kernels nominally ON is
+        silently routed to the XLA path — gradients equal use_kernels=False."""
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+
+        fitter = BodyFitter(smpl_model)
+        rng = np.random.default_rng(11)
+        pose = rng.normal(0, 0.1, (8, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (8, 10)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        tv, tj = jnp.asarray(res['vertices']), jnp.asarray(res['joints'])
+
+        assert lbs_kernels.autodiff_policy == 'fallback'
+        g_auto = jax.grad(self._loss(fitter, tj))(tv)
+
+        def loss_xla(tv):
+            fit = fitter.fit(
+                tv, tj, num_iter=1, beta_regularizer=0.0, use_kernels=False,
+                requested_keys=['shape_betas'],
+            )
+            return jnp.sum(fit['shape_betas'] ** 2)
+
+        g_xla = jax.grad(loss_xla)(tv)
+        np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_xla), atol=0)
+
+    def test_error_policy_raises(self, smpl_model):
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+
+        fitter = BodyFitter(smpl_model)
+        rng = np.random.default_rng(12)
+        pose = rng.normal(0, 0.1, (8, 72)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose)
+        tv, tj = jnp.asarray(res['vertices']), jnp.asarray(res['joints'])
+
+        lbs_kernels.autodiff_policy = 'error'
+        try:
+            with pytest.raises(ValueError, match='use_kernels=False'):
+                jax.grad(self._loss(fitter, tj))(tv)
+        finally:
+            lbs_kernels.autodiff_policy = 'fallback'
+
+    def test_non_autodiff_keeps_kernels(self, smpl_model):
+        """Plain (non-grad) tracing must NOT be affected by the policy: the
+        kernel path still activates (observable via FORCE_INTERPRET)."""
+        from smplfitter_tpu.ops import lbs_kernels
+
+        # under_autodiff is False for concrete arrays and plain jit tracers.
+        x = jnp.zeros((4, 3))
+        assert not lbs_kernels.under_autodiff(x, None)
+        jax.jit(lambda v: lbs_kernels.under_autodiff(v) and 1 or 0)(x)
+
+        def probe(v):
+            return lbs_kernels.under_autodiff(v)
+
+        assert jax.jit(lambda v: jnp.where(probe(v), 1, 0))(x) == 0
+
+    def test_under_autodiff_detects_jvp(self):
+        from smplfitter_tpu.ops import lbs_kernels
+
+        seen = []
+
+        def f(x):
+            seen.append(lbs_kernels.under_autodiff(x))
+            return jnp.sum(x**2)
+
+        jax.grad(f)(jnp.ones(3))
+        assert seen[-1] is True
+        seen.clear()
+        jax.jit(jax.grad(f))(jnp.ones(3))
+        assert seen[-1] is True
+        seen.clear()
+        jax.vmap(jax.grad(f))(jnp.ones((2, 3)))
+        assert seen[-1] is True

@@ -352,11 +352,15 @@ class TestKernelVJPs:
 
         tv = jnp.asarray(res['vertices'])
         g_xla = jax.grad(make_loss(False))(tv)
+        # autodiff_policy='kernels' opts back into the fused backward kernels
+        # (the default 'fallback' would silently route this to the XLA path).
         lbs_kernels.FORCE_INTERPRET = True
+        lbs_kernels.autodiff_policy = 'kernels'
         try:
             g_kernel = jax.grad(make_loss(True))(tv)
         finally:
             lbs_kernels.FORCE_INTERPRET = False
+            lbs_kernels.autodiff_policy = 'fallback'
         scale = float(np.abs(np.asarray(g_xla)).max())
         np.testing.assert_allclose(
             np.asarray(g_kernel) / scale, np.asarray(g_xla) / scale, atol=2e-3

@@ -19,7 +19,8 @@ from conftest import random_params
 def mesh():
     from smplfitter_tpu.parallel import make_mesh
 
-    assert len(jax.devices()) == 8, 'conftest must provide 8 virtual devices'
+    if len(jax.devices()) != 8:
+        pytest.skip('needs the 8-device virtual mesh (default conftest CPU mode)')
     return make_mesh()
 
 
