@@ -31,6 +31,16 @@ def measure(jax, fn, inputs, reps):
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def try_measure(results, name, jax, fn, inputs, reps):
+    try:
+        results[name] = measure(jax, fn, inputs, reps)
+        print(f'# {name}: {results[name]:.1f} ms/batch', flush=True)
+    except Exception as e:
+        results[name] = None
+        msg = str(e).split('\n')[0][:200]
+        print(f'# {name}: FAILED ({type(e).__name__}: {msg})', flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--batch', type=int, default=4096)
@@ -75,26 +85,34 @@ def main():
             requested_keys=('pose_rotvecs', 'shape_betas', 'trans'), **common,
         )
     )
-    ms = measure(jax, fit_w, [(tv, tj, vweights, jweights) for tv, tj, *_ in targets], reps)
-    results['weighted_fit'] = ms
+    try_measure(results, f'weighted_fit_b{B}', jax, fit_w,
+                [(tv, tj, vweights, jweights) for tv, tj, *_ in targets], reps)
+    if results[f'weighted_fit_b{B}'] is None and B > 1024:
+        # The general weighted path materializes the (B, V+J, 3, S+3) design
+        # matrix; at b4096/V6890 that exceeds HBM. Report the largest batch
+        # that fits instead.
+        Bw = 1024
+        wt = [(tv[:Bw], tj[:Bw], vweights[:Bw], jweights[:Bw])
+              for tv, tj, *_ in targets]
+        try_measure(results, f'weighted_fit_b{Bw}', jax, fit_w, wt, reps)
 
     # 2. fit_with_known_pose (solves shape/trans only).
     fit_kp = jax.jit(
         lambda tv, tj, p: fitter.fit_with_known_pose(
-            tv, pose_rotvecs=p, target_joints=tj, beta_regularizer=1.0,
+            p, tv, target_joints=tj, beta_regularizer=1.0,
         )
     )
-    ms = measure(jax, fit_kp, [(tv, tj, p) for tv, tj, p, *_ in targets], reps)
-    results['fit_with_known_pose'] = ms
+    try_measure(results, 'fit_with_known_pose', jax, fit_kp,
+                [(tv, tj, p) for tv, tj, p, *_ in targets], reps)
 
     # 3. fit_with_known_shape (solves rotations/trans only).
     fit_ks = jax.jit(
         lambda tv, tj, b: fitter.fit_with_known_shape(
-            tv, shape_betas=b, target_joints=tj,
+            b, tv, target_joints=tj,
         )
     )
-    ms = measure(jax, fit_ks, [(tv, tj, b) for tv, tj, _, b, _ in targets], reps)
-    results['fit_with_known_shape'] = ms
+    try_measure(results, 'fit_with_known_shape', jax, fit_ks,
+                [(tv, tj, b) for tv, tj, _, b, _ in targets], reps)
 
     # 4. share_beta at full batch (the cross-chip-collective configuration).
     fit_sb = jax.jit(
@@ -103,8 +121,8 @@ def main():
             requested_keys=('pose_rotvecs', 'shape_betas', 'trans'), **common,
         )
     )
-    ms = measure(jax, fit_sb, [(tv, tj) for tv, tj, *_ in targets], reps)
-    results['share_beta_fit'] = ms
+    try_measure(results, 'share_beta_fit', jax, fit_sb,
+                [(tv, tj) for tv, tj, *_ in targets], reps)
 
     # 5. Plain kernel-path fit for scale (the headline config).
     fit_k = jax.jit(
@@ -112,12 +130,16 @@ def main():
             tv, tj, requested_keys=('pose_rotvecs', 'shape_betas', 'trans'), **common,
         )
     )
-    ms = measure(jax, fit_k, [(tv, tj) for tv, tj, *_ in targets], reps)
-    results['plain_fit_kernel_path'] = ms
+    try_measure(results, 'plain_fit_kernel_path', jax, fit_k,
+                [(tv, tj) for tv, tj, *_ in targets], reps)
 
     print(f'\n== fallback-path timings, batch {B}, {jax.devices()[0].device_kind} ==')
     for name, ms in results.items():
-        print(f'{name:28s} {ms:8.1f} ms/batch   {B / ms * 1e3:12,.0f} fits/s')
+        if ms is None:
+            print(f'{name:28s}     FAILED (see above)')
+            continue
+        b = int(name.rsplit('_b', 1)[1]) if '_b' in name and name.rsplit('_b', 1)[1].isdigit() else B
+        print(f'{name:28s} {ms:8.1f} ms/batch   {b / ms * 1e3:12,.0f} fits/s')
 
 
 if __name__ == '__main__':
