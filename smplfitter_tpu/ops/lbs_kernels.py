@@ -74,6 +74,68 @@ def _dot3(a, b, dimension_numbers):
     return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
 
 
+def _trunc_bf16(x):
+    """Truncate to a bf16-REPRESENTABLE f32 by masking the low mantissa bits.
+
+    The obvious ``x.astype(bf16).astype(f32)`` is NOT safe at the XLA level:
+    under ``--xla_allow_excess_precision`` (on by default) XLA folds the
+    precision-reducing convert pair to IDENTITY, which silently turns a
+    packed operand back into the unsplit f32 array (x0 = x, x1 = x2 = 0) and
+    collapses the emulated dot to single-bf16-pass accuracy (measured:
+    1.6e-3 rel err instead of ~3e-7 on the fused kernels). A bitwise mask
+    cannot be folded. Truncation (round-toward-zero) instead of RTN costs
+    one mantissa bit per level — ~2^-21 coverage over three levels, still
+    far below the old 3-pass path's ~5e-6 and the fit's parity envelope.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def _split3_bf16(x):
+    """3-way bf16 decomposition x ~= x0 + x1 + x2 (each bf16-representable,
+    stored f32): 8+8+8 mantissa bits, covering the f32 mantissa to ~2^-21.
+    The residuals are exact f32 subtractions (Dekker-style splitting)."""
+    x0 = _trunc_bf16(x)
+    r = x - x0
+    x1 = _trunc_bf16(r)
+    x2 = _trunc_bf16(r - x1)
+    return x0, x1, x2
+
+
+def _pack6_lhs(a, axis):
+    """``[a0, a0, a1, a0, a1, a2]`` concatenated along the contraction axis.
+
+    Together with :func:`_pack6_rhs`'s ``[b0, b1, b0, b2, b1, b0]`` this folds
+    the six MXU passes of a ``Precision.HIGHEST`` f32 dot (all cross products
+    of 3-way bf16 splits down to 2^-16 relative) into the contraction dim of a
+    SINGLE ``Precision.DEFAULT`` dot: aligned K-blocks multiply as a0b0 +
+    (a0b1 + a1b0) + (a0b2 + a1b1 + a2b0), accumulated in f32 by the MXU.
+    For K = J = 24 this turns six dots each padded to K=128 into one dot at
+    K=144 (two K tiles): a 3x cut in padded MXU work for the LBS blends at
+    f32-emulation accuracy. (A cheaper hi/lo 3-term packing was measured to
+    save another ~2 ms/batch, but its ~1e-5 per-dot noise is chaotically
+    amplified by the iterative fit to ~3e-2 in betas/pose vs the oracle —
+    outside the parity gate — so the blends stay at full f32 emulation.)
+    """
+    a0, a1, a2 = _split3_bf16(a)
+    return jnp.concatenate([a0, a0, a1, a0, a1, a2], axis=axis)
+
+
+def _pack6_rhs(b, axis):
+    """``[b0, b1, b0, b2, b1, b0]`` along the contraction axis (see
+    :func:`_pack6_lhs`)."""
+    b0, b1, b2 = _split3_bf16(b)
+    return jnp.concatenate([b0, b1, b0, b2, b1, b0], axis=axis)
+
+
+def _dot1(a, b, dimension_numbers):
+    """One MXU pass (operands must be bf16-representable, e.g. K-packed)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
 def _dot2_exact_a(a, b, dimension_numbers):
     """2-pass f32-emulated dot for an ``a`` that is EXACTLY bf16-representable
     (the 0/1 part-membership masks): a_lo == 0, so the a_lo x b_hi pass of
@@ -208,10 +270,23 @@ def from_vertex_major(x_vm: jax.Array, num_vertices: int) -> jax.Array:
     return jnp.transpose(x_vm[:, :num_vertices], (2, 1, 0))
 
 
-def _lbs_blend(pj_ref, wts_ref):
-    """12 blended [R|t] entries, each (VC, TB): blend[a*4+c] = w @ pj[a*4+c]."""
-    w = wts_ref[:]
-    return [_mm3(w, pj_ref[x]) for x in range(12)]
+def _lbs_blend(pjp_ref, wtsp_ref):
+    """12 blended [R|t] entries, each (VC, TB): blend[a*4+c] = w @ pj[a*4+c].
+
+    Operands are K-packed (see :func:`_pack6_lhs`): wtsp (VC, 6J) pairs with
+    pjp (12, 6J, TB) so each blend is ONE MXU pass at K=6J (f32-emulation
+    accuracy) instead of six passes at K=J each padded to a full K tile."""
+    wp = wtsp_ref[:]
+    return [_dot1(wp, pjp_ref[x], _MM) for x in range(12)]
+
+
+def _plain_weights(wtsp_ref):
+    """Recover the f32 skinning-weight chunk (VC, J) from the K-packed
+    (VC, 6J) operand: w0 + w1 + w2 == w to within 2^-25 relative (the 3-way
+    bf16 split covers the full f32 mantissa; see :func:`_split3_bf16`)."""
+    wp = wtsp_ref[:]
+    J = wp.shape[1] // 6
+    return wp[:, :J] + wp[:, 2 * J:3 * J] + wp[:, 5 * J:6 * J]
 
 
 def _lbs_homog(feat_ref, consts_ref):
@@ -223,16 +298,16 @@ def _lbs_homog(feat_ref, consts_ref):
     return [_mm3(consts_ref[c], feat_ref[:]) for c in range(3)]
 
 
-def _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref, blend=None, homog=None):
+def _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend=None, homog=None):
     """Shared extended-LBS chunk, all-2D: blended [R|t] applied to the
     homogeneous feature-projected template chunk.
 
-    pj_ref: (12, J, TB) per-joint [R|t], leading index = a*4 + c4.
-    feat_ref: (F, TB). wts_ref: (VC, J). consts_ref: (4, VC, F).
+    pjp_ref: (12, 6J, TB) K-packed per-joint [R|t], leading index = a*4 + c4.
+    feat_ref: (F, TB). wtsp_ref: (VC, 6J) K-packed. consts_ref: (4, VC, F).
     Returns [pos_x, pos_y, pos_z], each (VC, TB).
     """
     if blend is None:
-        blend = _lbs_blend(pj_ref, wts_ref)
+        blend = _lbs_blend(pjp_ref, wtsp_ref)
     if homog is None:
         homog = _lbs_homog(feat_ref, consts_ref)
     return [
@@ -241,7 +316,7 @@ def _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref, blend=None, homog=None):
     ]
 
 
-def _rhs_kernel(nchunks, rem, tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref,
+def _rhs_kernel(nchunks, rem, tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref,
                 sd_ref, r_ref, y_small_ref):
     k = pl.program_id(1)
 
@@ -250,14 +325,15 @@ def _rhs_kernel(nchunks, rem, tgt_ref, pj_ref, feat_ref, wts_ref, consts_ref,
         r_ref[:] = jnp.zeros_like(r_ref)
         y_small_ref[:] = jnp.zeros_like(y_small_ref)
 
-    blend = _lbs_blend(pj_ref, wts_ref)
-    pos = _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref, blend)
+    blend = _lbs_blend(pjp_ref, wtsp_ref)
+    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend)
+    w = _plain_weights(wtsp_ref)
     b = [
         _mask_tail_rows(tgt_ref[a], k, nchunks, rem) - pos[a] for a in range(3)
     ]  # (VC, TB) residuals
     for a in range(3):
         # Parts-major (J, TB): J=24 on output lanes would pad 24 -> 128.
-        y_small_ref[a] += _dot3(wts_ref[:], b[a], _C0_0)  # (J, TB)
+        y_small_ref[a] += _dot3(w, b[a], _C0_0)  # (J, TB)
     # The shape-Jacobian contraction folded in-kernel: r_e = Σ_v Σ_c
     # SD_v[c,e] (R̄_vᵀ b_v)_c, reusing the blends as R̄ columns. The joint-pair
     # moment formulation would emit a (TB, J·3·E) block instead — a K=VC dot
@@ -296,15 +372,17 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0 and nchunks * VC >= v_t > (nchunks - 1) * VC
     grid = (B // tb, nchunks)
+    wtsp = _pack6_lhs(weights_pad, axis=1)  # (V_pad, 6J)
+    pjp = _pack6_rhs(pj_cm, axis=1)  # (12, 6J, B)
 
     return pl.pallas_call(
         functools.partial(_rhs_kernel, nchunks, v_t % VC),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         ],
@@ -317,11 +395,11 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             jax.ShapeDtypeStruct((3, J, B), jnp.float32),
         ],
         interpret=interpret,
-    )(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm)
+    )(tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm)
 
 
-def _lbs_points_kernel(pj_ref, feat_ref, wts_ref, consts_ref, out_ref):
-    pos = _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref)
+def _lbs_points_kernel(pjp_ref, feat_ref, wtsp_ref, consts_ref, out_ref):
+    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref)
     for a in range(3):
         out_ref[a] = pos[a]
 
@@ -340,14 +418,16 @@ def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
     tb = pick_batch_tile(B)
     assert tb is not None and v_pad % VC == 0
     grid = (B // tb, v_pad // VC)
+    wtsp = _pack6_lhs(weights_pad, axis=1)
+    pjp = _pack6_rhs(pj_cm, axis=1)
 
     return pl.pallas_call(
         _lbs_points_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((12, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -355,7 +435,7 @@ def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
         ),
         out_shape=jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32),
         interpret=interpret,
-    )(pj_cm, feat_cols, weights_pad, consts_pad)
+    )(pjp, feat_cols, wtsp, consts_pad)
 
 
 def _part_sums_kernel(nchunks, rem_t, rem_a, t_ref, a_ref, pm_ref,
@@ -472,10 +552,10 @@ def _part_sums_impl(t_vm, a_vm, pm, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _lbs_grads_chunk(g, pj_ref, feat_ref, wts_ref, consts_ref, dpj_ref, dfeat_ref, k):
+def _lbs_grads_chunk(g, pjp_ref, feat_ref, wtsp_ref, consts_ref, dpj_ref, dfeat_ref, k):
     """Shared backward chunk: given per-vertex cotangent g (list of 3 (VC, TB)),
     accumulate dpj (12, tb, J) and dfeat (F, tb)."""
-    w = wts_ref[:]
+    w = _plain_weights(wtsp_ref)
     homog = _lbs_homog(feat_ref, consts_ref)
 
     @pl.when(k == 0)
@@ -492,7 +572,7 @@ def _lbs_grads_chunk(g, pj_ref, feat_ref, wts_ref, consts_ref, dpj_ref, dfeat_re
     for c in range(4):
         u_c = None
         for a in range(3):
-            blend_ac = _mm3(w, pj_ref[a * 4 + c])
+            blend_ac = _dot1(wtsp_ref[:], pjp_ref[a * 4 + c], _MM)
             term = blend_ac * g[a]
             u_c = term if u_c is None else u_c + term
         dfeat_ref[:] += _dot3(
@@ -500,11 +580,11 @@ def _lbs_grads_chunk(g, pj_ref, feat_ref, wts_ref, consts_ref, dpj_ref, dfeat_re
         )  # (F, TB)
 
 
-def _lbs_points_bwd_kernel(g_ref, pj_ref, feat_ref, wts_ref, consts_ref,
+def _lbs_points_bwd_kernel(g_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref,
                            dpj_ref, dfeat_ref):
     k = pl.program_id(1)
     g = [g_ref[a] for a in range(3)]
-    _lbs_grads_chunk(g, pj_ref, feat_ref, wts_ref, consts_ref, dpj_ref, dfeat_ref, k)
+    _lbs_grads_chunk(g, pjp_ref, feat_ref, wtsp_ref, consts_ref, dpj_ref, dfeat_ref, k)
 
 
 def _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad, g, interpret):
@@ -513,15 +593,17 @@ def _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad, g, interpret):
     v_pad = weights_pad.shape[0]
     tb = pick_batch_tile(B)
     grid = (B // tb, v_pad // VC)
+    wtsp = _pack6_lhs(weights_pad, axis=1)
+    pjp = _pack6_rhs(pj_cm, axis=1)
 
     dpj, dfeat = pl.pallas_call(
         _lbs_points_bwd_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -533,7 +615,7 @@ def _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad, g, interpret):
             jax.ShapeDtypeStruct((F, B), jnp.float32),
         ],
         interpret=interpret,
-    )(g, pj_cm, feat_cols, weights_pad, consts_pad)
+    )(g, pjp, feat_cols, wtsp, consts_pad)
     return jnp.transpose(dpj, (0, 2, 1)), dfeat
 
 
@@ -557,12 +639,12 @@ def _lbs_points_bwd_rule(interpret, res, g):
 _lbs_points_diff.defvjp(_lbs_points_fwd, _lbs_points_bwd_rule)
 
 
-def _rhs_bwd_kernel(nchunks, rem, gr_ref, gy_ref, tgt_ref, pj_ref, feat_ref,
-                    wts_ref, consts_ref, sd_ref, dtgt_ref, dpj_ref, dfeat_ref):
+def _rhs_bwd_kernel(nchunks, rem, gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref,
+                    wtsp_ref, consts_ref, sd_ref, dtgt_ref, dpj_ref, dfeat_ref):
     k = pl.program_id(1)
-    w = wts_ref[:]
+    w = _plain_weights(wtsp_ref)
     homog = _lbs_homog(feat_ref, consts_ref)
-    blend = _lbs_blend(pj_ref, wts_ref)
+    blend = _lbs_blend(pjp_ref, wtsp_ref)
     pos = [
         sum(blend[a * 4 + c] * homog[c] for c in range(3)) + blend[a * 4 + 3]
         for a in range(3)
@@ -575,7 +657,7 @@ def _rhs_bwd_kernel(nchunks, rem, gr_ref, gy_ref, tgt_ref, pj_ref, feat_ref,
     contract_j0 = (((1,), (0,)), ((), ()))  # wts (VC, J) dim1 with gy dim0 (J)
     db = []
     for a in range(3):
-        db_a = _dot3(wts_ref[:], gy_ref[a], contract_j0)  # (VC, TB)
+        db_a = _dot3(w, gy_ref[a], contract_j0)  # (VC, TB)
         for c in range(3):
             db_a += blend[a * 4 + c] * G[c]
         dtgt_ref[a] = db_a
@@ -609,6 +691,8 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     tb = pick_batch_tile(B)
     nchunks = v_pad // VC
     grid = (B // tb, nchunks)
+    wtsp = _pack6_lhs(weights_pad, axis=1)
+    pjp = _pack6_rhs(pj_cm, axis=1)
 
     dtgt, dpj, dfeat = pl.pallas_call(
         functools.partial(_rhs_bwd_kernel, nchunks, v_t % VC),
@@ -617,9 +701,9 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         ],
@@ -634,7 +718,7 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             jax.ShapeDtypeStruct((F, B), jnp.float32),
         ],
         interpret=interpret,
-    )(gr, gy, tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm)
+    )(gr, gy, tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm)
     return dtgt, jnp.transpose(dpj, (0, 2, 1)), dfeat
 
 
@@ -680,7 +764,7 @@ def lbs_points(pj_cm, feat_cols, weights_pad, consts_pad, interpret: bool = Fals
     return _lbs_points_diff(pj_cm, feat_cols, weights_pad, consts_pad, interpret)
 
 
-def _recon_part_sums_kernel(nchunks, rem, tgt_ref, pj_ref, feat_ref, wts_ref,
+def _recon_part_sums_kernel(nchunks, rem, tgt_ref, pjp_ref, feat_ref, wtsp_ref,
                             consts_ref, pm_ref, raw_ref, st_ref, sa_ref):
     k = pl.program_id(1)
 
@@ -694,7 +778,7 @@ def _recon_part_sums_kernel(nchunks, rem, tgt_ref, pj_ref, feat_ref, wts_ref,
     # lives only in VMEM: the part sums consume it chunk by chunk, so the
     # (3, V_pad, B) recon never exists in HBM between the shape solve and the
     # rotation fit.
-    pos = _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref)
+    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref)
     pm = pm_ref[:]  # (J, VC)
     contract = (((1,), (0,)), ((), ()))  # pm dim1 (VC) with points dim0 (VC)
     for c in range(3):
@@ -718,15 +802,17 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     assert tb is not None and v_pad % VC == 0
     assert nchunks * VC >= v_t > (nchunks - 1) * VC
     grid = (B // tb, nchunks)
+    wtsp = _pack6_lhs(weights_pad, axis=1)
+    pjp = _pack6_rhs(pj_cm, axis=1)
 
     return pl.pallas_call(
         functools.partial(_recon_part_sums_kernel, nchunks, v_t % VC),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, 6 * J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, 6 * J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
         ],
@@ -741,16 +827,16 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
             jax.ShapeDtypeStruct((3, J, B), jnp.float32),
         ],
         interpret=interpret,
-    )(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm)
+    )(tgt_vm, pjp, feat_cols, wtsp, consts_pad, pm)
 
 
-def _recon_part_sums_bwd_kernel(nchunks, rem, tgt_ref, pj_ref, feat_ref,
-                                wts_ref, consts_ref, pm_ref, graw_ref, gst_ref,
+def _recon_part_sums_bwd_kernel(nchunks, rem, tgt_ref, pjp_ref, feat_ref,
+                                wtsp_ref, consts_ref, pm_ref, graw_ref, gst_ref,
                                 gsa_ref, dtgt_ref, dpj_ref, dfeat_ref):
     k = pl.program_id(1)
     pm = pm_ref[:]  # (J, VC)
     contract_j = (((0,), (0,)), ((), ()))  # pm dim0 (J) with grad dim0 (J)
-    pos = _lbs_pos(pj_ref, feat_ref, wts_ref, consts_ref)
+    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref)
     W = [_dot2_exact_a(pm, graw_ref[x], contract_j) for x in range(9)]  # (VC, TB)
     for c in range(3):
         acc = _dot2_exact_a(pm, gst_ref[c], contract_j)
@@ -764,7 +850,7 @@ def _recon_part_sums_bwd_kernel(nchunks, rem, tgt_ref, pj_ref, feat_ref,
         for c in range(3):
             acc += W[c * 3 + d] * tgt[c]
         dpos.append(acc)
-    _lbs_grads_chunk(dpos, pj_ref, feat_ref, wts_ref, consts_ref,
+    _lbs_grads_chunk(dpos, pjp_ref, feat_ref, wtsp_ref, consts_ref,
                      dpj_ref, dfeat_ref, k)
 
 
@@ -778,15 +864,17 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     tb = pick_batch_tile(B)
     nchunks = v_pad // VC
     grid = (B // tb, nchunks)
+    wtsp = _pack6_lhs(weights_pad, axis=1)
+    pjp = _pack6_rhs(pj_cm, axis=1)
 
     dtgt, dpj, dfeat = pl.pallas_call(
         functools.partial(_recon_part_sums_bwd_kernel, nchunks, v_t % VC),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, 6 * J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, 6 * J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
@@ -804,7 +892,7 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
             jax.ShapeDtypeStruct((F, B), jnp.float32),
         ],
         interpret=interpret,
-    )(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, graw, gst, gsa)
+    )(tgt_vm, pjp, feat_cols, wtsp, consts_pad, pm, graw, gst, gsa)
     return dtgt, jnp.transpose(dpj, (0, 2, 1)), dfeat
 
 
