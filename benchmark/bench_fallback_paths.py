@@ -1,11 +1,12 @@
 """TPU timings for the NON-kernel (general/batch-major) fit entry points.
 
-The lane-major kernel pipeline covers plain ``fit`` without per-vertex weights;
-everything else — weighted fit (the HandReplacer configuration),
-``fit_with_known_pose``, ``fit_with_known_shape``, ``share_beta`` — runs the
-general XLA formulation. This records what that fallback costs, so the policy
-"general path is the fallback" has a measured price (cf. STATUS.md secondary
-metrics).
+The lane-major kernel pipeline covers plain ``fit`` without PER-CALL
+per-vertex weights (construction-time static weights stay on it);
+everything else — per-call weighted fit, ``fit_with_known_pose``,
+``fit_with_known_shape``, ``share_beta`` — runs the general XLA formulation.
+This records what that fallback costs, so the policy "general path is the
+fallback" has a measured price (cf. STATUS.md secondary metrics), and times
+the static-weighted fast path against the per-call streamed solve.
 
 Usage: python benchmark/bench_fallback_paths.py [--batch 4096] [--reps 6]
 """
@@ -69,7 +70,13 @@ def main():
         betas = rng.normal(0, 1, (B, 10)).astype(np.float32)
         trans = rng.normal(0, 0.5, (B, 3)).astype(np.float32)
         res = fwd(pose, betas, trans)
-        targets.append((res['vertices'], res['joints'], pose, betas, trans))
+        # Everything an entry point consumes must be device-resident BEFORE
+        # the timed loop: a numpy argument costs a host->device transfer per
+        # dispatch (~30 ms through the remote tunnel), swamping small programs.
+        targets.append(
+            (res['vertices'], res['joints'], jax.device_put(pose),
+             jax.device_put(betas), jax.device_put(trans))
+        )
     jax.block_until_ready(targets)
 
     common = dict(num_iter=3, beta_regularizer=1.0, final_adjust_rots=True)
@@ -79,6 +86,8 @@ def main():
     vweights = np.ones((B, V), np.float32)
     vweights[:, : V // 8] = 0.1
     jweights = np.ones((B, bm.num_joints), np.float32)
+    vweights = jax.device_put(vweights)
+    jweights = jax.device_put(jweights)
     fit_w = jax.jit(
         lambda tv, tj, vw, jw: fitter.fit(
             tv, tj, vertex_weights=vw, joint_weights=jw,
@@ -95,6 +104,21 @@ def main():
         wt = [(tv[:Bw], tj[:Bw], vweights[:Bw], jweights[:Bw])
               for tv, tj, *_ in targets]
         try_measure(results, f'weighted_fit_b{Bw}', jax, fit_w, wt, reps)
+
+    # 1b. STATIC-weighted fit: the same HandReplacer weighting baked into the
+    # fitter at construction — keeps the fused-kernel fast path (cf. the
+    # per-call streamed solve in 1.).
+    vw_static = np.ones(V, np.float32)
+    vw_static[: V // 8] = 0.1
+    fitter_w = smplfitter_tpu.BodyFitter(bm, vertex_weights=vw_static,
+                                         joint_weights=np.ones(bm.num_joints, np.float32))
+    fit_ws = jax.jit(
+        lambda tv, tj: fitter_w.fit(
+            tv, tj, requested_keys=('pose_rotvecs', 'shape_betas', 'trans'), **common,
+        )
+    )
+    try_measure(results, f'static_weighted_fit_b{B}', jax, fit_ws,
+                [(tv, tj) for tv, tj, *_ in targets], reps)
 
     # 2. fit_with_known_pose (solves shape/trans only).
     fit_kp = jax.jit(

@@ -88,17 +88,36 @@ class FitterPlan:
     leveladj_supported: bool = struct.field(pytree_node=False)
     adj_levels: tuple = struct.field(pytree_node=False)  # adjustable parts per level
     adj_n_joints: int = struct.field(pytree_node=False)
+    # Static per-vertex fit weights ω (None = unweighted plan), consumed ONLY
+    # by the fused-kernel (lane-major) path: ``pm_t_pad`` stays BINARY (the
+    # exact 2-pass membership dots require a binary operand) and the kernels
+    # weight the vertex sums through this column operand; ``part_counts_w``
+    # carries the matching Σ_v ω_v per part. The batch-major paths instead
+    # materialize static weights as per-call (B, V) arrays — ``part_matrix``
+    # and ``part_counts`` are always unweighted.
+    omega_pad: Optional[jax.Array] = None  # (V_pad, 1) or None
+    part_counts_w: Optional[jax.Array] = None  # (1, J, 1) Σ ω per part
+    omega_row: Optional[jax.Array] = None  # (1, V): XLA part-sum fallback form
 
 
 def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = None,
-               dtype=jnp.float32, host=None) -> FitterPlan:
+               dtype=jnp.float32, host=None,
+               vertex_weights: Optional[np.ndarray] = None) -> FitterPlan:
     """Host-side (NumPy) construction of the static fit plan. ``host`` is an
-    optional host-resident ModelData to avoid device->host transfers."""
+    optional host-resident ModelData to avoid device->host transfers.
+    ``vertex_weights`` (V,) bakes static fit weights into the per-part
+    statistics (cf. the reference's per-call weighted part sums,
+    /root/reference/src/smplfitter/np/bodyfitter.py:160-184)."""
     weights = np.asarray(host.weights if host is not None else bm.weights)
     J = bm.num_joints
     V = bm.num_vertices
     n_betas = bm.num_betas if num_betas is None else min(num_betas, bm.num_betas)
     is_smpl_family = bm.model_name.startswith('smpl')
+    omega = (
+        None
+        if vertex_weights is None
+        else np.asarray(vertex_weights, np.float64).reshape(V)
+    )
 
     part_assignment = np.argmax(weights, axis=1)
     if is_smpl_family:
@@ -228,6 +247,21 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
         leveladj_supported=leveladj_supported,
         adj_levels=adj_levels,
         adj_n_joints=adj_n_joints,
+        omega_pad=(
+            None if omega is None
+            else jnp.asarray(
+                np.pad(omega.reshape(V, 1), ((0, v_pad - V), (0, 0))), dtype
+            )
+        ),
+        part_counts_w=(
+            None if omega is None
+            else jnp.asarray(
+                (pm_t_pad[:, :V] @ omega).reshape(1, J, 1), dtype
+            )
+        ),
+        omega_row=(
+            None if omega is None else jnp.asarray(omega.reshape(1, V), dtype)
+        ),
     )
 
 
@@ -257,9 +291,11 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
         raw, s_t, s_a = lbs_kernels.recon_part_sums(
             target_vm, reference_spec['pj_cm'], reference_spec['feat_cols'],
             reference_spec['weights_pad'], reference_spec['consts_pad'],
-            plan.pm_t_pad, interpret=reference_spec['interpret'],
+            plan.pm_t_pad, omega=plan.omega_pad,
+            interpret=reference_spec['interpret'],
         )
-        return raw, s_t, s_a, plan.part_counts
+        s_w = plan.part_counts if plan.omega_pad is None else plan.part_counts_w
+        return raw, s_t, s_a, s_w
     if reference_vertices is not None:
         B_a = reference_vertices.shape[0]
     else:
@@ -274,16 +310,22 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
         if reference_vm is None:
             reference_vm = lbs_kernels.to_vertex_major(reference_vertices)
         raw, s_t, s_a = lbs_kernels.part_sums_vm(
-            target_vm, reference_vm, plan.pm_t_pad,
+            target_vm, reference_vm, plan.pm_t_pad, omega=plan.omega_pad,
             interpret=k_mode == 'interpret',
         )
-        return raw, s_t, s_a, plan.part_counts
+        s_w = plan.part_counts if plan.omega_pad is None else plan.part_counts_w
+        return raw, s_t, s_a, s_w
 
     if target_vertices is None or reference_vertices is None:
         raise ValueError(
             'vertex-major-only inputs require the fused kernels '
             '(TPU backend or FORCE_INTERPRET, batch divisible by 8)'
         )
+
+    if vertex_weights is None and plan.omega_row is not None:
+        # Statically-weighted plan on the XLA branch: the baked ω plays the
+        # per-call weights (kernel branches above weight via plan.omega_pad).
+        vertex_weights = plan.omega_row
 
     idx = np.array(plan.used_vertex_indices)
     # Vertex-minor layout: (B, 3, N) keeps the large N dimension in lanes, so
@@ -1176,16 +1218,43 @@ class BodyFitter:
     """
 
     def __init__(self, body_model: BodyModel, enable_kid: bool = False,
-                 num_betas: Optional[int] = None):
+                 num_betas: Optional[int] = None,
+                 vertex_weights=None, joint_weights=None):
+        """``vertex_weights`` (V,) / ``joint_weights`` (J,) are optional STATIC
+        fit weights, baked into the fitter's precomputed moments at
+        construction. Semantically identical to passing the same (broadcast)
+        weights to every ``fit`` call — but the fused-kernel fast path stays
+        eligible (per-call per-vertex weights force the streamed general
+        solve). This is the TPU-native form of the reference's per-call
+        weighted fits for fixed weightings, e.g. the HandReplacer's
+        down-weighted hands (/root/reference/src/smplfitter/pt/handreplacer.py:39-40).
+        """
         from .shape_gram import build_gram_data
 
         self.body_model = body_model
         self.enable_kid = enable_kid
         host = getattr(body_model, 'model_data', None)
-        self.plan = build_plan(body_model.data, enable_kid, num_betas, host=host)
-        self.n_betas = self.plan.n_betas
         src = host if host is not None else body_model.data
-        self.gram = build_gram_data(
+        self.static_vw = (
+            None if vertex_weights is None
+            else np.asarray(vertex_weights, np.float32).reshape(-1)
+        )
+        self.static_jw = (
+            None if joint_weights is None
+            else np.asarray(joint_weights, np.float32).reshape(-1)
+        )
+        if self.static_vw is not None and self.static_vw.shape[0] != body_model.num_vertices:
+            raise ValueError(
+                f'static vertex_weights must have shape ({body_model.num_vertices},)'
+            )
+        if self.static_jw is not None and self.static_jw.shape[0] != body_model.num_joints:
+            raise ValueError(
+                f'static joint_weights must have shape ({body_model.num_joints},)'
+            )
+        self.plan = build_plan(body_model.data, enable_kid, num_betas, host=host,
+                               vertex_weights=self.static_vw)
+        self.n_betas = self.plan.n_betas
+        gram_args = (
             np.asarray(src.weights),
             np.asarray(src.shapedirs),
             np.asarray(src.kid_shapedir) if enable_kid else None,
@@ -1193,6 +1262,33 @@ class BodyFitter:
             np.asarray(src.v_template),
             np.asarray(src.posedirs),
         )
+        self.gram = build_gram_data(*gram_args)
+        if self.static_vw is None:
+            self.gram_w = None
+        else:
+            gw = build_gram_data(*gram_args, vertex_weights=self.static_vw)
+            # The big per-vertex operands are identical in the weighted gram —
+            # share the unweighted device buffers instead of duplicating HBM.
+            self.gram_w = gw.replace(
+                Msd=self.gram.Msd, v_template4=self.gram.v_template4,
+                posedirs4=self.gram.posedirs4, sd4=self.gram.sd4,
+                weights_pad=self.gram.weights_pad,
+                consts_pose=self.gram.consts_pose,
+                consts_full=self.gram.consts_full, sd_cm=self.gram.sd_cm,
+            )
+
+    def _materialize_static_weights(self, batch, vertex_weights, joint_weights):
+        """Static fitter weights as per-call broadcast arrays (for the
+        batch-major paths, which weight at runtime)."""
+        if vertex_weights is None and self.static_vw is not None:
+            vertex_weights = jnp.broadcast_to(
+                jnp.asarray(self.static_vw), (batch, self.static_vw.shape[0])
+            )
+        if joint_weights is None and self.static_jw is not None:
+            joint_weights = jnp.broadcast_to(
+                jnp.asarray(self.static_jw), (batch, self.static_jw.shape[0])
+            )
+        return vertex_weights, joint_weights
 
     # -- main fit -----------------------------------------------------------
 
@@ -1234,6 +1330,15 @@ class BodyFitter:
         import contextlib
 
         from ..ops import lbs_kernels as _lk
+
+        if (self.static_vw is not None or self.static_jw is not None) and (
+            vertex_weights is not None or joint_weights is not None
+        ):
+            raise ValueError(
+                'this fitter was constructed with static vertex/joint weights; '
+                'per-call weights cannot be combined with them — construct an '
+                'unweighted BodyFitter for per-call weighting'
+            )
 
         if use_kernels and _lk.autodiff_policy != 'kernels' and _lk.under_autodiff(
             target_vertices, target_joints, vertex_weights, joint_weights
@@ -1307,6 +1412,11 @@ class BodyFitter:
                 beta_regularizer, beta_regularizer2, kid_regularizer,
                 share_beta, final_adjust_rots, requested_keys,
             )
+        # Batch-major paths take static fitter weights as materialized
+        # per-call arrays (broadcasts are free until consumed).
+        vertex_weights, joint_weights = self._materialize_static_weights(
+            target_vertices.shape[0], vertex_weights, joint_weights
+        )
         target_vertices, target_joints, target_mean = _center_targets(
             target_vertices, target_joints
         )
@@ -1536,6 +1646,23 @@ class BodyFitter:
         jw_lm = None if joint_weights is None else joint_weights.T
         interp = lbs_kernels.kernel_mode(target_vertices.shape[0]) == 'interpret'
         has_joints = tj_lm is not None
+        batch = target_vertices.shape[0]
+        if jw_lm is None and self.static_jw is not None:
+            jw_lm = jnp.broadcast_to(
+                jnp.asarray(self.static_jw)[:, None],
+                (self.static_jw.shape[0], batch),
+            )
+        # Shape-solve weighting follows the reference rule (see
+        # tests/test_semantics.py): with joints given it is weighted only when
+        # BOTH vertex and joint weights exist; without joints, vertex weights
+        # alone apply. Rotation fits are weighted whenever weights exist
+        # (plan.omega_pad / jw_lm).
+        if has_joints:
+            use_wgram = self.static_vw is not None and self.static_jw is not None
+        else:
+            use_wgram = self.static_vw is not None
+        gram = self.gram_w if use_wgram else self.gram
+        jw_solve = self.static_jw if (use_wgram and has_joints) else None
 
         rj0 = (
             jnp.transpose(bm.J_template, (1, 0))[:, :, None] if has_joints else None
@@ -1556,7 +1683,7 @@ class BodyFitter:
         )
         for _ in range(num_iter - 1):
             res = fit_shape_gram_lm(
-                bm, plan, self.gram, glob9, tgt_vm, tj_lm,
+                bm, plan, gram, glob9, tgt_vm, tj_lm, jw_static=jw_solve,
                 requested_keys=(recon_key, 'joints_lm') if has_joints else (recon_key,),
                 **solve_args,
             )
@@ -1570,7 +1697,7 @@ class BodyFitter:
             )
 
         res = fit_shape_gram_lm(
-            bm, plan, self.gram, glob9, tgt_vm, tj_lm,
+            bm, plan, gram, glob9, tgt_vm, tj_lm, jw_static=jw_solve,
             requested_keys=(recon_key, 'joints_lm')
             if (has_joints or final_adjust_rots)
             else (recon_key,),
@@ -1665,6 +1792,9 @@ class BodyFitter:
             bm = self.body_model.data
             pose_rotvecs = jnp.asarray(pose_rotvecs)
             target_vertices = jnp.asarray(target_vertices)
+            vertex_weights, joint_weights = self._materialize_static_weights(
+                target_vertices.shape[0], vertex_weights, joint_weights
+            )
             if target_joints is not None:
                 target_joints = jnp.asarray(target_joints)
             target_vertices, target_joints, target_mean = _center_targets(
@@ -1720,6 +1850,9 @@ class BodyFitter:
             plan = self.plan
             shape_betas = jnp.asarray(shape_betas)[:, : self.n_betas]
             target_vertices = jnp.asarray(target_vertices)
+            vertex_weights, joint_weights = self._materialize_static_weights(
+                target_vertices.shape[0], vertex_weights, joint_weights
+            )
             if target_joints is not None:
                 target_joints = jnp.asarray(target_joints)
             target_vertices, target_joints, target_mean = _center_targets(
@@ -1857,20 +1990,23 @@ def _centered_cov_lm(raw9, s_t, s_a, s_w, c_t, c_a):
 
 def part_sums_lm(plan: FitterPlan, target_vm, reference_vm=None, reference_spec=None):
     """Lane-major per-part sums (kernel path only): raw (9, J, B) rows (c, d),
-    s_t (3, J, B), s_a (3, J, B|1), s_w (J, 1)."""
+    s_t (3, J, B), s_a (3, J, B|1), s_w (J, 1). A statically-weighted plan
+    (``plan.omega_pad``) makes every sum ω-weighted."""
     if reference_spec is not None:
         raw, s_t, s_a = lbs_kernels.recon_part_sums_lm(
             target_vm, reference_spec['pj_cm'], reference_spec['feat_cols'],
             reference_spec['weights_pad'], reference_spec['consts_pad'],
-            plan.pm_t_pad, interpret=reference_spec['interpret'],
+            plan.pm_t_pad, omega=plan.omega_pad,
+            interpret=reference_spec['interpret'],
         )
     else:
         k_mode = lbs_kernels.kernel_mode(target_vm.shape[2])
         raw, s_t, s_a = lbs_kernels.part_sums_vm_lm(
-            target_vm, reference_vm, plan.pm_t_pad,
+            target_vm, reference_vm, plan.pm_t_pad, omega=plan.omega_pad,
             interpret=k_mode == 'interpret',
         )
-    return raw, s_t, s_a, plan.part_counts[0]
+    s_w = plan.part_counts if plan.omega_pad is None else plan.part_counts_w
+    return raw, s_t, s_a, s_w[0]
 
 
 def fit_global_rotations_lm(

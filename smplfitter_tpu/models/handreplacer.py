@@ -43,7 +43,16 @@ class HandReplacer:
         )
 
         self.smplh_bm = smplh_model or BodyModel('smplh16', 'neutral')
-        self.smplh_fitter = BodyFitter(self.smplh_bm)
+        self.hand_indices_all = np.asarray(smpl_hand_indices, dtype=np.int64)
+
+        vertex_weights = np.ones(self.smplh_bm.num_vertices, np.float32)
+        vertex_weights[self.hand_indices_all] = 1e-1
+        self.vertex_weights = jnp.asarray(vertex_weights)
+        # The hand down-weighting is fixed per replacer, so it is baked into
+        # the fitter's precomputed moments: the fit keeps the fused-kernel
+        # fast path (per-call per-vertex weights would force the ~14x slower
+        # streamed general solve).
+        self.smplh_fitter = BodyFitter(self.smplh_bm, vertex_weights=vertex_weights)
 
         # Blend mask from the T-pose template (host-side).
         template = np.asarray(self.smplh_fitter.plan.default_mesh)
@@ -54,12 +63,8 @@ class HandReplacer:
         self.hand_mix_weight = smootherstep(
             jnp.abs(jnp.asarray(template[:, 0])), hand_min_x - 0.1, hand_min_x
         )
-        self.hand_indices_all = np.asarray(smpl_hand_indices, dtype=np.int64)
 
         self.hand_pose_source = jnp.asarray(hand_pose_source).reshape(-1)
-        vertex_weights = np.ones(self.smplh_bm.num_vertices, np.float32)
-        vertex_weights[self.hand_indices_all] = 1e-1
-        self.vertex_weights = jnp.asarray(vertex_weights)
 
     def mirror_rotvecs(self, hand_pose: jax.Array) -> jax.Array:
         hflip = jnp.array([1.0, -1.0, -1.0], hand_pose.dtype)
@@ -79,15 +84,11 @@ class HandReplacer:
     def replace_hand(self, smpl_verts) -> jax.Array:
         """Return ``smpl_verts`` with the hand regions replaced by the posed hands."""
         smpl_verts = jnp.asarray(smpl_verts)
-        batch = smpl_verts.shape[0]
         fit = self.smplh_fitter.fit(
             target_vertices=smpl_verts,
             num_iter=3,
             beta_regularizer=0.0,
             final_adjust_rots=False,
-            vertex_weights=jnp.broadcast_to(
-                self.vertex_weights, (batch, self.smplh_bm.num_vertices)
-            ),
             requested_keys=['pose_rotvecs', 'shape_betas'],
         )
         new_pose = self.copy_hand_params(fit['pose_rotvecs'])

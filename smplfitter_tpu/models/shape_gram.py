@@ -64,20 +64,41 @@ class GramData:
     sd1_2d: jax.Array  # (J*3, E)  sd1 flattened (j,c)-major
     W1_col: jax.Array  # (J, 1)
     n_ext: int = struct.field(pytree_node=False)  # E = n_betas (+1 if kid)
+    # Static per-vertex fit weights ω (None = unweighted). When set, all the
+    # moment fields above are ω-weighted sums and the kernels weight the
+    # target-side reductions through ``omega_pad`` (one exact VPU multiply on
+    # the residual — see ops/lbs_kernels.py). The big per-vertex operands
+    # (Msd, consts_*, weights_pad, sd_cm) stay UNWEIGHTED: ω reaches the
+    # right-hand side via the residual, never via the operands.
+    omega_pad: Optional[jax.Array] = None  # (V_pad, 1) or None
+    omega: Optional[jax.Array] = None  # (V,) or None
+    w_total: float = struct.field(pytree_node=False, default=0.0)  # Σ_v ω_v
 
 
 def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
                     kid_shapedir: Optional[np.ndarray], n_betas: int,
                     v_template: np.ndarray, posedirs: np.ndarray,
+                    vertex_weights: Optional[np.ndarray] = None,
                     dtype=jnp.float32) -> GramData:
     """Host-side (f64) moment precompute. ``weights`` (V, J), ``shapedirs``
-    (V, 3, S); kid column appended when ``kid_shapedir`` is given."""
+    (V, 3, S); kid column appended when ``kid_shapedir`` is given.
+    ``vertex_weights`` (V,) bakes static per-vertex fit weights into the
+    quadratic moments (the fast path for fitter-level weights, e.g. the
+    HandReplacer's down-weighted hands — cf. the reference's runtime-weighted
+    general solve, /root/reference/src/smplfitter/np/bodyfitter.py:758-766)."""
     w = np.asarray(weights, np.float64)
     SD = np.asarray(shapedirs, np.float64)[:, :, :n_betas]
     if kid_shapedir is not None:
         SD = np.concatenate([SD, np.asarray(kid_shapedir, np.float64)[:, :, None]], axis=2)
     V, J = w.shape
     E = SD.shape[2]
+    omega = (
+        None
+        if vertex_weights is None
+        else np.asarray(vertex_weights, np.float64).reshape(V)
+    )
+    # ω enters every quadratic moment exactly once (it weights the vertex sum).
+    w_omega = w if omega is None else w * omega[:, None]
 
     # Homogeneous-channel constants: activations come out of their producer
     # GEMMs already 4-wide ([x y z 1] / [x y z 0]), so no runtime pad/concat
@@ -112,14 +133,16 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
     # Ksd regrouped to row order ((j,c),(k,d)) matching X = R2ᵀR2 with
     # R2[b, a, (j,c)] — term1 is then ONE (B, 5184) x (5184, E*E) GEMM with no
     # 5-D intermediate formatting.
-    K = Msd.T @ Msd  # (J3E, J3E)
+    Msd_w = Msd if omega is None else Msd * omega[:, None]
+    K = Msd.T @ Msd_w  # (J3E, J3E)
     K = K.reshape(J, 3, E, J, 3, E)
     Ksd = K.transpose(0, 1, 3, 4, 2, 5).reshape(J * 3 * J * 3, E * E)
-    # Lsd[j,k,c,e] = Σ_v w_vk Msd[v,(j,c,e)]
-    Lsd = (Msd.T @ w).reshape(J, 3, E, J).transpose(0, 3, 1, 2)
-    sd1 = np.einsum('vj,vce->jce', w, SD)
-    q = w.T @ w
-    W1 = w.sum(axis=0)
+    # Lsd[j,k,c,e] = Σ_v [ω_v] w_vk Msd[v,(j,c,e)]
+    Lsd = (Msd.T @ w_omega).reshape(J, 3, E, J).transpose(0, 3, 1, 2)
+    sd1 = np.einsum('vj,vce->jce', w_omega, SD)
+    q = w.T @ w_omega
+    W1 = w_omega.sum(axis=0)
+    w_total = float(V) if omega is None else float(omega.sum())
 
     return GramData(
         W1=jnp.asarray(W1, dtype),
@@ -141,6 +164,12 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
         sd1_2d=jnp.asarray(sd1.reshape(J * 3, E), dtype),
         W1_col=jnp.asarray(W1.reshape(J, 1), dtype),
         n_ext=E,
+        omega_pad=(
+            None if omega is None
+            else jnp.asarray(pad_rows(omega.reshape(V, 1)), dtype)
+        ),
+        omega=None if omega is None else jnp.asarray(omega, dtype),
+        w_total=w_total,
     )
 
 
@@ -180,6 +209,12 @@ def fit_shape_gram(
 
     if scale_target and scale_fit:
         raise ValueError('Only one of scale_target and scale_fit can be True')
+    if gram.omega_pad is not None:
+        raise ValueError(
+            'static-weighted GramData is only supported by the lane-major '
+            'solve (fit_shape_gram_lm); the batch-major configurations '
+            'materialize per-call weights instead'
+        )
 
     batch = target_vertices.shape[0]
     J = bm.num_joints
@@ -560,13 +595,18 @@ def fit_shape_gram_lm(
     beta_regularizer_reference,
     kid_regularizer_reference,
     requested_keys=(),
+    jw_static: Optional[np.ndarray] = None,
     interpret: bool = False,
 ) -> dict:
     """Lane-major shape solve: rotations as (9, J, B) entries, targets
     component-major, per-joint operands built by leading-dim stacks/concats —
     no (B, J, 3, 3)-layout relayouts anywhere on the hot path. Covers the
-    fused-kernel configurations (no per-vertex weights, no scale column);
-    everything else goes through :func:`fit_shape_gram`.
+    fused-kernel configurations (no per-call per-vertex weights, no scale
+    column); everything else goes through :func:`fit_shape_gram`.
+
+    Static fit weights: a ω-weighted ``gram`` (see :func:`build_gram_data`)
+    makes the vertex block weighted; ``jw_static`` (host (J,) array) weights
+    the joints block, which is then assembled in XLA outside the gram kernel.
 
     Returns the usual result dict plus lane-major extras: ``joints_lm``
     (3, J, B) and ``trans_lm`` (3, B); ``relative_orientations_lm`` (9, J, B).
@@ -580,6 +620,11 @@ def fit_shape_gram_lm(
     dtype = tgt_vm.dtype
     parent_indices = np.array(bm.kintree_parents[1:])
     has_joints = tj_lm is not None
+    # Static joint weights take the joints block out of the assembly kernel
+    # (which only knows the unweighted form) into small XLA einsums below.
+    weighted_joints = has_joints and jw_static is not None
+    kernel_joints = has_joints and not weighted_joints
+    w_base = gram.w_total if gram.w_total else float(bm.num_vertices)
 
     eye_col = jnp.broadcast_to(
         jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], dtype)[:, None, None],
@@ -621,7 +666,7 @@ def fit_shape_gram_lm(
     )
     rk, yk = lbs_kernels.rhs_moments(
         tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
-        gram.sd_cm, interpret=interpret,
+        gram.sd_cm, omega=gram.omega_pad, interpret=interpret,
     )
 
     T_cm = T4.reshape(3, E * J, batch)
@@ -635,7 +680,7 @@ def fit_shape_gram_lm(
             ],
             axis=0,
         )  # (3, 3J, B), rows (j, c)
-        if has_joints:
+        if kernel_joints:
             P_cm = P4.reshape(3, E * J, batch)
             bJ_cm = tj_lm - p_j
         else:
@@ -643,14 +688,14 @@ def fit_shape_gram_lm(
             bJ_cm = jnp.zeros((3, 1, batch), dtype)
         Gk, SAk, rbk, Sbk = lbs_kernels.gram_assembly(
             R_cm, T_cm, yk, P_cm, bJ_cm, gram.Ksd, gram.Lz_e, gram.sd1_2d,
-            gram.q, gram.W1_col, has_joints=has_joints, interpret=interpret,
+            gram.q, gram.W1_col, has_joints=kernel_joints, interpret=interpret,
         )
         G = Gk.T.reshape(batch, E, E)
         SA = SAk.T.reshape(batch, 3, E)
         r = rk.T + rbk.T
         Sb = Sbk.T
         W = jnp.full(
-            (batch,), float(bm.num_vertices) + (J if has_joints else 0), dtype
+            (batch,), w_base + (J if kernel_joints else 0), dtype
         )
     else:
         # Large-J models: XLA gram assembly from the lm operands.
@@ -666,18 +711,31 @@ def fit_shape_gram_lm(
                 axis=0,
             ),
             T_cm, yk,
-            P4.reshape(3, E * J, batch) if has_joints else jnp.zeros((3, 1, batch), dtype),
-            (tj_lm - p_j) if has_joints else jnp.zeros((3, 1, batch), dtype),
+            P4.reshape(3, E * J, batch) if kernel_joints else jnp.zeros((3, 1, batch), dtype),
+            (tj_lm - p_j) if kernel_joints else jnp.zeros((3, 1, batch), dtype),
             gram.Ksd, gram.Lz_e, gram.sd1_2d, gram.q, gram.W1_col,
-            has_joints=has_joints,
+            has_joints=kernel_joints,
         )
         G = G9.T.reshape(batch, E, E)
         SA = SA30.T.reshape(batch, 3, E)
         r = rk.T + rb.T
         Sb = Sb2.T
         W = jnp.full(
-            (batch,), float(bm.num_vertices) + (J if has_joints else 0), dtype
+            (batch,), w_base + (J if kernel_joints else 0), dtype
         )
+
+    if weighted_joints:
+        # Static-jw joints block, assembled in XLA (small (3, E, J, B)
+        # contractions; the gram kernel only knows the unweighted form).
+        jw64 = np.asarray(jw_static, np.float64).reshape(J)
+        jw_j = jnp.asarray(jw64, dtype)
+        bJ = tj_lm - p_j  # (3, J, B)
+        P4w = P4 * jw_j[None, None, :, None]
+        G = G + jnp.einsum('aejb,afjb->bef', P4w, P4, precision=_HI)
+        r = r + jnp.einsum('aejb,ajb->be', P4w, bJ, precision=_HI)
+        SA = SA + jnp.einsum('aejb,j->bae', P4, jw_j, precision=_HI)
+        Sb = Sb + jnp.einsum('ajb,j->ba', bJ, jw_j, precision=_HI)
+        W = W + float(jw64.sum())
 
     # --- regularizers (same semantics as fit_shape_gram) ---
     l2 = jnp.concatenate(

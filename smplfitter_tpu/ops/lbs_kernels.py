@@ -316,8 +316,13 @@ def _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend=None, homog=None):
     ]
 
 
-def _rhs_kernel(nchunks, rem, tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref,
-                sd_ref, r_ref, y_small_ref):
+def _rhs_kernel(nchunks, rem, weighted, *refs):
+    if weighted:
+        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref, om_ref,
+         r_ref, y_small_ref) = refs
+    else:
+        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref,
+         r_ref, y_small_ref) = refs
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -331,6 +336,12 @@ def _rhs_kernel(nchunks, rem, tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref,
     b = [
         _mask_tail_rows(tgt_ref[a], k, nchunks, rem) - pos[a] for a in range(3)
     ]  # (VC, TB) residuals
+    if weighted:
+        # Static per-vertex fit weights ride the residual: one exact f32 VPU
+        # multiply makes every reduction below a weighted sum (r = Σ ω jacᵀb,
+        # y = Σ ω w_vj b) while the LBS operands stay unweighted.
+        om = om_ref[:]  # (VC, 1)
+        b = [x * om for x in b]
     for a in range(3):
         # Parts-major (J, TB): J=24 on output lanes would pad 24 -> 128.
         y_small_ref[a] += _dot3(w, b[a], _C0_0)  # (J, TB)
@@ -347,7 +358,7 @@ def _rhs_kernel(nchunks, rem, tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref,
 
 
 def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
-                      interpret: bool = False):
+                      omega=None, interpret: bool = False):
     """Fused residual projection of the shape solve.
 
     Args:
@@ -358,10 +369,12 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
         weights_pad: (V_pad, J) skinning weights (zero rows in padding).
         consts_pad: (4, V_pad, F) homogeneous template projector.
         sd_cm: (3, V_pad, E) shape directions, component-major.
+        omega: optional (V_pad, 1) static per-vertex fit weights (zero rows in
+            padding); when given every vertex sum below is ω-weighted.
 
     Returns:
-        r (E, B) = Σ_v (R̄_v SD_v)ᵀ b_v (the rotation part of Σ jacᵀb)
-        and y (3, J, B) = Σ_v w_vj b_v.
+        r (E, B) = Σ_v [ω_v] (R̄_v SD_v)ᵀ b_v (the rotation part of Σ jacᵀb)
+        and y (3, J, B) = Σ_v [ω_v] w_vj b_v.
     """
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
@@ -374,18 +387,27 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     grid = (B // tb, nchunks)
     wtsp = _pack6_lhs(weights_pad, axis=1)  # (V_pad, 6J)
     pjp = _pack6_rhs(pj_cm, axis=1)  # (12, 6J, B)
+    weighted = omega is not None
+
+    in_specs = [
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm]
+    if weighted:
+        in_specs.append(
+            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(omega)
 
     return pl.pallas_call(
-        functools.partial(_rhs_kernel, nchunks, v_t % VC),
+        functools.partial(_rhs_kernel, nchunks, v_t % VC, weighted),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
@@ -395,7 +417,7 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             jax.ShapeDtypeStruct((3, J, B), jnp.float32),
         ],
         interpret=interpret,
-    )(tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm)
+    )(*operands)
 
 
 def _lbs_points_kernel(pjp_ref, feat_ref, wtsp_ref, consts_ref, out_ref):
@@ -438,8 +460,11 @@ def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
     )(pjp, feat_cols, wtsp, consts_pad)
 
 
-def _part_sums_kernel(nchunks, rem_t, rem_a, t_ref, a_ref, pm_ref,
-                      raw_ref, st_ref, sa_ref):
+def _part_sums_kernel(nchunks, rem_t, rem_a, weighted, *refs):
+    if weighted:
+        t_ref, a_ref, pm_ref, om_ref, raw_ref, st_ref, sa_ref = refs
+    else:
+        t_ref, a_ref, pm_ref, raw_ref, st_ref, sa_ref = refs
     k = pl.program_id(1)
     tb = t_ref.shape[2]
     a_batched = a_ref.shape[2] == tb
@@ -458,9 +483,16 @@ def _part_sums_kernel(nchunks, rem_t, rem_a, t_ref, a_ref, pm_ref,
     a_vals = [
         _mask_tail_rows(a_ref[d], k, nchunks, rem_a) for d in range(3)
     ]
+    if weighted:
+        # Static fit weights: ω multiplies the reference side and the t-sum
+        # side (the reference weighting convention), keeping pm binary so the
+        # exact 2-pass membership dots stay exact.
+        om = om_ref[:]  # (VC, 1)
+        a_vals = [a_d * om for a_d in a_vals]
     for c in range(3):
         t_c = _mask_tail_rows(t_ref[c], k, nchunks, rem_t)  # (VC, TB)
-        st_ref[c] += _dot2_exact_a(pm, t_c, contract)
+        st_in = t_c * om if weighted else t_c
+        st_ref[c] += _dot2_exact_a(pm, st_in, contract)
         for d in range(3):
             a_d = a_vals[d]
             prod = t_c * a_d if a_batched else t_c * jnp.broadcast_to(a_d, t_c.shape)
@@ -470,18 +502,24 @@ def _part_sums_kernel(nchunks, rem_t, rem_a, t_ref, a_ref, pm_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def part_sums_vm(t_vm, a_vm, pm, interpret: bool = False):
+def part_sums_vm(t_vm, a_vm, pm, omega=None, interpret: bool = False):
     """Per-part sums from component-major points.
 
     Args:
         t_vm: (3, V_pad, B) targets.
         a_vm: (3, V_pad, B) or (3, V_pad, 1) reference points.
         pm: (J, V_pad) part membership (zero columns for unused/pad vertices).
+        omega: optional (V_pad, 1) static per-vertex fit weights; when given
+            all sums are ω-weighted (reference convention: ω scales the
+            reference side and the t-sum side).
 
     Returns:
         raw (B, J, 3, 3), s_t (B, J, 3), s_a (B_a, J, 3).
     """
-    raw, st, sa = _part_sums_diff(t_vm, a_vm, pm, interpret)
+    if omega is None:
+        raw, st, sa = _part_sums_diff(t_vm, a_vm, pm, interpret)
+    else:
+        raw, st, sa = _part_sums_w_diff(t_vm, a_vm, pm, omega, interpret)
     B = t_vm.shape[2]
     J = pm.shape[0]
     # raw is (9, J, B) with rows ordered (c, d); move batch to front, parts next.
@@ -492,14 +530,16 @@ def part_sums_vm(t_vm, a_vm, pm, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def part_sums_vm_lm(t_vm, a_vm, pm, interpret: bool = False):
+def part_sums_vm_lm(t_vm, a_vm, pm, omega=None, interpret: bool = False):
     """Lane-major :func:`part_sums_vm`: returns the kernel-native layouts
     raw (9, J, B) with rows (c, d), s_t (3, J, B), s_a (3, J, B_a) — no
     transposes (the rotation fits consume these directly)."""
-    return _part_sums_diff(t_vm, a_vm, pm, interpret)
+    if omega is None:
+        return _part_sums_diff(t_vm, a_vm, pm, interpret)
+    return _part_sums_w_diff(t_vm, a_vm, pm, omega, interpret)
 
 
-def _part_sums_impl(t_vm, a_vm, pm, interpret: bool = False):
+def _part_sums_impl(t_vm, a_vm, pm, omega=None, interpret: bool = False):
     _, v_t, B = t_vm.shape
     v_a = a_vm.shape[1]
     Ba = a_vm.shape[2]
@@ -512,19 +552,28 @@ def _part_sums_impl(t_vm, a_vm, pm, interpret: bool = False):
     assert nchunks * VC >= v_a > (nchunks - 1) * VC
     grid = (B // tb, nchunks)
     tba = tb if Ba == B else 1
+    weighted = omega is not None
+
+    in_specs = [
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (3, VC, tba),
+            (lambda i, k: (0, k, i)) if Ba == B else (lambda i, k: (0, k, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+    ]
+    operands = [t_vm, a_vm, pm]
+    if weighted:
+        in_specs.append(
+            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(omega)
 
     raw, st, sa = pl.pallas_call(
-        functools.partial(_part_sums_kernel, nchunks, v_t % VC, v_a % VC),
+        functools.partial(_part_sums_kernel, nchunks, v_t % VC, v_a % VC, weighted),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (3, VC, tba),
-                (lambda i, k: (0, k, i)) if Ba == B else (lambda i, k: (0, k, 0)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((9, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
@@ -540,7 +589,7 @@ def _part_sums_impl(t_vm, a_vm, pm, interpret: bool = False):
             jax.ShapeDtypeStruct((3, J, Ba), jnp.float32),
         ],
         interpret=interpret,
-    )(t_vm, a_vm, pm)
+    )(*operands)
     return raw, st, sa
 
 
@@ -639,8 +688,13 @@ def _lbs_points_bwd_rule(interpret, res, g):
 _lbs_points_diff.defvjp(_lbs_points_fwd, _lbs_points_bwd_rule)
 
 
-def _rhs_bwd_kernel(nchunks, rem, gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref,
-                    wtsp_ref, consts_ref, sd_ref, dtgt_ref, dpj_ref, dfeat_ref):
+def _rhs_bwd_kernel(nchunks, rem, weighted, *refs):
+    if weighted:
+        (gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref,
+         sd_ref, om_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
+    else:
+        (gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref,
+         sd_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
     k = pl.program_id(1)
     w = _plain_weights(wtsp_ref)
     homog = _lbs_homog(feat_ref, consts_ref)
@@ -660,8 +714,14 @@ def _rhs_bwd_kernel(nchunks, rem, gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref,
         db_a = _dot3(w, gy_ref[a], contract_j0)  # (VC, TB)
         for c in range(3):
             db_a += blend[a * 4 + c] * G[c]
+        if weighted:
+            # Forward residual was b_w = ω (t - pos): the ω factor lands on
+            # every per-vertex cotangent (db is the cotangent w.r.t. b_w).
+            db_a = db_a * om_ref[:]
         dtgt_ref[a] = db_a
         db.append(db_a)
+    if weighted:
+        b = [x * om_ref[:] for x in b]
 
     @pl.when(k == 0)
     def _():
@@ -682,7 +742,7 @@ def _rhs_bwd_kernel(nchunks, rem, gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref,
 
 
 def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
-                     gr, gy, interpret):
+                     gr, gy, omega=None, interpret=False):
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
     J = weights_pad.shape[1]
@@ -693,20 +753,29 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     grid = (B // tb, nchunks)
     wtsp = _pack6_lhs(weights_pad, axis=1)
     pjp = _pack6_rhs(pj_cm, axis=1)
+    weighted = omega is not None
+
+    in_specs = [
+        pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [gr, gy, tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm]
+    if weighted:
+        in_specs.append(
+            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(omega)
 
     dtgt, dpj, dfeat = pl.pallas_call(
-        functools.partial(_rhs_bwd_kernel, nchunks, v_t % VC),
+        functools.partial(_rhs_bwd_kernel, nchunks, v_t % VC, weighted),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((12, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
@@ -718,7 +787,7 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             jax.ShapeDtypeStruct((F, B), jnp.float32),
         ],
         interpret=interpret,
-    )(gr, gy, tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm)
+    )(*operands)
     return dtgt, jnp.transpose(dpj, (0, 2, 1)), dfeat
 
 
@@ -726,13 +795,13 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
 def _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
                       interpret):
     return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                             sd_cm, interpret)
+                             sd_cm, interpret=interpret)
 
 
 def _rhs_moments_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
                      interpret):
     out = _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                            sd_cm, interpret)
+                            sd_cm, interpret=interpret)
     return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm)
 
 
@@ -741,7 +810,7 @@ def _rhs_moments_bwd_rule(interpret, res, g):
     gr, gy = g
     dtgt, dpj, dfeat = _rhs_moments_bwd(
         tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, gr, gy,
-        interpret,
+        interpret=interpret,
     )
     return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
             jnp.zeros_like(consts_pad), jnp.zeros_like(sd_cm))
@@ -750,12 +819,44 @@ def _rhs_moments_bwd_rule(interpret, res, g):
 _rhs_moments_diff.defvjp(_rhs_moments_fwd, _rhs_moments_bwd_rule)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _rhs_moments_w_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                        sd_cm, omega, interpret):
+    return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                             sd_cm, omega=omega, interpret=interpret)
+
+
+def _rhs_moments_w_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                       sd_cm, omega, interpret):
+    out = _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                            sd_cm, omega=omega, interpret=interpret)
+    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, omega)
+
+
+def _rhs_moments_w_bwd_rule(interpret, res, g):
+    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, omega = res
+    gr, gy = g
+    dtgt, dpj, dfeat = _rhs_moments_bwd(
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, gr, gy,
+        omega=omega, interpret=interpret,
+    )
+    return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
+            jnp.zeros_like(consts_pad), jnp.zeros_like(sd_cm),
+            jnp.zeros_like(omega))
+
+
+_rhs_moments_w_diff.defvjp(_rhs_moments_w_fwd, _rhs_moments_w_bwd_rule)
+
+
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def rhs_moments(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
-                interpret: bool = False):
+                omega=None, interpret: bool = False):
     """Differentiable fused residual projection (see _rhs_moments_impl)."""
-    return _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                             sd_cm, interpret)
+    if omega is None:
+        return _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad,
+                                 consts_pad, sd_cm, interpret)
+    return _rhs_moments_w_diff(tgt_vm, pj_cm, feat_cols, weights_pad,
+                               consts_pad, sd_cm, omega, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -764,8 +865,13 @@ def lbs_points(pj_cm, feat_cols, weights_pad, consts_pad, interpret: bool = Fals
     return _lbs_points_diff(pj_cm, feat_cols, weights_pad, consts_pad, interpret)
 
 
-def _recon_part_sums_kernel(nchunks, rem, tgt_ref, pjp_ref, feat_ref, wtsp_ref,
-                            consts_ref, pm_ref, raw_ref, st_ref, sa_ref):
+def _recon_part_sums_kernel(nchunks, rem, weighted, *refs):
+    if weighted:
+        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, pm_ref, om_ref,
+         raw_ref, st_ref, sa_ref) = refs
+    else:
+        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, pm_ref,
+         raw_ref, st_ref, sa_ref) = refs
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -781,9 +887,13 @@ def _recon_part_sums_kernel(nchunks, rem, tgt_ref, pjp_ref, feat_ref, wtsp_ref,
     pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref)
     pm = pm_ref[:]  # (J, VC)
     contract = (((1,), (0,)), ((), ()))  # pm dim1 (VC) with points dim0 (VC)
+    if weighted:
+        om = om_ref[:]  # (VC, 1)
+        pos = [p * om for p in pos]
     for c in range(3):
         t_c = _mask_tail_rows(tgt_ref[c], k, nchunks, rem)  # (VC, TB)
-        st_ref[c] += _dot2_exact_a(pm, t_c, contract)
+        st_in = t_c * om if weighted else t_c
+        st_ref[c] += _dot2_exact_a(pm, st_in, contract)
         for d in range(3):
             raw_ref[c * 3 + d] += _dot2_exact_a(pm, t_c * pos[d], contract)
     for d in range(3):
@@ -791,7 +901,7 @@ def _recon_part_sums_kernel(nchunks, rem, tgt_ref, pjp_ref, feat_ref, wtsp_ref,
 
 
 def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-                          interpret: bool = False):
+                          omega=None, interpret: bool = False):
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
     J_lbs = weights_pad.shape[1]
@@ -804,18 +914,27 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     grid = (B // tb, nchunks)
     wtsp = _pack6_lhs(weights_pad, axis=1)
     pjp = _pack6_rhs(pj_cm, axis=1)
+    weighted = omega is not None
+
+    in_specs = [
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, 6 * J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, 6 * J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+    ]
+    operands = [tgt_vm, pjp, feat_cols, wtsp, consts_pad, pm]
+    if weighted:
+        in_specs.append(
+            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(omega)
 
     return pl.pallas_call(
-        functools.partial(_recon_part_sums_kernel, nchunks, v_t % VC),
+        functools.partial(_recon_part_sums_kernel, nchunks, v_t % VC, weighted),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, 6 * J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, 6 * J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((9, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
@@ -827,35 +946,42 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
             jax.ShapeDtypeStruct((3, J, B), jnp.float32),
         ],
         interpret=interpret,
-    )(tgt_vm, pjp, feat_cols, wtsp, consts_pad, pm)
+    )(*operands)
 
 
-def _recon_part_sums_bwd_kernel(nchunks, rem, tgt_ref, pjp_ref, feat_ref,
-                                wtsp_ref, consts_ref, pm_ref, graw_ref, gst_ref,
-                                gsa_ref, dtgt_ref, dpj_ref, dfeat_ref):
+def _recon_part_sums_bwd_kernel(nchunks, rem, weighted, *refs):
+    if weighted:
+        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, pm_ref, om_ref,
+         graw_ref, gst_ref, gsa_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
+    else:
+        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, pm_ref,
+         graw_ref, gst_ref, gsa_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
     k = pl.program_id(1)
     pm = pm_ref[:]  # (J, VC)
     contract_j = (((0,), (0,)), ((), ()))  # pm dim0 (J) with grad dim0 (J)
     pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref)
     W = [_dot2_exact_a(pm, graw_ref[x], contract_j) for x in range(9)]  # (VC, TB)
+    om = om_ref[:] if weighted else None  # (VC, 1)
     for c in range(3):
         acc = _dot2_exact_a(pm, gst_ref[c], contract_j)
         for d in range(3):
             acc += W[c * 3 + d] * pos[d]
-        dtgt_ref[c] = acc
+        # Forward sums carried ω on the recon side and the t-sum side: the t
+        # cotangent picks up one ω factor per vertex.
+        dtgt_ref[c] = acc * om if weighted else acc
     dpos = []
     tgt = [_mask_tail_rows(tgt_ref[c], k, nchunks, rem) for c in range(3)]
     for d in range(3):
         acc = _dot2_exact_a(pm, gsa_ref[d], contract_j)
         for c in range(3):
             acc += W[c * 3 + d] * tgt[c]
-        dpos.append(acc)
+        dpos.append(acc * om if weighted else acc)
     _lbs_grads_chunk(dpos, pjp_ref, feat_ref, wtsp_ref, consts_ref,
                      dpj_ref, dfeat_ref, k)
 
 
 def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-                         graw, gst, gsa, interpret):
+                         graw, gst, gsa, omega=None, interpret=False):
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
     J_lbs = weights_pad.shape[1]
@@ -866,21 +992,33 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     grid = (B // tb, nchunks)
     wtsp = _pack6_lhs(weights_pad, axis=1)
     pjp = _pack6_rhs(pj_cm, axis=1)
+    weighted = omega is not None
+
+    in_specs = [
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, 6 * J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, 6 * J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+    ]
+    operands = [tgt_vm, pjp, feat_cols, wtsp, consts_pad, pm]
+    if weighted:
+        in_specs.append(
+            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(omega)
+    in_specs += [
+        pl.BlockSpec((9, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+    ]
+    operands += [graw, gst, gsa]
 
     dtgt, dpj, dfeat = pl.pallas_call(
-        functools.partial(_recon_part_sums_bwd_kernel, nchunks, v_t % VC),
+        functools.partial(_recon_part_sums_bwd_kernel, nchunks, v_t % VC, weighted),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, 6 * J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, 6 * J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((12, tb, J_lbs), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
@@ -892,7 +1030,7 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
             jax.ShapeDtypeStruct((F, B), jnp.float32),
         ],
         interpret=interpret,
-    )(tgt_vm, pjp, feat_cols, wtsp, consts_pad, pm, graw, gst, gsa)
+    )(*operands)
     return dtgt, jnp.transpose(dpj, (0, 2, 1)), dfeat
 
 
@@ -900,13 +1038,13 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
 def _recon_part_sums_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
                           interpret):
     return _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                                 pm, interpret)
+                                 pm, interpret=interpret)
 
 
 def _recon_part_sums_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
                          interpret):
     out = _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                                pm, interpret)
+                                pm, interpret=interpret)
     return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm)
 
 
@@ -915,7 +1053,7 @@ def _recon_part_sums_bwd_rule(interpret, res, g):
     graw, gst, gsa = g
     dtgt, dpj, dfeat = _recon_part_sums_bwd(
         tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, graw, gst, gsa,
-        interpret,
+        interpret=interpret,
     )
     return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
             jnp.zeros_like(consts_pad), jnp.zeros_like(pm))
@@ -924,16 +1062,51 @@ def _recon_part_sums_bwd_rule(interpret, res, g):
 _recon_part_sums_diff.defvjp(_recon_part_sums_fwd, _recon_part_sums_bwd_rule)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _recon_part_sums_w_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                            pm, omega, interpret):
+    return _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad,
+                                 consts_pad, pm, omega=omega, interpret=interpret)
+
+
+def _recon_part_sums_w_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                           pm, omega, interpret):
+    out = _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad,
+                                consts_pad, pm, omega=omega, interpret=interpret)
+    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega)
+
+
+def _recon_part_sums_w_bwd_rule(interpret, res, g):
+    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega = res
+    graw, gst, gsa = g
+    dtgt, dpj, dfeat = _recon_part_sums_bwd(
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, graw, gst, gsa,
+        omega=omega, interpret=interpret,
+    )
+    return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
+            jnp.zeros_like(consts_pad), jnp.zeros_like(pm),
+            jnp.zeros_like(omega))
+
+
+_recon_part_sums_w_diff.defvjp(_recon_part_sums_w_fwd, _recon_part_sums_w_bwd_rule)
+
+
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def recon_part_sums(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-                    interpret: bool = False):
+                    omega=None, interpret: bool = False):
     """Fused reconstruction + per-part sums: extended LBS of the solved betas
     feeds the part-sum reductions in VMEM, so the reference mesh never reaches
     HBM. Returns raw (B, J, 3, 3), s_t (B, J, 3), s_a (B, J, 3) exactly like
     :func:`part_sums_vm` with a batched reference."""
-    raw, st, sa = _recon_part_sums_diff(
-        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, interpret
-    )
+    if omega is None:
+        raw, st, sa = _recon_part_sums_diff(
+            tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, interpret
+        )
+    else:
+        raw, st, sa = _recon_part_sums_w_diff(
+            tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega,
+            interpret,
+        )
     B = tgt_vm.shape[2]
     J = pm.shape[0]
     raw_b = jnp.transpose(raw, (2, 1, 0)).reshape(B, J, 3, 3)
@@ -944,11 +1117,15 @@ def recon_part_sums(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def recon_part_sums_lm(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-                       interpret: bool = False):
+                       omega=None, interpret: bool = False):
     """Lane-major :func:`recon_part_sums`: kernel-native raw (9, J, B) rows
     (c, d), s_t (3, J, B), s_a (3, J, B)."""
-    return _recon_part_sums_diff(
-        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, interpret
+    if omega is None:
+        return _recon_part_sums_diff(
+            tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, interpret
+        )
+    return _recon_part_sums_w_diff(
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega, interpret
     )
 
 
@@ -1051,11 +1228,11 @@ def _part_sums_bwd(t_vm, a_vm, pm, graw, gst, gsa, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _part_sums_diff(t_vm, a_vm, pm, interpret):
-    return _part_sums_impl(t_vm, a_vm, pm, interpret)
+    return _part_sums_impl(t_vm, a_vm, pm, interpret=interpret)
 
 
 def _part_sums_fwd(t_vm, a_vm, pm, interpret):
-    return _part_sums_impl(t_vm, a_vm, pm, interpret), (t_vm, a_vm, pm)
+    return _part_sums_impl(t_vm, a_vm, pm, interpret=interpret), (t_vm, a_vm, pm)
 
 
 def _part_sums_bwd_rule(interpret, res, g):
@@ -1066,6 +1243,33 @@ def _part_sums_bwd_rule(interpret, res, g):
 
 
 _part_sums_diff.defvjp(_part_sums_fwd, _part_sums_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _part_sums_w_diff(t_vm, a_vm, pm, omega, interpret):
+    return _part_sums_impl(t_vm, a_vm, pm, omega=omega, interpret=interpret)
+
+
+def _part_sums_w_fwd(t_vm, a_vm, pm, omega, interpret):
+    out = _part_sums_impl(t_vm, a_vm, pm, omega=omega, interpret=interpret)
+    return out, (t_vm, a_vm, pm, omega)
+
+
+def _part_sums_w_bwd_rule(interpret, res, g):
+    # The weighted sums are the unweighted ones with ω ⊙ (reference side,
+    # t-sum side); both input cotangents therefore pick up one ω factor:
+    # dt = ω ⊙ dt₀, da = ω ⊙ da₀ (ω is static, no tangent).
+    t_vm, a_vm, pm, omega = res
+    graw, gst, gsa = g
+    dt, da = _part_sums_bwd(t_vm, a_vm, pm, graw, gst, gsa, interpret)
+    v_t = dt.shape[1]
+    v_a = da.shape[1]
+    dt = dt * omega[None, :v_t, :]
+    da = da * omega[None, :v_a, :]
+    return dt, da, jnp.zeros_like(pm), jnp.zeros_like(omega)
+
+
+_part_sums_w_diff.defvjp(_part_sums_w_fwd, _part_sums_w_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
