@@ -1277,6 +1277,22 @@ class BodyFitter:
                 consts_full=self.gram.consts_full, sd_cm=self.gram.sd_cm,
             )
 
+    def _lm_solve_weights(self, has_joints):
+        """Gram data + static joint weights for the lane-major shape solve.
+
+        Shape-solve weighting follows the reference rule (see
+        tests/test_semantics.py): with joints given it is weighted only when
+        BOTH vertex and joint weights exist; without joints, vertex weights
+        alone apply. Rotation fits are weighted whenever weights exist
+        (plan.omega_pad / jw_lm)."""
+        if has_joints:
+            use_wgram = self.static_vw is not None and self.static_jw is not None
+        else:
+            use_wgram = self.static_vw is not None
+        gram = self.gram_w if use_wgram else self.gram
+        jw_solve = self.static_jw if (use_wgram and has_joints) else None
+        return gram, jw_solve
+
     def _materialize_static_weights(self, batch, vertex_weights, joint_weights):
         """Static fitter weights as per-call broadcast arrays (for the
         batch-major paths, which weight at runtime)."""
@@ -1652,17 +1668,7 @@ class BodyFitter:
                 jnp.asarray(self.static_jw)[:, None],
                 (self.static_jw.shape[0], batch),
             )
-        # Shape-solve weighting follows the reference rule (see
-        # tests/test_semantics.py): with joints given it is weighted only when
-        # BOTH vertex and joint weights exist; without joints, vertex weights
-        # alone apply. Rotation fits are weighted whenever weights exist
-        # (plan.omega_pad / jw_lm).
-        if has_joints:
-            use_wgram = self.static_vw is not None and self.static_jw is not None
-        else:
-            use_wgram = self.static_vw is not None
-        gram = self.gram_w if use_wgram else self.gram
-        jw_solve = self.static_jw if (use_wgram and has_joints) else None
+        gram, jw_solve = self._lm_solve_weights(has_joints)
 
         rj0 = (
             jnp.transpose(bm.J_template, (1, 0))[:, :, None] if has_joints else None
@@ -1792,6 +1798,24 @@ class BodyFitter:
             bm = self.body_model.data
             pose_rotvecs = jnp.asarray(pose_rotvecs)
             target_vertices = jnp.asarray(target_vertices)
+            # Lane-major fast path: kernel-eligible batch, no per-call
+            # per-vertex weights (static weights ride the ω-weighted gram),
+            # no scale column. Per-call joint weights ALONE never reach the
+            # shape solve (the reference's both-or-neither rule; known-pose
+            # has no rotation fit for them to affect) — but paired with
+            # static vertex weights they would, so that combo falls back.
+            if (
+                lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
+                and vertex_weights is None
+                and (joint_weights is None or self.static_vw is None)
+                and not (scale_target or scale_fit)
+            ):
+                return self._fit_with_known_pose_lm(
+                    pose_rotvecs, target_vertices, target_joints,
+                    beta_regularizer, beta_regularizer2, kid_regularizer,
+                    share_beta, beta_regularizer_reference,
+                    kid_regularizer_reference,
+                )
             vertex_weights, joint_weights = self._materialize_static_weights(
                 target_vertices.shape[0], vertex_weights, joint_weights
             )
@@ -1829,6 +1853,61 @@ class BodyFitter:
             result.pop('joints', None)
             result.pop('vertices', None)
             return {k: v for k, v in result.items() if v is not None}
+
+    def _fit_with_known_pose_lm(
+        self,
+        pose_rotvecs,
+        target_vertices,
+        target_joints,
+        beta_regularizer,
+        beta_regularizer2,
+        kid_regularizer,
+        share_beta,
+        beta_regularizer_reference,
+        kid_regularizer_reference,
+    ) -> dict:
+        """Lane-major known-pose solve: FK the given pose once, then ONE
+        moment-tensor shape solve (fit_shape_gram_lm) — no per-instance design
+        matrix, same kernels as the full fit's solve stage."""
+        from .bodymodel import fk_rotations
+        from .shape_gram import fit_shape_gram_lm
+
+        bm = self.body_model.data
+        if target_joints is not None:
+            target_joints = jnp.asarray(target_joints)
+        target_vertices, target_joints, target_mean = _center_targets(
+            target_vertices, target_joints
+        )
+        rel = rot_ops.rotvec2mat(pose_rotvecs.reshape(-1, bm.num_joints, 3))
+        glob_rotmats = fk_rotations(bm, rel)
+        batch = glob_rotmats.shape[0]
+        glob9 = jnp.transpose(
+            glob_rotmats.reshape(batch, bm.num_joints, 9), (2, 1, 0)
+        )
+        tgt_vm = lbs_kernels.to_vertex_major(target_vertices)
+        tj_lm = (
+            None if target_joints is None
+            else jnp.transpose(target_joints, (2, 1, 0))
+        )
+        gram, jw_solve = self._lm_solve_weights(tj_lm is not None)
+        res = fit_shape_gram_lm(
+            bm, self.plan, gram, glob9, tgt_vm, tj_lm,
+            beta_regularizer=beta_regularizer,
+            beta_regularizer2=beta_regularizer2,
+            kid_regularizer=kid_regularizer,
+            share_beta=share_beta,
+            beta_regularizer_reference=beta_regularizer_reference,
+            kid_regularizer_reference=kid_regularizer_reference,
+            jw_static=jw_solve,
+            interpret=lbs_kernels.kernel_mode(batch) == 'interpret',
+        )
+        result = dict(
+            shape_betas=res['shape_betas'],
+            kid_factor=res['kid_factor'],
+            trans=res['trans'] + target_mean,
+            orientations=glob_rotmats,
+        )
+        return {k: v for k, v in result.items() if v is not None}
 
     def fit_with_known_shape(
         self,

@@ -188,6 +188,37 @@ class TestKnownPoseShape:
         ).mean()
         assert err < 2.5e-2
 
+    @pytest.mark.parametrize('has_joints', [False, True])
+    @pytest.mark.parametrize('share_beta', [False, True])
+    def test_known_pose_lm_matches_general(self, smpl_model, smpl_fitter,
+                                           has_joints, share_beta):
+        """The lane-major known-pose solve (forced-interpret kernels) vs the
+        batch-major general solve."""
+        from smplfitter_tpu.ops import lbs_kernels
+
+        pose, betas, trans = random_params(8, seed=56, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        kw = dict(
+            pose_rotvecs=pose,
+            target_vertices=res['vertices'],
+            target_joints=res['joints'] if has_joints else None,
+            beta_regularizer=0.5,
+            share_beta=share_beta,
+        )
+        ref = smpl_fitter.fit_with_known_pose(**kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = smpl_fitter.fit_with_known_pose(**kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        np.testing.assert_allclose(
+            np.asarray(got['shape_betas']), np.asarray(ref['shape_betas']),
+            atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got['trans']), np.asarray(ref['trans']), atol=5e-4
+        )
+
     def test_known_shape(self, smpl_model, smpl_fitter):
         pose, betas, trans = random_params(2, seed=50, pose_std=0.1)
         res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
