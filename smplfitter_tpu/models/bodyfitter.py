@@ -1749,27 +1749,7 @@ class BodyFitter:
                 -1, bm.num_joints, 3, 3
             )
 
-        if (
-            'relative_orientations' in requested_keys
-            or 'pose_rotvecs' in requested_keys
-        ):
-            parent_indices = np.array(bm.kintree_parents[1:])
-            eye_col = jnp.broadcast_to(
-                jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], glob9.dtype)[:, None, None],
-                (9, 1, glob9.shape[2]),
-            )
-            parent9 = jnp.concatenate(
-                [eye_col, glob9[:, parent_indices]], axis=1
-            )
-            rel9 = rot_ops.matmul3x3_lm(parent9, glob9, transpose_a=True)
-            result['relative_orientations'] = jnp.transpose(
-                rel9, (2, 1, 0)
-            ).reshape(-1, bm.num_joints, 3, 3)
-            if 'pose_rotvecs' in requested_keys:
-                rv = rot_ops.mat2rotvec_lm(rel9)  # (3, J, B)
-                result['pose_rotvecs'] = jnp.transpose(rv, (2, 1, 0)).reshape(
-                    glob9.shape[2], -1
-                )
+        _lm_rotation_formats(bm, result, glob9, requested_keys)
 
         return {k: v for k, v in result.items() if v is not None}
 
@@ -1929,6 +1909,22 @@ class BodyFitter:
             plan = self.plan
             shape_betas = jnp.asarray(shape_betas)[:, : self.n_betas]
             target_vertices = jnp.asarray(target_vertices)
+            # Lane-major fast path: kernel-eligible batch, no per-call
+            # per-vertex weights, no scale; kid only when the plan carries the
+            # kid column (the spec folds it into the shape features).
+            if (
+                lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
+                and vertex_weights is None
+                and (joint_weights is None or self.static_vw is None)
+                and not scale_fit
+                and (kid_factor is None or plan.enable_kid)
+                and (plan.leveladj_supported or not final_adjust_rots)
+            ):
+                return self._fit_with_known_shape_lm(
+                    shape_betas, target_vertices, target_joints,
+                    joint_weights, kid_factor, num_iter, final_adjust_rots,
+                    initial_pose_rotvecs, requested_keys,
+                )
             vertex_weights, joint_weights = self._materialize_static_weights(
                 target_vertices.shape[0], vertex_weights, joint_weights
             )
@@ -2011,6 +2007,164 @@ class BodyFitter:
             self._add_rotation_formats(result, glob_rotmats, tuple(requested_keys))
             return result
 
+    def _fit_with_known_shape_lm(
+        self,
+        shape_betas,
+        target_vertices,
+        target_joints,
+        joint_weights,
+        kid_factor,
+        num_iter,
+        final_adjust_rots,
+        initial_pose_rotvecs,
+        requested_keys,
+    ) -> dict:
+        """Lane-major known-shape solve: the given betas become fixed shape
+        feature columns of a deferred reconstruction spec
+        (:func:`~.shape_gram.lbs_recon_spec_lm`), so every rotation fit runs
+        the fused recon+part-sums kernels and no per-iteration mesh is
+        materialized (with target joints). Translation is the gram-weighted
+        mean gap, contracted from first moments — no extra HBM pass over the
+        reconstruction."""
+        from .bodymodel import fk_rotations
+        from .shape_gram import lbs_recon_spec_lm
+
+        bm = self.body_model.data
+        plan = self.plan
+        batch = target_vertices.shape[0]
+        interp = lbs_kernels.kernel_mode(batch) == 'interpret'
+        if target_joints is not None:
+            target_joints = jnp.asarray(target_joints)
+        target_vertices, target_joints, target_mean = _center_targets(
+            target_vertices, target_joints
+        )
+        tgt_vm = lbs_kernels.to_vertex_major(target_vertices)
+        tj_lm = (
+            None if target_joints is None
+            else jnp.transpose(target_joints, (2, 1, 0))
+        )
+        has_joints = tj_lm is not None
+        jw_lm = None if joint_weights is None else jnp.asarray(joint_weights).T
+        if jw_lm is None and self.static_jw is not None:
+            jw_lm = jnp.broadcast_to(
+                jnp.asarray(self.static_jw)[:, None],
+                (self.static_jw.shape[0], batch),
+            )
+        dtype = tgt_vm.dtype
+
+        # Shape feature columns (E, B): betas + kid column when the plan has it.
+        x = shape_betas
+        if x.shape[1] < plan.n_betas:
+            x = jnp.pad(x, ((0, 0), (0, plan.n_betas - x.shape[1])))
+        if plan.enable_kid:
+            kid_col = (
+                jnp.zeros((batch, 1), dtype)
+                if kid_factor is None
+                else jnp.asarray(kid_factor).reshape(batch, 1).astype(dtype)
+            )
+            x = jnp.concatenate([x, kid_col], axis=1)
+        x_T = x.T
+
+        if initial_pose_rotvecs is None:
+            glob9 = jnp.broadcast_to(
+                jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], dtype)[:, None, None],
+                (9, bm.num_joints, batch),
+            )
+        else:
+            rel = rot_ops.rotvec2mat(
+                jnp.asarray(initial_pose_rotvecs).reshape(-1, bm.num_joints, 3)
+            )
+            glob9 = jnp.transpose(
+                fk_rotations(bm, rel).reshape(batch, bm.num_joints, 9), (2, 1, 0)
+            )
+
+        for _ in range(num_iter):
+            spec, rj, _ = lbs_recon_spec_lm(
+                bm, plan, self.gram, glob9, x_T, interpret=interp
+            )
+            if has_joints:
+                rot = fit_global_rotations_lm(
+                    bm, plan, tgt_vm, tj_lm, None, rj, jw_lm,
+                    reference_spec=spec,
+                )
+            else:
+                recon_vm = lbs_kernels.lbs_points(
+                    spec['pj_cm'], spec['feat_cols'], spec['weights_pad'],
+                    spec['consts_pad'], interpret=interp,
+                )
+                rot = fit_global_rotations_lm(
+                    bm, plan, tgt_vm, None, recon_vm, None, jw_lm
+                )
+            glob9 = rot_ops.matmul3x3_lm(rot, glob9)
+
+        # Translation: weighted-mean gap per fit_scale_and_translation
+        # semantics (weighted only when BOTH weight kinds exist with joints;
+        # vertex weights alone without joints). rec_sum rides gram.Kc moments.
+        if has_joints:
+            weighted = self.static_vw is not None and self.static_jw is not None
+        else:
+            weighted = self.static_vw is not None
+        gram_t = self.gram_w if weighted else self.gram
+        spec_f, rj_f, rec_sum = lbs_recon_spec_lm(
+            bm, plan, gram_t, glob9, x_T, interpret=interp
+        )
+        V = bm.num_vertices
+        if weighted:
+            tgt_sum = jnp.einsum('v,cvb->cb', gram_t.omega, tgt_vm[:, :V])
+            w_tot = gram_t.w_total
+        else:
+            tgt_sum = jnp.sum(tgt_vm[:, :V], axis=1)
+            w_tot = float(V)
+        if has_joints:
+            if weighted:
+                jw_stat = jnp.asarray(self.static_jw, dtype)
+                tgt_sum = tgt_sum + jnp.einsum('j,cjb->cb', jw_stat, tj_lm)
+                rec_sum = rec_sum + jnp.einsum('j,cjb->cb', jw_stat, rj_f)
+                w_tot = w_tot + float(np.asarray(self.static_jw).sum())
+            else:
+                tgt_sum = tgt_sum + jnp.sum(tj_lm, axis=1)
+                rec_sum = rec_sum + jnp.sum(rj_f, axis=1)
+                w_tot = w_tot + float(bm.num_joints)
+        trans_lm = (tgt_sum - rec_sum) / w_tot  # (3, B)
+
+        if final_adjust_rots:
+            # Shift the reference into the fitted frame: translation rows of
+            # the spec and the model joints.
+            spec_f = dict(
+                spec_f,
+                pj_cm=spec_f['pj_cm'].at[np.array([3, 7, 11])].add(
+                    trans_lm[:, None, :]
+                ),
+            )
+            rj_shift = rj_f + trans_lm[:, None, :]
+            if has_joints:
+                glob9 = fit_global_rotations_dependent_lm(
+                    bm, plan, tgt_vm, tj_lm, None, rj_shift, jw_lm,
+                    glob9, shape_betas, trans_lm, kid_factor,
+                    reference_spec=spec_f,
+                )
+            else:
+                recon_vm = lbs_kernels.lbs_points(
+                    spec_f['pj_cm'], spec_f['feat_cols'], spec_f['weights_pad'],
+                    spec_f['consts_pad'], interpret=interp,
+                )
+                glob9 = fit_global_rotations_dependent_lm(
+                    bm, plan, tgt_vm, None, recon_vm, rj_shift, jw_lm,
+                    glob9, shape_betas, trans_lm, kid_factor,
+                )
+
+        result = dict(
+            shape_betas=shape_betas,
+            trans=trans_lm.T + target_mean,
+            orientations=jnp.transpose(glob9, (2, 1, 0)).reshape(
+                -1, bm.num_joints, 3, 3
+            ),
+        )
+        if kid_factor is not None:
+            result['kid_factor'] = jnp.asarray(kid_factor)
+        _lm_rotation_formats(bm, result, glob9, tuple(requested_keys))
+        return result
+
     # -- helpers --------------------------------------------------------------
 
     def _add_rotation_formats(self, result, glob_rotmats, requested_keys) -> None:
@@ -2049,6 +2203,32 @@ def _regress_joints_lm(bm: BodyModelData, vertices_vm):
     return jnp.einsum(
         'jv,cvb->cjb', bm.J_regressor_post_lbs, vertices_vm[:, : bm.num_vertices]
     )
+
+
+def _lm_rotation_formats(bm: BodyModelData, result, glob9, requested_keys) -> None:
+    """Relative orientations / pose rotvecs from lane-major globals, written
+    into ``result`` when requested (lane-major twin of
+    ``BodyFitter._add_rotation_formats``)."""
+    if (
+        'relative_orientations' not in requested_keys
+        and 'pose_rotvecs' not in requested_keys
+    ):
+        return
+    parent_indices = np.array(bm.kintree_parents[1:])
+    eye_col = jnp.broadcast_to(
+        jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], glob9.dtype)[:, None, None],
+        (9, 1, glob9.shape[2]),
+    )
+    parent9 = jnp.concatenate([eye_col, glob9[:, parent_indices]], axis=1)
+    rel9 = rot_ops.matmul3x3_lm(parent9, glob9, transpose_a=True)
+    result['relative_orientations'] = jnp.transpose(rel9, (2, 1, 0)).reshape(
+        -1, bm.num_joints, 3, 3
+    )
+    if 'pose_rotvecs' in requested_keys:
+        rv = rot_ops.mat2rotvec_lm(rel9)  # (3, J, B)
+        result['pose_rotvecs'] = jnp.transpose(rv, (2, 1, 0)).reshape(
+            glob9.shape[2], -1
+        )
 
 
 def _centered_cov_lm(raw9, s_t, s_a, s_w, c_t, c_a):

@@ -63,6 +63,10 @@ class GramData:
     Lz_e: jax.Array  # (J*3, E*J)  Lsd with rows (j,c), cols (e,k)
     sd1_2d: jax.Array  # (J*3, E)  sd1 flattened (j,c)-major
     W1_col: jax.Array  # (J, 1)
+    # First moments of the full const features (rows match consts_full's
+    # columns [posedirs | v_template | sd]): lets Σ_v ω_v rec_v be contracted
+    # from per-joint moments without materializing the mesh (known-shape trans).
+    Kc: jax.Array  # (J, 3, P207+1+E)  Σ_v [ω_v] w_vj consts_v
     n_ext: int = struct.field(pytree_node=False)  # E = n_betas (+1 if kid)
     # Static per-vertex fit weights ω (None = unweighted). When set, all the
     # moment fields above are ω-weighted sums and the kernels weight the
@@ -143,6 +147,11 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
     q = w.T @ w_omega
     W1 = w_omega.sum(axis=0)
     w_total = float(V) if omega is None else float(omega.sum())
+    consts3 = np.concatenate(
+        [np.asarray(posedirs, np.float64),
+         np.asarray(v_template, np.float64)[:, :, None], SD], axis=2
+    )  # (V, 3, F) — same column order as consts_full
+    Kc = (w_omega.T @ consts3.reshape(V, -1)).reshape(J, 3, consts3.shape[2])
 
     return GramData(
         W1=jnp.asarray(W1, dtype),
@@ -163,6 +172,7 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
         ),
         sd1_2d=jnp.asarray(sd1.reshape(J * 3, E), dtype),
         W1_col=jnp.asarray(W1.reshape(J, 1), dtype),
+        Kc=jnp.asarray(Kc, dtype),
         n_ext=E,
         omega_pad=(
             None if omega is None
@@ -842,3 +852,86 @@ def fit_shape_gram_lm(
                     recon_vm, bm.num_vertices
                 )
     return result
+
+
+def lbs_recon_spec_lm(
+    bm,
+    plan,
+    gram: GramData,
+    glob_lm: jax.Array,
+    x_T: jax.Array,
+    interpret: bool = False,
+):
+    """Deferred extended-LBS reconstruction operands for a KNOWN shape.
+
+    The solve path (:func:`fit_shape_gram_lm`) emits a ``recon_spec`` whose
+    shape columns come out of the linear solve; this builds the same spec for
+    GIVEN shape columns ``x_T`` (E, B) — betas (+ kid when the plan has it) —
+    so known-shape fitting (reference semantics
+    /root/reference/src/smplfitter/np/bodyfitter.py:509-607) can ride the same
+    fused recon+part-sums kernels with no per-instance mesh materialization.
+
+    Returns ``(spec, joints_lm, rec_sum)``: the kernel spec dict, the model
+    joints (3, J, B) of the reconstruction, and the gram-weighted vertex sum
+    Σ_v ω_v rec_v (3, B), contracted from the precomputed first moments
+    ``gram.Kc``/``gram.W1`` — no (3, V, B) pass. All quantities are in the
+    centered target frame (no translation folded in).
+    """
+    from .bodyfitter import fk_positions_ext_lm
+
+    batch = glob_lm.shape[2]
+    J = bm.num_joints
+    dtype = glob_lm.dtype
+    parent_indices = np.array(bm.kintree_parents[1:])
+
+    eye_col = jnp.broadcast_to(
+        jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], dtype)[:, None, None],
+        (9, 1, batch),
+    )
+    parent9 = jnp.concatenate([eye_col, glob_lm[:, parent_indices]], axis=1)
+    rel9 = rot_ops.matmul3x3_lm(parent9, glob_lm, transpose_a=True)
+    rot_params_cols = jnp.transpose(rel9[:, 1:], (1, 0, 2)).reshape(
+        (J - 1) * 9, batch
+    )
+
+    pos4 = fk_positions_ext_lm(bm, plan, glob_lm)  # (3, 1+E, J, B)
+    p_j = pos4[:, 0] + jnp.einsum('aejb,eb->ajb', pos4[:, 1:], x_T, precision=_HI)
+    jte0 = jnp.transpose(plan.J_template_ext[..., 0], (1, 0))[:, :, None]  # (3, J, 1)
+    jrest = jte0 + jnp.einsum(
+        'jce,eb->cjb', plan.J_template_ext[..., 1:], x_T, precision=_HI
+    )  # rest-frame shaped joints (3, J, B)
+    t2 = jnp.stack(
+        [
+            p_j[a] - sum(glob_lm[a * 3 + c] * jrest[c] for c in range(3))
+            for a in range(3)
+        ],
+        axis=0,
+    )  # (3, J, B)
+
+    pj_cm = jnp.stack(
+        [glob_lm[a * 3 + c] if c < 3 else t2[a] for a in range(3) for c in range(4)],
+        axis=0,
+    )
+    feat_cols = jnp.concatenate(
+        [rot_params_cols, jnp.ones((1, batch), dtype), x_T], axis=0
+    )
+    spec = dict(
+        pj_cm=pj_cm, feat_cols=feat_cols,
+        weights_pad=gram.weights_pad, consts_pad=gram.consts_full,
+        interpret=interpret,
+    )
+
+    # Σ_v ω_v rec_v[a] = Σ_j R_j[a,:]·(Kc_j @ feat) + W1_j t2[a,j]
+    kq = jnp.einsum('jcf,fb->cjb', gram.Kc, feat_cols, precision=_HI)
+    rec_sum = jnp.stack(
+        [
+            sum(
+                jnp.einsum('jb,jb->b', glob_lm[a * 3 + c], kq[c], precision=_HI)
+                for c in range(3)
+            )
+            + jnp.einsum('j,jb->b', gram.W1, t2[a], precision=_HI)
+            for a in range(3)
+        ],
+        axis=0,
+    )  # (3, B)
+    return spec, p_j, rec_sum

@@ -219,6 +219,69 @@ class TestKnownPoseShape:
             np.asarray(got['trans']), np.asarray(ref['trans']), atol=5e-4
         )
 
+    @pytest.mark.parametrize('has_joints', [False, True])
+    @pytest.mark.parametrize('final_adjust', [False, True])
+    def test_known_shape_lm_matches_general(self, smpl_model, smpl_fitter,
+                                            has_joints, final_adjust):
+        """The lane-major known-shape solve (forced-interpret kernels) vs the
+        batch-major general solve."""
+        from smplfitter_tpu.ops import lbs_kernels
+
+        pose, betas, trans = random_params(8, seed=58, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        kw = dict(
+            shape_betas=betas,
+            target_vertices=res['vertices'],
+            target_joints=res['joints'] if has_joints else None,
+            num_iter=2,
+            final_adjust_rots=final_adjust,
+            requested_keys=['pose_rotvecs'],
+        )
+        ref = smpl_fitter.fit_with_known_shape(**kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = smpl_fitter.fit_with_known_shape(**kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        np.testing.assert_allclose(
+            np.asarray(got['trans']), np.asarray(ref['trans']), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got['pose_rotvecs']), np.asarray(ref['pose_rotvecs']),
+            atol=2e-3,
+        )
+
+    def test_known_shape_lm_warm_start(self, smpl_model, smpl_fitter):
+        """initial_pose_rotvecs warm start: LM vs general."""
+        from smplfitter_tpu.ops import lbs_kernels
+
+        pose, betas, trans = random_params(8, seed=59, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        init = pose + np.random.RandomState(3).randn(*pose.shape).astype(
+            np.float32
+        ) * 0.05
+        kw = dict(
+            shape_betas=betas,
+            target_vertices=res['vertices'],
+            target_joints=res['joints'],
+            num_iter=1,
+            initial_pose_rotvecs=init,
+            requested_keys=['pose_rotvecs'],
+        )
+        ref = smpl_fitter.fit_with_known_shape(**kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = smpl_fitter.fit_with_known_shape(**kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        np.testing.assert_allclose(
+            np.asarray(got['trans']), np.asarray(ref['trans']), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got['pose_rotvecs']), np.asarray(ref['pose_rotvecs']),
+            atol=2e-3,
+        )
+
     def test_known_shape(self, smpl_model, smpl_fitter):
         pose, betas, trans = random_params(2, seed=50, pose_std=0.1)
         res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)

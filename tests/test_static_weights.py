@@ -190,6 +190,37 @@ class TestStaticWeightKernelPath:
         np.testing.assert_allclose(
             np.asarray(got['trans']), np.asarray(ref['trans']), atol=5e-4)
 
+    def test_known_shape_static_weights_lm(self, smpl_model):
+        """Static-weight fitter on the lane-major known-shape solve vs the
+        per-call batch-major weighted solve (weighted rotations AND the
+        both-weights weighted translation)."""
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+
+        vw, jw = _static_weights(smpl_model)
+        pose, betas, trans = random_params(8, seed=60, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+        B, V = tv.shape[:2]
+        J = smpl_model.num_joints
+        ref = BodyFitter(smpl_model).fit_with_known_shape(
+            betas, tv, tj,
+            vertex_weights=np.broadcast_to(vw, (B, V)).copy(),
+            joint_weights=np.broadcast_to(jw, (B, J)).copy(),
+            num_iter=2, requested_keys=['pose_rotvecs'])
+        f = BodyFitter(smpl_model, vertex_weights=vw, joint_weights=jw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = f.fit_with_known_shape(betas, tv, tj, num_iter=2,
+                                         requested_keys=['pose_rotvecs'])
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        np.testing.assert_allclose(
+            np.asarray(got['trans']), np.asarray(ref['trans']), atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(got['pose_rotvecs']), np.asarray(ref['pose_rotvecs']),
+            atol=2e-3)
+
     def test_smplh_static_vw_kernel_path(self, body_models_dir):
         """HandReplacer's model family (smplh16, J=52, no target joints):
         static-ω lane-major fit vs the per-call batch-major solve."""
