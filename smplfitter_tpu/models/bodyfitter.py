@@ -30,6 +30,7 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -1293,6 +1294,27 @@ class BodyFitter:
         jw_solve = self.static_jw if (use_wgram and has_joints) else None
         return gram, jw_solve
 
+    def _resolve_use_kernels(self, use_kernels, method_name, *arrays) -> bool:
+        """Apply ``lbs_kernels.autodiff_policy`` to a fit entry point: under a
+        Python-level autodiff trace the fused-kernel path silently falls back
+        to pure XLA ('fallback', default), stays on ('kernels'), or raises
+        ('error'). See docs/howto.md "Differentiate through the fit"."""
+        if (
+            use_kernels
+            and lbs_kernels.autodiff_policy != 'kernels'
+            and lbs_kernels.under_autodiff(*arrays)
+        ):
+            if lbs_kernels.autodiff_policy == 'error':
+                raise ValueError(
+                    f'BodyFitter.{method_name} was traced under autodiff with '
+                    'the fused kernels enabled. The backward graph can be very '
+                    'expensive to compile; pass use_kernels=False (the '
+                    'pure-XLA path, identical math) or set '
+                    "lbs_kernels.autodiff_policy = 'kernels' to allow it."
+                )
+            return False
+        return use_kernels
+
     def _materialize_static_weights(self, batch, vertex_weights, joint_weights):
         """Static fitter weights as per-call broadcast arrays (for the
         batch-major paths, which weight at runtime)."""
@@ -1343,10 +1365,6 @@ class BodyFitter:
         (default) silently uses the pure-XLA formulation, ``'kernels'`` keeps
         the fused backward kernels, ``'error'`` raises. See docs/howto.md
         "Differentiate through the fit"."""
-        import contextlib
-
-        from ..ops import lbs_kernels as _lk
-
         if (self.static_vw is not None or self.static_jw is not None) and (
             vertex_weights is not None or joint_weights is not None
         ):
@@ -1356,20 +1374,13 @@ class BodyFitter:
                 'unweighted BodyFitter for per-call weighting'
             )
 
-        if use_kernels and _lk.autodiff_policy != 'kernels' and _lk.under_autodiff(
-            target_vertices, target_joints, vertex_weights, joint_weights
-        ):
-            if _lk.autodiff_policy == 'error':
-                raise ValueError(
-                    'BodyFitter.fit was traced under autodiff with the fused '
-                    'kernels enabled. The backward graph of a full fit can be '
-                    'very expensive to compile; pass use_kernels=False (the '
-                    'pure-XLA path, identical math) or set '
-                    "lbs_kernels.autodiff_policy = 'kernels' to allow it."
-                )
-            use_kernels = False
-
-        ctx = contextlib.nullcontext() if use_kernels else _lk.disabled()
+        use_kernels = self._resolve_use_kernels(
+            use_kernels, 'fit',
+            target_vertices, target_joints, vertex_weights, joint_weights,
+        )
+        ctx = (
+            contextlib.nullcontext() if use_kernels else lbs_kernels.disabled()
+        )
         with ctx, matmul_precision():
             return self._fit(
                 jnp.asarray(target_vertices),
@@ -1772,9 +1783,21 @@ class BodyFitter:
         beta_regularizer_reference=None,
         kid_regularizer_reference=None,
         requested_keys=('shape_betas',),
+        use_kernels: bool = True,
     ) -> dict:
-        """Fit shape/translation (and optionally scale) for a known pose."""
-        with matmul_precision():
+        """Fit shape/translation (and optionally scale) for a known pose.
+
+        ``use_kernels`` / ``lbs_kernels.autodiff_policy`` behave exactly as on
+        :meth:`fit` (the fused-kernel path falls back to pure XLA under
+        autodiff traces by default)."""
+        use_kernels = self._resolve_use_kernels(
+            use_kernels, 'fit_with_known_pose',
+            target_vertices, target_joints, vertex_weights, joint_weights,
+        )
+        ctx = (
+            contextlib.nullcontext() if use_kernels else lbs_kernels.disabled()
+        )
+        with ctx, matmul_precision():
             bm = self.body_model.data
             pose_rotvecs = jnp.asarray(pose_rotvecs)
             target_vertices = jnp.asarray(target_vertices)
@@ -1902,9 +1925,22 @@ class BodyFitter:
         initial_pose_rotvecs=None,
         scale_fit: bool = False,
         requested_keys=('pose_rotvecs',),
+        use_kernels: bool = True,
     ) -> dict:
-        """Fit pose/translation for known shape betas."""
-        with matmul_precision():
+        """Fit pose/translation for known shape betas.
+
+        ``use_kernels`` / ``lbs_kernels.autodiff_policy`` behave exactly as on
+        :meth:`fit` (the fused-kernel path falls back to pure XLA under
+        autodiff traces by default)."""
+        use_kernels = self._resolve_use_kernels(
+            use_kernels, 'fit_with_known_shape',
+            shape_betas, target_vertices, target_joints,
+            vertex_weights, joint_weights,
+        )
+        ctx = (
+            contextlib.nullcontext() if use_kernels else lbs_kernels.disabled()
+        )
+        with ctx, matmul_precision():
             bm = self.body_model.data
             plan = self.plan
             shape_betas = jnp.asarray(shape_betas)[:, : self.n_betas]

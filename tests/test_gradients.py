@@ -129,6 +129,49 @@ class TestAutodiffPolicy:
         finally:
             lbs_kernels.autodiff_policy = 'fallback'
 
+    def test_known_pose_shape_follow_policy(self, smpl_model):
+        """fit_with_known_pose / fit_with_known_shape honor the same autodiff
+        policy as fit: default-policy grads equal the explicit XLA path."""
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+
+        fitter = BodyFitter(smpl_model)
+        rng = np.random.default_rng(13)
+        pose = rng.normal(0, 0.1, (8, 72)).astype(np.float32)
+        betas = rng.normal(0, 1, (8, 10)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        tv, tj = jnp.asarray(res['vertices']), jnp.asarray(res['joints'])
+        assert lbs_kernels.autodiff_policy == 'fallback'
+
+        def loss_kp(tv, **kw):
+            fit = fitter.fit_with_known_pose(
+                pose, tv, target_joints=tj, beta_regularizer=0.0, **kw
+            )
+            return jnp.sum(fit['shape_betas'] ** 2)
+
+        g_auto = jax.grad(loss_kp)(tv)
+        g_xla = jax.grad(lambda tv: loss_kp(tv, use_kernels=False))(tv)
+        np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_xla), atol=0)
+
+        def loss_ks(tv, **kw):
+            fit = fitter.fit_with_known_shape(
+                betas, tv, target_joints=tj, **kw
+            )
+            return jnp.sum(fit['trans'] ** 2)
+
+        g_auto = jax.grad(loss_ks)(tv)
+        g_xla = jax.grad(lambda tv: loss_ks(tv, use_kernels=False))(tv)
+        np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_xla), atol=0)
+
+        lbs_kernels.autodiff_policy = 'error'
+        try:
+            with pytest.raises(ValueError, match='fit_with_known_pose'):
+                jax.grad(loss_kp)(tv)
+            with pytest.raises(ValueError, match='fit_with_known_shape'):
+                jax.grad(loss_ks)(tv)
+        finally:
+            lbs_kernels.autodiff_policy = 'fallback'
+
     def test_non_autodiff_keeps_kernels(self, smpl_model):
         """Plain (non-grad) tracing must NOT be affected by the policy: the
         kernel path still activates (observable via FORCE_INTERPRET)."""
