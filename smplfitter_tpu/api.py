@@ -38,6 +38,7 @@ def get_cached_fit_fn(
     num_iter: int = 3,
     vertex_subset: Optional[tuple] = None,
     vertex_subset_size: Optional[int] = None,
+    joint_regressor_post_lbs: Optional[tuple] = None,
     share_beta: bool = False,
     final_adjust_rots: bool = True,
     scale_target: bool = False,
@@ -52,12 +53,19 @@ def get_cached_fit_fn(
     requested keys reshaped accordingly. Passing/omitting the optional args
     selects among a small number of cached XLA executables.
     """
+    import numpy as np
+
     body_model = BodyModel(
         model_name=body_model_name,
         gender=gender,
         num_betas=num_betas,
         vertex_subset=None if vertex_subset is None else list(vertex_subset),
         vertex_subset_size=vertex_subset_size,
+        joint_regressor_post_lbs=(
+            None
+            if joint_regressor_post_lbs is None
+            else np.asarray(joint_regressor_post_lbs)
+        ),
     )
     fitter = BodyFitter(body_model, enable_kid=enable_kid)
 
