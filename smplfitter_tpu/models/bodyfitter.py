@@ -1426,17 +1426,18 @@ class BodyFitter:
         plan = self.plan
         # Lane-major fast path: rotations stay (9, J, B) end-to-end, matching
         # the fused kernels' native layouts — no (B, J, 3, 3) relayouts.
+        # Per-call vertex weights ride it too: runtime ω part sums and the
+        # weighted-Gramian kernel (lbs_kernels.wgram_moments).
         if (
             lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
-            and vertex_weights is None
             and not (scale_target or scale_fit)
             and initial_pose_rotvecs is None
             and initial_shape_betas is None
             and (plan.leveladj_supported or not final_adjust_rots)
         ):
             return self._fit_lm(
-                target_vertices, target_joints, joint_weights, num_iter,
-                beta_regularizer, beta_regularizer2, kid_regularizer,
+                target_vertices, target_joints, vertex_weights, joint_weights,
+                num_iter, beta_regularizer, beta_regularizer2, kid_regularizer,
                 share_beta, final_adjust_rots, requested_keys,
             )
         # Batch-major paths take static fitter weights as materialized
@@ -1647,6 +1648,7 @@ class BodyFitter:
         self,
         target_vertices,
         target_joints,
+        vertex_weights,
         joint_weights,
         num_iter,
         beta_regularizer,
@@ -1657,8 +1659,12 @@ class BodyFitter:
         requested_keys,
     ) -> dict:
         """Lane-major fit driver (fused-kernel configurations; see
-        :func:`fit_global_rotations_lm`)."""
-        from .shape_gram import fit_shape_gram_lm
+        :func:`fit_global_rotations_lm`). Per-call ``vertex_weights`` run
+        runtime-ω part sums and the weighted-Gramian solve
+        (:func:`~.shape_gram.fit_shape_wgram_lm`); the solve itself is
+        weighted only per the reference rule (both weight kinds with joints,
+        vertex weights alone without)."""
+        from .shape_gram import fit_shape_gram_lm, fit_shape_wgram_lm
 
         bm = self.body_model.data
         plan = self.plan
@@ -1671,6 +1677,7 @@ class BodyFitter:
             else jnp.transpose(target_joints, (2, 1, 0))
         )
         jw_lm = None if joint_weights is None else joint_weights.T
+        omega_vm = None if vertex_weights is None else vertex_weights.T
         interp = lbs_kernels.kernel_mode(target_vertices.shape[0]) == 'interpret'
         has_joints = tj_lm is not None
         batch = target_vertices.shape[0]
@@ -1680,12 +1687,17 @@ class BodyFitter:
                 (self.static_jw.shape[0], batch),
             )
         gram, jw_solve = self._lm_solve_weights(has_joints)
+        # Per-call ω: the solve is runtime-weighted per the reference rule
+        # (with joints only when joint weights also exist; fit() forbids
+        # mixing per-call and static weights, so `gram` is unweighted here).
+        wgram_solve = omega_vm is not None and (not has_joints or jw_lm is not None)
 
         rj0 = (
             jnp.transpose(bm.J_template, (1, 0))[:, :, None] if has_joints else None
         )
         glob9 = fit_global_rotations_lm(
-            bm, plan, tgt_vm, tj_lm, plan.default_mesh_vm, rj0, jw_lm
+            bm, plan, tgt_vm, tj_lm, plan.default_mesh_vm, rj0, jw_lm,
+            omega=omega_vm,
         )
 
         recon_key = 'recon_spec' if has_joints else 'vertices_vm'
@@ -1698,27 +1710,38 @@ class BodyFitter:
             kid_regularizer_reference=None,
             interpret=interp,
         )
+
+        def solve(g9, keys):
+            if wgram_solve:
+                return fit_shape_wgram_lm(
+                    bm, plan, gram, g9, tgt_vm, tj_lm, omega_vm,
+                    jw_lm if has_joints else None,
+                    requested_keys=keys, **solve_args,
+                )
+            return fit_shape_gram_lm(
+                bm, plan, gram, g9, tgt_vm, tj_lm, jw_static=jw_solve,
+                requested_keys=keys, **solve_args,
+            )
+
         for _ in range(num_iter - 1):
-            res = fit_shape_gram_lm(
-                bm, plan, gram, glob9, tgt_vm, tj_lm, jw_static=jw_solve,
-                requested_keys=(recon_key, 'joints_lm') if has_joints else (recon_key,),
-                **solve_args,
+            res = solve(
+                glob9,
+                (recon_key, 'joints_lm') if has_joints else (recon_key,),
             )
             glob9 = rot_ops.matmul3x3_lm(
                 fit_global_rotations_lm(
                     bm, plan, tgt_vm, tj_lm,
                     res.get('vertices_vm'), res.get('joints_lm'), jw_lm,
-                    reference_spec=res.get('recon_spec'),
+                    reference_spec=res.get('recon_spec'), omega=omega_vm,
                 ),
                 glob9,
             )
 
-        res = fit_shape_gram_lm(
-            bm, plan, gram, glob9, tgt_vm, tj_lm, jw_static=jw_solve,
-            requested_keys=(recon_key, 'joints_lm')
+        res = solve(
+            glob9,
+            (recon_key, 'joints_lm')
             if (has_joints or final_adjust_rots)
             else (recon_key,),
-            **solve_args,
         )
 
         if final_adjust_rots:
@@ -1726,7 +1749,7 @@ class BodyFitter:
                 bm, plan, tgt_vm, tj_lm,
                 res.get('vertices_vm'), res.get('joints_lm'), jw_lm,
                 glob9, res['shape_betas'], res['trans_lm'], res['kid_factor'],
-                reference_spec=res.get('recon_spec'),
+                reference_spec=res.get('recon_spec'), omega=omega_vm,
             )
 
         result = dict(
@@ -2283,23 +2306,32 @@ def _centered_cov_lm(raw9, s_t, s_a, s_w, c_t, c_a):
     )
 
 
-def part_sums_lm(plan: FitterPlan, target_vm, reference_vm=None, reference_spec=None):
+def part_sums_lm(plan: FitterPlan, target_vm, reference_vm=None, reference_spec=None,
+                 omega=None):
     """Lane-major per-part sums (kernel path only): raw (9, J, B) rows (c, d),
-    s_t (3, J, B), s_a (3, J, B|1), s_w (J, 1). A statically-weighted plan
-    (``plan.omega_pad``) makes every sum ω-weighted."""
+    s_t (3, J, B), s_a (3, J, B|1), s_w (J, 1|B). A statically-weighted plan
+    (``plan.omega_pad``) makes every sum ω-weighted; a RUNTIME ``omega``
+    (V, B) overrides it (per-call vertex weights), making s_w batch-varying."""
+    om = plan.omega_pad if omega is None else omega
     if reference_spec is not None:
         raw, s_t, s_a = lbs_kernels.recon_part_sums_lm(
             target_vm, reference_spec['pj_cm'], reference_spec['feat_cols'],
             reference_spec['weights_pad'], reference_spec['consts_pad'],
-            plan.pm_t_pad, omega=plan.omega_pad,
+            plan.pm_t_pad, omega=om,
             interpret=reference_spec['interpret'],
         )
     else:
         k_mode = lbs_kernels.kernel_mode(target_vm.shape[2])
         raw, s_t, s_a = lbs_kernels.part_sums_vm_lm(
-            target_vm, reference_vm, plan.pm_t_pad, omega=plan.omega_pad,
+            target_vm, reference_vm, plan.pm_t_pad, omega=om,
             interpret=k_mode == 'interpret',
         )
+    if omega is not None:
+        s_w = jnp.einsum(
+            'jv,vb->jb', plan.pm_t_pad[:, : omega.shape[0]], omega,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return raw, s_t, s_a, s_w
     s_w = plan.part_counts if plan.omega_pad is None else plan.part_counts_w
     return raw, s_t, s_a, s_w[0]
 
@@ -2313,15 +2345,19 @@ def fit_global_rotations_lm(
     rj_lm,
     jw_lm,
     reference_spec=None,
+    omega=None,
 ):
     """Lane-major per-part orientation fit (same math as
     :func:`fit_global_rotations`). ``tj_lm``/``rj_lm`` are (3, J, B|1) or None
-    (regressed from the meshes)."""
+    (regressed from the meshes). ``omega`` (V, B) = runtime per-call vertex
+    weights (see :func:`part_sums_lm`)."""
     if tj_lm is None or rj_lm is None:
         tj_lm = _regress_joints_lm(bm, tgt_vm)
         rj_lm = _regress_joints_lm(bm, reference_vm)
 
-    raw, s_t, s_a, s_w = part_sums_lm(plan, tgt_vm, reference_vm, reference_spec)
+    raw, s_t, s_a, s_w = part_sums_lm(
+        plan, tgt_vm, reference_vm, reference_spec, omega=omega
+    )
     mt = jnp.einsum('jk,ckb->cjb', plan.center_matrix, tj_lm)
     ma = jnp.einsum('jk,ckb->cjb', plan.center_matrix, rj_lm)
     A_vert = _centered_cov_lm(raw, s_t, s_a, s_w, mt, ma)  # (9, J, B)
@@ -2426,6 +2462,7 @@ def fit_global_rotations_dependent_lm(
     trans_lm,
     kid_factor,
     reference_spec=None,
+    omega=None,
 ):
     """Lane-major level-batched final rotation adjustment (same math as
     :func:`fit_global_rotations_dependent`; requires
@@ -2453,7 +2490,9 @@ def fit_global_rotations_dependent_lm(
     )
     bones = j_lm - j_parent  # (3, J, B)
 
-    raw, s_t, s_a, s_w = part_sums_lm(plan, tgt_vm, reference_vm, reference_spec)
+    raw, s_t, s_a, s_w = part_sums_lm(
+        plan, tgt_vm, reference_vm, reference_spec, omega=omega
+    )
 
     batch = tgt_vm.shape[2]
     num_joints = bm.num_joints

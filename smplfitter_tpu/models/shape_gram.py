@@ -621,14 +621,10 @@ def fit_shape_gram_lm(
     Returns the usual result dict plus lane-major extras: ``joints_lm``
     (3, J, B) and ``trans_lm`` (3, B); ``relative_orientations_lm`` (9, J, B).
     """
-    from .bodyfitter import fk_positions_ext_lm
-
     batch = glob_lm.shape[2]
     J = bm.num_joints
     E = gram.n_ext
-    n_betas = plan.n_betas
     dtype = tgt_vm.dtype
-    parent_indices = np.array(bm.kintree_parents[1:])
     has_joints = tj_lm is not None
     # Static joint weights take the joints block out of the assembly kernel
     # (which only knows the unweighted form) into small XLA einsums below.
@@ -636,44 +632,10 @@ def fit_shape_gram_lm(
     kernel_joints = has_joints and not weighted_joints
     w_base = gram.w_total if gram.w_total else float(bm.num_vertices)
 
-    eye_col = jnp.broadcast_to(
-        jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], dtype)[:, None, None],
-        (9, 1, batch),
-    )
-    parent9 = jnp.concatenate([eye_col, glob_lm[:, parent_indices]], axis=1)
-    rel9 = rot_ops.matmul3x3_lm(parent9, glob_lm, transpose_a=True)
-    # Pose feature rows (j-major, entry-minor), matching rel.reshape(B, (J-1)*9).
-    rot_params_cols = jnp.transpose(rel9[:, 1:], (1, 0, 2)).reshape(
-        (J - 1) * 9, batch
-    )
-
-    pos4 = fk_positions_ext_lm(bm, plan, glob_lm)  # (3, 1+E, J, B)
-    p_j = pos4[:, 0]  # (3, J, B)
-    P4 = pos4[:, 1:]  # (3, E, J, B)
-    jte_lm = jnp.transpose(plan.J_template_ext[..., 0], (1, 0))[:, :, None]  # (3, J, 1)
-    t_lm = jnp.stack(
-        [
-            p_j[a] - sum(glob_lm[a * 3 + c] * jte_lm[c] for c in range(3))
-            for a in range(3)
-        ],
-        axis=0,
-    )  # (3, J, B)
-    JTE_lm = jnp.transpose(plan.J_template_ext[..., 1:], (1, 2, 0))[..., None]  # (3, E, J, 1)
-    T4 = jnp.stack(
-        [
-            P4[a] - sum(glob_lm[a * 3 + c][None] * JTE_lm[c] for c in range(3))
-            for a in range(3)
-        ],
-        axis=0,
-    )  # (3, E, J, B)
-
-    pj_cm = jnp.stack(
-        [glob_lm[a * 3 + c] if c < 3 else t_lm[a] for a in range(3) for c in range(4)],
-        axis=0,
-    )  # (12, J, B)
-    feat_cols = jnp.concatenate(
-        [rot_params_cols, jnp.ones((1, batch), dtype)], axis=0
-    )
+    pre = _fk_ext_prelude(bm, plan, glob_lm, dtype)
+    rel9, rot_params_cols = pre['rel9'], pre['rot_params_cols']
+    p_j, P4, t_lm, T4 = pre['p_j'], pre['P4'], pre['t_lm'], pre['T4']
+    pj_cm, feat_cols = pre['pj_cm'], pre['feat_cols']
     rk, yk = lbs_kernels.rhs_moments(
         tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
         gram.sd_cm, omega=gram.omega_pad, interpret=interpret,
@@ -746,6 +708,88 @@ def fit_shape_gram_lm(
         SA = SA + jnp.einsum('aejb,j->bae', P4, jw_j, precision=_HI)
         Sb = Sb + jnp.einsum('ajb,j->ba', bJ, jw_j, precision=_HI)
         W = W + float(jw64.sum())
+
+    return _solve_tail(
+        bm, plan, gram, pre, G, SA, r, Sb, W,
+        beta_regularizer, beta_regularizer2, kid_regularizer, share_beta,
+        beta_regularizer_reference, kid_regularizer_reference,
+        requested_keys, interpret,
+    )
+
+
+def _fk_ext_prelude(bm, plan, glob_lm, dtype) -> dict:
+    """Shared lane-major FK-extended quantities of a shape solve for given
+    global rotations glob_lm (9, J, B): relative rotations/pose features, the
+    extended joint positions and their translation form. Keys: rel9 (9, J, B),
+    rot_params_cols ((J-1)*9, B), p_j (3, J, B), P4 (3, E, J, B), t_lm
+    (3, J, B), T4 (3, E, J, B), pj_cm (12, J, B), feat_cols (F, B)."""
+    from .bodyfitter import fk_positions_ext_lm
+
+    batch = glob_lm.shape[2]
+    J = bm.num_joints
+    parent_indices = np.array(bm.kintree_parents[1:])
+
+    eye_col = jnp.broadcast_to(
+        jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], dtype)[:, None, None],
+        (9, 1, batch),
+    )
+    parent9 = jnp.concatenate([eye_col, glob_lm[:, parent_indices]], axis=1)
+    rel9 = rot_ops.matmul3x3_lm(parent9, glob_lm, transpose_a=True)
+    # Pose feature rows (j-major, entry-minor), matching rel.reshape(B, (J-1)*9).
+    rot_params_cols = jnp.transpose(rel9[:, 1:], (1, 0, 2)).reshape(
+        (J - 1) * 9, batch
+    )
+
+    pos4 = fk_positions_ext_lm(bm, plan, glob_lm)  # (3, 1+E, J, B)
+    p_j = pos4[:, 0]  # (3, J, B)
+    P4 = pos4[:, 1:]  # (3, E, J, B)
+    jte_lm = jnp.transpose(plan.J_template_ext[..., 0], (1, 0))[:, :, None]  # (3, J, 1)
+    t_lm = jnp.stack(
+        [
+            p_j[a] - sum(glob_lm[a * 3 + c] * jte_lm[c] for c in range(3))
+            for a in range(3)
+        ],
+        axis=0,
+    )  # (3, J, B)
+    JTE_lm = jnp.transpose(plan.J_template_ext[..., 1:], (1, 2, 0))[..., None]  # (3, E, J, 1)
+    T4 = jnp.stack(
+        [
+            P4[a] - sum(glob_lm[a * 3 + c][None] * JTE_lm[c] for c in range(3))
+            for a in range(3)
+        ],
+        axis=0,
+    )  # (3, E, J, B)
+
+    pj_cm = jnp.stack(
+        [glob_lm[a * 3 + c] if c < 3 else t_lm[a] for a in range(3) for c in range(4)],
+        axis=0,
+    )  # (12, J, B)
+    feat_cols = jnp.concatenate(
+        [rot_params_cols, jnp.ones((1, batch), dtype)], axis=0
+    )
+    return dict(
+        glob_lm=glob_lm, rel9=rel9, rot_params_cols=rot_params_cols,
+        p_j=p_j, P4=P4, t_lm=t_lm, T4=T4, pj_cm=pj_cm, feat_cols=feat_cols,
+    )
+
+
+def _solve_tail(
+    bm, plan, gram, pre, G, SA, r, Sb, W,
+    beta_regularizer, beta_regularizer2, kid_regularizer, share_beta,
+    beta_regularizer_reference, kid_regularizer_reference,
+    requested_keys, interpret,
+) -> dict:
+    """Regularize, solve the augmented [betas(,kid), trans] system and build
+    the lane-major result dict (shared by the moment-assembled and the
+    runtime-weighted solves). G (B, E, E), SA (B, 3, E), r (B, E), Sb (B, 3),
+    W (B,); ``pre`` per :func:`_fk_ext_prelude`."""
+    glob_lm = pre['glob_lm']
+    rel9, rot_params_cols = pre['rel9'], pre['rot_params_cols']
+    p_j, P4, t_lm, T4 = pre['p_j'], pre['P4'], pre['t_lm'], pre['T4']
+    batch = glob_lm.shape[2]
+    E = gram.n_ext
+    n_betas = plan.n_betas
+    dtype = G.dtype
 
     # --- regularizers (same semantics as fit_shape_gram) ---
     l2 = jnp.concatenate(
@@ -854,6 +898,72 @@ def fit_shape_gram_lm(
     return result
 
 
+def fit_shape_wgram_lm(
+    bm,
+    plan,
+    gram: GramData,
+    glob_lm: jax.Array,
+    tgt_vm: jax.Array,
+    tj_lm: Optional[jax.Array],
+    omega_vm: jax.Array,
+    jw_lm: Optional[jax.Array],
+    beta_regularizer: float,
+    beta_regularizer2: float,
+    kid_regularizer: Optional[float],
+    share_beta: bool,
+    beta_regularizer_reference,
+    kid_regularizer_reference,
+    requested_keys=(),
+    interpret: bool = False,
+) -> dict:
+    """Lane-major shape solve under RUNTIME per-vertex weights ω (V, B).
+
+    Runtime ω breaks the static joint-pair moments, so the normal equations
+    are rebuilt per vertex chunk by :func:`~..ops.lbs_kernels.wgram_moments`
+    (the Jacobian lives only in VMEM); the regularizer/solve/recon tail is
+    shared with :func:`fit_shape_gram_lm`. Caller enforces the reference
+    weight rule (joints ⇒ both ω and ``jw_lm`` given; no joints ⇒ ``jw_lm``
+    is None): /root/reference/src/smplfitter/np/bodyfitter.py:758-766.
+    ``gram`` must be the UNWEIGHTED gram (its per-vertex operands feed the
+    kernel; ω arrives solely through ``omega_vm``).
+    """
+    batch = glob_lm.shape[2]
+    E = gram.n_ext
+    dtype = tgt_vm.dtype
+
+    pre = _fk_ext_prelude(bm, plan, glob_lm, dtype)
+    T4 = pre['T4']
+    t4_cm = T4.reshape(3 * E, bm.num_joints, batch)  # rows (a, e) a-major
+    Gk, SAk, rk, Sbk, Wk = lbs_kernels.wgram_moments(
+        tgt_vm, pre['pj_cm'], pre['feat_cols'], t4_cm,
+        gram.weights_pad, gram.consts_pose, gram.sd_cm, omega_vm,
+        interpret=interpret,
+    )
+    G = Gk.T.reshape(batch, E, E)
+    SA = SAk.T.reshape(batch, 3, E)
+    r = rk.T
+    Sb = Sbk.T
+    W = Wk[0]
+
+    if tj_lm is not None:
+        # Runtime-jw joints block (small (3, E, J, B) contractions).
+        p_j, P4 = pre['p_j'], pre['P4']
+        bJ = tj_lm - p_j  # (3, J, B)
+        P4w = P4 * jw_lm[None, None]
+        G = G + jnp.einsum('aejb,afjb->bef', P4w, P4, precision=_HI)
+        r = r + jnp.einsum('aejb,ajb->be', P4w, bJ, precision=_HI)
+        SA = SA + jnp.einsum('aejb,jb->bae', P4, jw_lm, precision=_HI)
+        Sb = Sb + jnp.einsum('ajb,jb->ba', bJ, jw_lm, precision=_HI)
+        W = W + jnp.sum(jw_lm, axis=0)
+
+    return _solve_tail(
+        bm, plan, gram, pre, G, SA, r, Sb, W,
+        beta_regularizer, beta_regularizer2, kid_regularizer, share_beta,
+        beta_regularizer_reference, kid_regularizer_reference,
+        requested_keys, interpret,
+    )
+
+
 def lbs_recon_spec_lm(
     bm,
     plan,
@@ -877,44 +987,21 @@ def lbs_recon_spec_lm(
     ``gram.Kc``/``gram.W1`` — no (3, V, B) pass. All quantities are in the
     centered target frame (no translation folded in).
     """
-    from .bodyfitter import fk_positions_ext_lm
-
     batch = glob_lm.shape[2]
-    J = bm.num_joints
     dtype = glob_lm.dtype
-    parent_indices = np.array(bm.kintree_parents[1:])
+    E = gram.n_ext
 
-    eye_col = jnp.broadcast_to(
-        jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], dtype)[:, None, None],
-        (9, 1, batch),
-    )
-    parent9 = jnp.concatenate([eye_col, glob_lm[:, parent_indices]], axis=1)
-    rel9 = rot_ops.matmul3x3_lm(parent9, glob_lm, transpose_a=True)
-    rot_params_cols = jnp.transpose(rel9[:, 1:], (1, 0, 2)).reshape(
-        (J - 1) * 9, batch
-    )
-
-    pos4 = fk_positions_ext_lm(bm, plan, glob_lm)  # (3, 1+E, J, B)
-    p_j = pos4[:, 0] + jnp.einsum('aejb,eb->ajb', pos4[:, 1:], x_T, precision=_HI)
-    jte0 = jnp.transpose(plan.J_template_ext[..., 0], (1, 0))[:, :, None]  # (3, J, 1)
-    jrest = jte0 + jnp.einsum(
-        'jce,eb->cjb', plan.J_template_ext[..., 1:], x_T, precision=_HI
-    )  # rest-frame shaped joints (3, J, B)
-    t2 = jnp.stack(
-        [
-            p_j[a] - sum(glob_lm[a * 3 + c] * jrest[c] for c in range(3))
-            for a in range(3)
-        ],
-        axis=0,
+    pre = _fk_ext_prelude(bm, plan, glob_lm, dtype)
+    p_j = pre['p_j'] + jnp.einsum('aejb,eb->ajb', pre['P4'], x_T, precision=_HI)
+    t2 = pre['t_lm'] + sum(
+        pre['T4'][:, e] * x_T[e][None, None] for e in range(E)
     )  # (3, J, B)
 
     pj_cm = jnp.stack(
         [glob_lm[a * 3 + c] if c < 3 else t2[a] for a in range(3) for c in range(4)],
         axis=0,
     )
-    feat_cols = jnp.concatenate(
-        [rot_params_cols, jnp.ones((1, batch), dtype), x_T], axis=0
-    )
+    feat_cols = jnp.concatenate([pre['feat_cols'], x_T], axis=0)
     spec = dict(
         pj_cm=pj_cm, feat_cols=feat_cols,
         weights_pad=gram.weights_pad, consts_pad=gram.consts_full,

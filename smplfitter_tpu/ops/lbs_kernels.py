@@ -253,6 +253,15 @@ def to_vertex_major(x: jax.Array, v_pad: int | None = None) -> jax.Array:
     return jnp.pad(xt, ((0, 0), (0, v_pad - xt.shape[1]), (0, 0)))
 
 
+def _omega_spec(omega, tb):
+    """BlockSpec for a per-vertex fit-weight operand: (V_pad, 1) static
+    weights broadcast over lanes; (V, B) runtime weights tile like targets
+    (the edge chunk is masked in-kernel alongside the targets')."""
+    if omega.shape[1] == 1:
+        return pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((VC, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM)
+
+
 def _mask_tail_rows(x, k, nchunks: int, rem: int):
     """Zero rows >= ``rem`` of the LAST vertex chunk (``rem`` = V % VC, 0 when
     divisible). Guards against arbitrary bit patterns (NaN/Inf) in the
@@ -337,10 +346,12 @@ def _rhs_kernel(nchunks, rem, weighted, *refs):
         _mask_tail_rows(tgt_ref[a], k, nchunks, rem) - pos[a] for a in range(3)
     ]  # (VC, TB) residuals
     if weighted:
-        # Static per-vertex fit weights ride the residual: one exact f32 VPU
-        # multiply makes every reduction below a weighted sum (r = Σ ω jacᵀb,
-        # y = Σ ω w_vj b) while the LBS operands stay unweighted.
-        om = om_ref[:]  # (VC, 1)
+        # Per-vertex fit weights ride the residual: one exact f32 VPU multiply
+        # makes every reduction below a weighted sum (r = Σ ω jacᵀb,
+        # y = Σ ω w_vj b) while the LBS operands stay unweighted. ω is either
+        # the static (VC, 1) column or a runtime (VC, TB) tile; the edge chunk
+        # is masked like the targets' (runtime ω arrives unpadded).
+        om = _mask_tail_rows(om_ref[:], k, nchunks, rem)
         b = [x * om for x in b]
     for a in range(3):
         # Parts-major (J, TB): J=24 on output lanes would pad 24 -> 128.
@@ -369,8 +380,9 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
         weights_pad: (V_pad, J) skinning weights (zero rows in padding).
         consts_pad: (4, V_pad, F) homogeneous template projector.
         sd_cm: (3, V_pad, E) shape directions, component-major.
-        omega: optional (V_pad, 1) static per-vertex fit weights (zero rows in
-            padding); when given every vertex sum below is ω-weighted.
+        omega: optional per-vertex fit weights — (V_pad, 1) static (zero rows
+            in padding) or (V, B) runtime (edge chunk masked in-kernel); when
+            given every vertex sum below is ω-weighted.
 
     Returns:
         r (E, B) = Σ_v [ω_v] (R̄_v SD_v)ᵀ b_v (the rotation part of Σ jacᵀb)
@@ -399,9 +411,7 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     ]
     operands = [tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm]
     if weighted:
-        in_specs.append(
-            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
-        )
+        in_specs.append(_omega_spec(omega, tb))
         operands.append(omega)
 
     return pl.pallas_call(
@@ -466,8 +476,6 @@ def _part_sums_kernel(nchunks, rem_t, rem_a, weighted, *refs):
     else:
         t_ref, a_ref, pm_ref, raw_ref, st_ref, sa_ref = refs
     k = pl.program_id(1)
-    tb = t_ref.shape[2]
-    a_batched = a_ref.shape[2] == tb
 
     @pl.when(k == 0)
     def _():
@@ -484,10 +492,11 @@ def _part_sums_kernel(nchunks, rem_t, rem_a, weighted, *refs):
         _mask_tail_rows(a_ref[d], k, nchunks, rem_a) for d in range(3)
     ]
     if weighted:
-        # Static fit weights: ω multiplies the reference side and the t-sum
-        # side (the reference weighting convention), keeping pm binary so the
-        # exact 2-pass membership dots stay exact.
-        om = om_ref[:]  # (VC, 1)
+        # Fit weights: ω multiplies the reference side and the t-sum side
+        # (the reference weighting convention), keeping pm binary so the
+        # exact 2-pass membership dots stay exact. ω is the static (VC, 1)
+        # column or a runtime (VC, TB) tile (edge chunk masked like targets).
+        om = _mask_tail_rows(om_ref[:], k, nchunks, rem_t)
         a_vals = [a_d * om for a_d in a_vals]
     for c in range(3):
         t_c = _mask_tail_rows(t_ref[c], k, nchunks, rem_t)  # (VC, TB)
@@ -495,10 +504,17 @@ def _part_sums_kernel(nchunks, rem_t, rem_a, weighted, *refs):
         st_ref[c] += _dot2_exact_a(pm, st_in, contract)
         for d in range(3):
             a_d = a_vals[d]
-            prod = t_c * a_d if a_batched else t_c * jnp.broadcast_to(a_d, t_c.shape)
+            prod = (
+                t_c * a_d
+                if a_d.shape == t_c.shape
+                else t_c * jnp.broadcast_to(a_d, t_c.shape)
+            )
             raw_ref[c * 3 + d] += _dot2_exact_a(pm, prod, contract)
     for d in range(3):
-        sa_ref[d] += _dot2_exact_a(pm, a_vals[d], contract)
+        a_d = a_vals[d]
+        if a_d.shape[1] != sa_ref.shape[2]:
+            a_d = jnp.broadcast_to(a_d, (a_d.shape[0], sa_ref.shape[2]))
+        sa_ref[d] += _dot2_exact_a(pm, a_d, contract)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -551,8 +567,12 @@ def _part_sums_impl(t_vm, a_vm, pm, omega=None, interpret: bool = False):
     assert nchunks * VC >= v_t > (nchunks - 1) * VC
     assert nchunks * VC >= v_a > (nchunks - 1) * VC
     grid = (B // tb, nchunks)
-    tba = tb if Ba == B else 1
     weighted = omega is not None
+    # Runtime (V, B) ω makes the ω-weighted reference sums batch-varying even
+    # for a shared (B_a == 1) reference mesh.
+    Ba_out = B if (Ba == B or (weighted and omega.shape[1] > 1)) else 1
+    tba = tb if Ba == B else 1
+    tba_out = tb if Ba_out == B else 1
 
     in_specs = [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
@@ -565,9 +585,7 @@ def _part_sums_impl(t_vm, a_vm, pm, omega=None, interpret: bool = False):
     ]
     operands = [t_vm, a_vm, pm]
     if weighted:
-        in_specs.append(
-            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
-        )
+        in_specs.append(_omega_spec(omega, tb))
         operands.append(omega)
 
     raw, st, sa = pl.pallas_call(
@@ -578,15 +596,15 @@ def _part_sums_impl(t_vm, a_vm, pm, omega=None, interpret: bool = False):
             pl.BlockSpec((9, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (3, J, tba),
-                (lambda i, k: (0, 0, i)) if Ba == B else (lambda i, k: (0, 0, 0)),
+                (3, J, tba_out),
+                (lambda i, k: (0, 0, i)) if Ba_out == B else (lambda i, k: (0, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((9, J, B), jnp.float32),
             jax.ShapeDtypeStruct((3, J, B), jnp.float32),
-            jax.ShapeDtypeStruct((3, J, Ba), jnp.float32),
+            jax.ShapeDtypeStruct((3, J, Ba_out), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)
@@ -888,7 +906,7 @@ def _recon_part_sums_kernel(nchunks, rem, weighted, *refs):
     pm = pm_ref[:]  # (J, VC)
     contract = (((1,), (0,)), ((), ()))  # pm dim1 (VC) with points dim0 (VC)
     if weighted:
-        om = om_ref[:]  # (VC, 1)
+        om = _mask_tail_rows(om_ref[:], k, nchunks, rem)  # (VC, 1|TB)
         pos = [p * om for p in pos]
     for c in range(3):
         t_c = _mask_tail_rows(tgt_ref[c], k, nchunks, rem)  # (VC, TB)
@@ -926,9 +944,7 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     ]
     operands = [tgt_vm, pjp, feat_cols, wtsp, consts_pad, pm]
     if weighted:
-        in_specs.append(
-            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
-        )
+        in_specs.append(_omega_spec(omega, tb))
         operands.append(omega)
 
     return pl.pallas_call(
@@ -1474,3 +1490,163 @@ def gram_assembly(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
     """
     return _gram_assembly_diff(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d,
                                q, w1, has_joints, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Weighted-Gramian kernel: the shape solve's normal equations under RUNTIME
+# per-vertex fit weights ω (B-varying), which break the static joint-pair
+# moment factorization (build_gram_data's Ksd/Lsd/q are ω-weighted V-sums).
+# Instead of materializing the (B, V, 3, E) design matrix (the streamed
+# fallback: chunked HBM traffic, ~14x slower than the unweighted fit), the
+# per-vertex beta-Jacobian jac_v = R̄_v·SD_v + T̄_v is rebuilt in VMEM chunk by
+# chunk — reusing the LBS blends as R̄ — and reduced on the fly into
+#
+#   G  = Σ_v ω_v jac_vᵀ jac_v        (E, E)  quadratic block
+#   SA = Σ_v ω_v jac_v               (3, E)  translation cross block
+#   r  = Σ_v ω_v jac_vᵀ b_v          (E,)    residual projection
+#   Sb = Σ_v ω_v b_v                 (3,)    translation rhs
+#   W  = Σ_v ω_v                             translation diagonal
+#
+# per batch lane (b_v = target - LBS position). These are exactly the
+# augmented-system pieces the unweighted solve assembles from moments, so the
+# solve/regularizer/recon tail is shared (models/shape_gram.py).
+# Reference semantics: the runtime-weighted rows of the general lstsq,
+# /root/reference/src/smplfitter/np/bodyfitter.py:758-766, 814-824.
+# ---------------------------------------------------------------------------
+
+
+def _wgram_kernel(nchunks, rem, E, *refs):
+    (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref, t4p_ref, om_ref,
+     g_ref, sa_ref, r_ref, sb_ref, w_ref) = refs
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+        sa_ref[:] = jnp.zeros_like(sa_ref)
+        r_ref[:] = jnp.zeros_like(r_ref)
+        sb_ref[:] = jnp.zeros_like(sb_ref)
+        w_ref[:] = jnp.zeros_like(w_ref)
+
+    blend = _lbs_blend(pjp_ref, wtsp_ref)
+    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend)
+    om = _mask_tail_rows(om_ref[:], k, nchunks, rem)  # (VC, TB)
+    wp = wtsp_ref[:]
+    b = [
+        _mask_tail_rows(tgt_ref[a], k, nchunks, rem) - pos[a] for a in range(3)
+    ]
+    wb = [om * b[a] for a in range(3)]
+
+    # jac[a][e] (VC, TB) = Σ_c R̄[a,c] SD[c,e] + T̄[a,e]; T̄ via K-packed
+    # single-pass blends (same 6J contraction as the [R|t] blends).
+    jac = []
+    for a in range(3):
+        row = []
+        for e in range(E):
+            t_ae = _dot1(wp, t4p_ref[a * E + e], _MM)
+            for c in range(3):
+                sd_col = sd_ref[c][:, e:e + 1]  # (VC, 1)
+                t_ae = t_ae + blend[a * 4 + c] * sd_col
+            row.append(t_ae)
+        jac.append(row)
+    wjac = [[om * jac[a][e] for e in range(E)] for a in range(3)]
+
+    # Symmetric quadratic block: upper triangle computed once, mirrored.
+    vals = {}
+    for e in range(E):
+        for f in range(e, E):
+            s = sum(jac[a][e] * wjac[a][f] for a in range(3))
+            vals[(e, f)] = jnp.sum(s, axis=0, keepdims=True)  # (1, TB)
+    g_ref[:] += jnp.concatenate(
+        [vals[(min(e, f), max(e, f))] for e in range(E) for f in range(E)],
+        axis=0,
+    )
+    sa_ref[:] += jnp.concatenate(
+        [
+            jnp.sum(wjac[a][e], axis=0, keepdims=True)
+            for a in range(3)
+            for e in range(E)
+        ],
+        axis=0,
+    )
+    r_ref[:] += jnp.concatenate(
+        [
+            jnp.sum(
+                sum(jac[a][e] * wb[a] for a in range(3)), axis=0, keepdims=True
+            )
+            for e in range(E)
+        ],
+        axis=0,
+    )
+    sb_ref[:] += jnp.concatenate(
+        [jnp.sum(wb[a], axis=0, keepdims=True) for a in range(3)], axis=0
+    )
+    w_ref[:] += jnp.sum(om, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
+                  sd_cm, omega_vm, interpret: bool = False):
+    """Runtime-ω shape-solve normal equations (see the section comment).
+
+    Args:
+        tgt_vm: (3, V, B) targets, component-major (edge chunk masked).
+        pj_cm: (12, J, B) per-joint [R|t] entries, leading index (a, c4).
+        feat_cols: (F, B) homogeneous features (pose feature + constant 1).
+        t4_cm: (3E, J, B) FK translation beta-Jacobians, rows (a, e) a-major.
+        weights_pad: (V_pad, J) skinning weights (zero rows in padding).
+        consts_pad: (4, V_pad, F) homogeneous template projector.
+        sd_cm: (3, V_pad, E) shape directions, component-major.
+        omega_vm: (V, B) runtime per-vertex fit weights.
+
+    Returns G (E*E, B), SA (3E, B), r (E, B), Sb (3, B), W (1, B).
+
+    No custom VJP: runtime-weighted fits follow ``autodiff_policy`` and fall
+    back to the streamed XLA solve under gradient traces.
+    """
+    _, v_t, B = tgt_vm.shape
+    v_pad = weights_pad.shape[0]
+    J = weights_pad.shape[1]
+    E = sd_cm.shape[2]
+    F = feat_cols.shape[0]
+    tb = pick_batch_tile(B)
+    if tb is not None:
+        tb = min(tb, 128)  # the (3E, 6J, tb) T4 operand bounds VMEM
+    nchunks = v_pad // VC
+    assert tb is not None and v_pad % VC == 0
+    assert nchunks * VC >= v_t > (nchunks - 1) * VC
+    assert omega_vm.shape == (v_t, B), (omega_vm.shape, v_t, B)
+    grid = (B // tb, nchunks)
+    wtsp = _pack6_lhs(weights_pad, axis=1)
+    pjp = _pack6_rhs(pj_cm, axis=1)
+    t4p = _pack6_rhs(t4_cm, axis=1)
+
+    return pl.pallas_call(
+        functools.partial(_wgram_kernel, nchunks, v_t % VC, E),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * E, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((E * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((E * E, B), jnp.float32),
+            jax.ShapeDtypeStruct((3 * E, B), jnp.float32),
+            jax.ShapeDtypeStruct((E, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm, t4p, omega_vm)

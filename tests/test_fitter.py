@@ -420,3 +420,122 @@ class TestFitterParity:
             np.asarray(ours['shape_betas']), ref['shape_betas'], atol=2e-3
         )
         np.testing.assert_allclose(np.asarray(ours['trans']), ref['trans'], atol=2e-3)
+
+
+class TestPerCallWeightedKernelPath:
+    """Per-call (runtime, B-varying) vertex/joint weights on the lane-major
+    kernel path — runtime-ω part sums + the weighted-Gramian solve
+    (lbs_kernels.wgram_moments) — vs the batch-major general formulation."""
+
+    def _targets_and_weights(self, smpl_model, seed=61):
+        pose, betas, trans = random_params(8, seed=seed, pose_std=0.12)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        rng = np.random.RandomState(seed)
+        vw = (0.2 + rng.rand(8, smpl_model.num_vertices)).astype(np.float32)
+        jw = (0.2 + rng.rand(8, smpl_model.num_joints)).astype(np.float32)
+        return np.asarray(res['vertices']), np.asarray(res['joints']), vw, jw
+
+    @pytest.mark.parametrize(
+        'case', ['joints_vw_jw', 'joints_vw_only', 'vw_no_joints', 'share_beta']
+    )
+    def test_weighted_lm_matches_general(self, smpl_model, smpl_fitter, case):
+        from smplfitter_tpu.ops import lbs_kernels
+
+        tv, tj, vw, jw = self._targets_and_weights(smpl_model)
+        kw = dict(
+            num_iter=2, beta_regularizer=0.5, final_adjust_rots=True,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+        )
+        if case == 'joints_vw_jw':
+            kw.update(target_joints=tj, vertex_weights=vw, joint_weights=jw)
+        elif case == 'joints_vw_only':
+            # Rotations weighted; the solve stays UNWEIGHTED per the
+            # reference both-or-neither rule.
+            kw.update(target_joints=tj, vertex_weights=vw)
+        elif case == 'vw_no_joints':
+            kw.update(vertex_weights=vw)
+        else:
+            kw.update(target_joints=tj, vertex_weights=vw, joint_weights=jw,
+                      share_beta=True)
+        ref = smpl_fitter.fit(tv, **kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = smpl_fitter.fit(tv, **kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        for k in ('shape_betas', 'trans', 'pose_rotvecs'):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), atol=2e-3, err_msg=k
+            )
+
+    def test_weighted_wgram_solve_unit(self, smpl_model, smpl_fitter):
+        """fit_shape_wgram_lm vs the streamed weighted solve on one set of
+        fixed rotations (covers kid-free solve pieces directly)."""
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.models import bodyfitter as bf
+        from smplfitter_tpu.models.bodymodel import fk_rotations
+        from smplfitter_tpu.models.shape_gram import fit_shape_wgram_lm
+        from smplfitter_tpu.ops import lbs_kernels
+        from smplfitter_tpu.ops import rotation as rot_ops
+
+        tv, tj, vw, jw = self._targets_and_weights(smpl_model, seed=62)
+        bm, plan, gram = smpl_model.data, smpl_fitter.plan, smpl_fitter.gram
+        B = tv.shape[0]
+        pose, _, _ = random_params(B, seed=62, pose_std=0.12)
+        glob = fk_rotations(
+            bm, rot_ops.rotvec2mat(jnp.asarray(pose).reshape(B, -1, 3))
+        )
+        ref = bf.fit_shape(
+            bm, plan, glob, jnp.asarray(tv), jnp.asarray(tj),
+            jnp.asarray(vw), jnp.asarray(jw),
+            beta_regularizer=0.5, beta_regularizer2=0.0, scale_regularizer=0.0,
+            kid_regularizer=None, share_beta=False, scale_target=False,
+            scale_fit=False, requested_keys=('shape_betas',), gram=gram,
+        )
+        glob9 = jnp.transpose(glob.reshape(B, bm.num_joints, 9), (2, 1, 0))
+        got = fit_shape_wgram_lm(
+            bm, plan, gram, glob9,
+            lbs_kernels.to_vertex_major(jnp.asarray(tv)),
+            jnp.transpose(jnp.asarray(tj), (2, 1, 0)),
+            jnp.asarray(vw).T, jnp.asarray(jw).T,
+            beta_regularizer=0.5, beta_regularizer2=0.0, kid_regularizer=None,
+            share_beta=False, beta_regularizer_reference=None,
+            kid_regularizer_reference=None, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got['shape_betas']), np.asarray(ref['shape_betas']),
+            atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got['trans']), np.asarray(ref['trans']), atol=5e-4
+        )
+
+    def test_weighted_kid_lm_matches_general(self, smpl_model):
+        """Per-call weights + kid column through the weighted-Gramian solve."""
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+
+        fitter = BodyFitter(smpl_model, enable_kid=True)
+        pose, betas, trans = random_params(8, seed=63, pose_std=0.12)
+        rng = np.random.RandomState(63)
+        kid = rng.rand(8).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, kid_factor=kid)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+        vw = (0.2 + rng.rand(8, smpl_model.num_vertices)).astype(np.float32)
+        jw = (0.2 + rng.rand(8, smpl_model.num_joints)).astype(np.float32)
+        kw = dict(
+            target_joints=tj, vertex_weights=vw, joint_weights=jw,
+            num_iter=2, beta_regularizer=0.1, kid_regularizer=0.0,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+        )
+        ref = fitter.fit(tv, **kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = fitter.fit(tv, **kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        for k in ('shape_betas', 'trans', 'pose_rotvecs', 'kid_factor'):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), atol=2e-3, err_msg=k
+            )
