@@ -1,12 +1,12 @@
-"""TPU timings for the NON-kernel (general/batch-major) fit entry points.
+"""TPU timings for every public fit entry point / weighting configuration.
 
-The lane-major kernel pipeline covers plain ``fit`` without PER-CALL
-per-vertex weights (construction-time static weights stay on it);
-everything else — per-call weighted fit, ``fit_with_known_pose``,
-``fit_with_known_shape``, ``share_beta`` — runs the general XLA formulation.
-This records what that fallback costs, so the policy "general path is the
-fallback" has a measured price (cf. STATUS.md secondary metrics), and times
-the static-weighted fast path against the per-call streamed solve.
+The lane-major kernel pipeline now covers plain ``fit``, static- AND
+per-call-weighted fits (runtime-ω part sums + the weighted-Gramian kernel),
+warm starts, ``share_beta``, ``fit_with_known_pose`` and
+``fit_with_known_shape``; only scale columns and non-kernel-eligible batches
+run the general XLA formulation. This measures each configuration plus the
+streamed XLA solve (``use_kernels=False``) as the explicit fallback price
+(cf. STATUS.md secondary metrics).
 
 Usage: python benchmark/bench_fallback_paths.py [--batch 4096] [--reps 6]
 """
@@ -82,7 +82,8 @@ def main():
     common = dict(num_iter=3, beta_regularizer=1.0, final_adjust_rots=True)
     results = {}
 
-    # 1. Weighted fit — the HandReplacer configuration (hand verts at 0.1).
+    # 1. Per-call weighted fit — the kernel path (runtime-ω part sums +
+    # weighted-Gramian solve). HandReplacer-like weighting (hands at 0.1).
     vweights = np.ones((B, V), np.float32)
     vweights[:, : V // 8] = 0.1
     jweights = np.ones((B, bm.num_joints), np.float32)
@@ -96,14 +97,18 @@ def main():
     )
     try_measure(results, f'weighted_fit_b{B}', jax, fit_w,
                 [(tv, tj, vweights, jweights) for tv, tj, *_ in targets], reps)
-    if results[f'weighted_fit_b{B}'] is None and B > 1024:
-        # The general weighted path materializes the (B, V+J, 3, S+3) design
-        # matrix; at b4096/V6890 that exceeds HBM. Report the largest batch
-        # that fits instead.
-        Bw = 1024
-        wt = [(tv[:Bw], tj[:Bw], vweights[:Bw], jweights[:Bw])
-              for tv, tj, *_ in targets]
-        try_measure(results, f'weighted_fit_b{Bw}', jax, fit_w, wt, reps)
+
+    # 1a. The streamed XLA fallback for the same weighted configuration
+    # (what gradient traces use, per autodiff_policy). At b4096 the chunked
+    # normal equations fit in HBM but cost ~14x the kernels.
+    fit_w_xla = jax.jit(
+        lambda tv, tj, vw, jw: fitter.fit(
+            tv, tj, vertex_weights=vw, joint_weights=jw, use_kernels=False,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'), **common,
+        )
+    )
+    try_measure(results, f'weighted_fit_streamed_b{B}', jax, fit_w_xla,
+                [(tv, tj, vweights, jweights) for tv, tj, *_ in targets], reps)
 
     # 1b. STATIC-weighted fit: the same HandReplacer weighting baked into the
     # fitter at construction — keeps the fused-kernel fast path (cf. the
@@ -147,6 +152,16 @@ def main():
     )
     try_measure(results, 'share_beta_fit', jax, fit_sb,
                 [(tv, tj) for tv, tj, *_ in targets], reps)
+
+    # 4b. Warm-started fit (the flipper configuration) — kernel path.
+    fit_warm = jax.jit(
+        lambda tv, tj, p, b: fitter.fit(
+            tv, tj, initial_pose_rotvecs=p, initial_shape_betas=b,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'), **common,
+        )
+    )
+    try_measure(results, 'warm_start_fit', jax, fit_warm,
+                [(tv, tj, p, b) for tv, tj, p, b, _ in targets], reps)
 
     # 5. Plain kernel-path fit for scale (the headline config).
     fit_k = jax.jit(

@@ -1431,14 +1431,13 @@ class BodyFitter:
         if (
             lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
             and not (scale_target or scale_fit)
-            and initial_pose_rotvecs is None
-            and initial_shape_betas is None
             and (plan.leveladj_supported or not final_adjust_rots)
         ):
             return self._fit_lm(
                 target_vertices, target_joints, vertex_weights, joint_weights,
                 num_iter, beta_regularizer, beta_regularizer2, kid_regularizer,
-                share_beta, final_adjust_rots, requested_keys,
+                share_beta, final_adjust_rots, initial_pose_rotvecs,
+                initial_shape_betas, initial_kid_factor, requested_keys,
             )
         # Batch-major paths take static fitter weights as materialized
         # per-call arrays (broadcasts are free until consumed).
@@ -1656,6 +1655,9 @@ class BodyFitter:
         kid_regularizer,
         share_beta,
         final_adjust_rots,
+        initial_pose_rotvecs,
+        initial_shape_betas,
+        initial_kid_factor,
         requested_keys,
     ) -> dict:
         """Lane-major fit driver (fused-kernel configurations; see
@@ -1663,8 +1665,15 @@ class BodyFitter:
         runtime-ω part sums and the weighted-Gramian solve
         (:func:`~.shape_gram.fit_shape_wgram_lm`); the solve itself is
         weighted only per the reference rule (both weight kinds with joints,
-        vertex weights alone without)."""
-        from .shape_gram import fit_shape_gram_lm, fit_shape_wgram_lm
+        vertex weights alone without). ``initial_*`` warm starts (the flipper
+        configuration) enter as a known-shape reconstruction spec for the
+        first rotation fit plus reference-anchored regularizers."""
+        from .shape_gram import (
+            fit_shape_gram_lm,
+            fit_shape_wgram_lm,
+            lbs_recon_spec_lm,
+        )
+        from .bodymodel import fk_rotations
 
         bm = self.body_model.data
         plan = self.plan
@@ -1692,13 +1701,67 @@ class BodyFitter:
         # mixing per-call and static weights, so `gram` is unweighted here).
         wgram_solve = omega_vm is not None and (not has_joints or jw_lm is not None)
 
-        rj0 = (
-            jnp.transpose(bm.J_template, (1, 0))[:, :, None] if has_joints else None
-        )
-        glob9 = fit_global_rotations_lm(
-            bm, plan, tgt_vm, tj_lm, plan.default_mesh_vm, rj0, jw_lm,
-            omega=omega_vm,
-        )
+        if initial_pose_rotvecs is None and initial_shape_betas is None:
+            rj0 = (
+                jnp.transpose(bm.J_template, (1, 0))[:, :, None]
+                if has_joints else None
+            )
+            glob9 = fit_global_rotations_lm(
+                bm, plan, tgt_vm, tj_lm, plan.default_mesh_vm, rj0, jw_lm,
+                omega=omega_vm,
+            )
+        else:
+            # Warm start: the initial parameters' reconstruction is the first
+            # rotation fit's reference (deferred spec — no mesh in HBM), and
+            # the fitted rotations compose onto the initial orientations.
+            dtype = tgt_vm.dtype
+            if initial_pose_rotvecs is None:
+                glob9_0 = jnp.broadcast_to(
+                    jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], dtype)[:, None, None],
+                    (9, bm.num_joints, batch),
+                )
+            else:
+                rel = rot_ops.rotvec2mat(
+                    jnp.asarray(initial_pose_rotvecs).reshape(
+                        -1, bm.num_joints, 3
+                    )
+                )
+                glob9_0 = jnp.transpose(
+                    fk_rotations(bm, rel).reshape(batch, bm.num_joints, 9),
+                    (2, 1, 0),
+                )
+            x0 = (
+                jnp.zeros((batch, plan.n_betas), dtype)
+                if initial_shape_betas is None
+                else jnp.asarray(initial_shape_betas)[:, : plan.n_betas]
+            )
+            if x0.shape[1] < plan.n_betas:
+                x0 = jnp.pad(x0, ((0, 0), (0, plan.n_betas - x0.shape[1])))
+            if plan.enable_kid:
+                kid0 = (
+                    jnp.zeros((batch, 1), dtype)
+                    if initial_kid_factor is None
+                    else jnp.asarray(initial_kid_factor).reshape(batch, 1)
+                )
+                x0 = jnp.concatenate([x0, kid0], axis=1)
+            spec0, rj0, _ = lbs_recon_spec_lm(
+                bm, plan, self.gram, glob9_0, x0.T, interpret=interp
+            )
+            if has_joints:
+                rot0 = fit_global_rotations_lm(
+                    bm, plan, tgt_vm, tj_lm, None, rj0, jw_lm,
+                    reference_spec=spec0, omega=omega_vm,
+                )
+            else:
+                recon0 = lbs_kernels.lbs_points(
+                    spec0['pj_cm'], spec0['feat_cols'], spec0['weights_pad'],
+                    spec0['consts_pad'], interpret=interp,
+                )
+                rot0 = fit_global_rotations_lm(
+                    bm, plan, tgt_vm, None, recon0, None, jw_lm,
+                    omega=omega_vm,
+                )
+            glob9 = rot_ops.matmul3x3_lm(rot0, glob9_0)
 
         recon_key = 'recon_spec' if has_joints else 'vertices_vm'
         solve_args = dict(
@@ -1706,8 +1769,8 @@ class BodyFitter:
             beta_regularizer2=beta_regularizer2,
             kid_regularizer=kid_regularizer,
             share_beta=share_beta,
-            beta_regularizer_reference=None,
-            kid_regularizer_reference=None,
+            beta_regularizer_reference=initial_shape_betas,
+            kid_regularizer_reference=initial_kid_factor,
             interpret=interp,
         )
 

@@ -539,3 +539,64 @@ class TestPerCallWeightedKernelPath:
             np.testing.assert_allclose(
                 np.asarray(got[k]), np.asarray(ref[k]), atol=2e-3, err_msg=k
             )
+
+
+class TestWarmStartKernelPath:
+    """initial_pose_rotvecs / initial_shape_betas (the flipper configuration)
+    on the lane-major kernel path vs the batch-major general formulation."""
+
+    @pytest.mark.parametrize('case', ['pose_and_betas', 'betas_only', 'pose_only'])
+    def test_warm_start_lm_matches_general(self, smpl_model, smpl_fitter, case):
+        from smplfitter_tpu.ops import lbs_kernels
+
+        pose, betas, trans = random_params(8, seed=64, pose_std=0.12)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+        rng = np.random.RandomState(64)
+        init_pose = pose + rng.randn(*pose.shape).astype(np.float32) * 0.05
+        kw = dict(
+            target_joints=tj, num_iter=2, final_adjust_rots=True,
+            beta_regularizer=0.5, beta_regularizer2=0.1,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+        )
+        if case in ('pose_and_betas', 'pose_only'):
+            kw['initial_pose_rotvecs'] = init_pose
+        if case in ('pose_and_betas', 'betas_only'):
+            kw['initial_shape_betas'] = betas
+        ref = smpl_fitter.fit(tv, **kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = smpl_fitter.fit(tv, **kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        for k in ('shape_betas', 'trans', 'pose_rotvecs'):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), atol=2e-3, err_msg=k
+            )
+
+    def test_warm_start_kid_lm(self, smpl_model):
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+
+        fitter = BodyFitter(smpl_model, enable_kid=True)
+        pose, betas, trans = random_params(8, seed=65, pose_std=0.12)
+        rng = np.random.RandomState(65)
+        kid = rng.rand(8).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, kid_factor=kid)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+        kw = dict(
+            target_joints=tj, num_iter=2, beta_regularizer=0.1,
+            kid_regularizer=0.2, initial_pose_rotvecs=pose,
+            initial_shape_betas=betas, initial_kid_factor=kid,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+        )
+        ref = fitter.fit(tv, **kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = fitter.fit(tv, **kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        for k in ('shape_betas', 'trans', 'pose_rotvecs', 'kid_factor'):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), atol=2e-3, err_msg=k
+            )
