@@ -263,9 +263,9 @@ def fit_shape_gram(
     scale_col = scale_target or scale_fit
     # Fused-kernel path: all per-vertex work (extended LBS, residuals, moment
     # reductions) runs inside vertex-major Pallas kernels — no (B, V, .) HBM
-    # intermediates. The scale column needs extra per-vertex moments the kernel
-    # doesn't emit yet, so scale configs use the XLA formulation below.
-    k_mode = lbs_kernels.kernel_mode(batch) if not scale_col else None
+    # intermediates. Scale columns ride it too: the kernel emits the
+    # target-side column moments and the pos side follows by linearity.
+    k_mode = lbs_kernels.kernel_mode(batch)
     interp = k_mode == 'interpret'
     rot_params = rel_rotmats[:, 1:].reshape(batch, (J - 1) * 9)
 
@@ -283,10 +283,16 @@ def fit_shape_gram(
         feat_cols = jnp.concatenate(
             [rot_params, jnp.ones((batch, 1), dtype)], axis=1
         ).T
-        rk, yk = lbs_kernels.rhs_moments(
-            tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
-            gram.sd_cm, interpret=interp,
-        )
+        if scale_col:
+            rk, yk, rtk, ytk, sck = lbs_kernels.rhs_moments(
+                tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
+                gram.sd_cm, scale=True, interpret=interp,
+            )
+        else:
+            rk, yk = lbs_kernels.rhs_moments(
+                tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
+                gram.sd_cm, interpret=interp,
+            )
     else:
         # Per-vertex position at beta=0: LBS in homogeneous form. The posed
         # template comes out of its producer GEMM already as [x y z 1] (the
@@ -396,8 +402,39 @@ def fit_shape_gram(
         )
         G = term1 + M + jnp.swapaxes(M, -1, -2)  # (B, E, E)
 
-    # --- optional scale column (XLA path only; see k_mode gate above) ---
-    if scale_col:
+    # --- optional scale column ---
+    if scale_col and k_mode is not None:
+        # Column pieces from the kernel's target-side moments: for
+        # scale_target the column is −tgt; for scale_fit it is the LBS
+        # position pos = tgt − b, so every pos moment is a difference of the
+        # target and residual moments already reduced in-kernel.
+        rt = rtk.T + jnp.einsum('baje,ajb->be', T_perm, ytk, precision=_HI)
+        r_b_vert = rk.T + jnp.einsum('baje,ajb->be', T_perm, yk, precision=_HI)
+        sum_t = jnp.sum(ytk, axis=1).T  # (B, 3)
+        sum_b = jnp.sum(yk, axis=1).T
+        s_tt, s_tp, s_pp = sck[0], sck[1], sck[2]  # (B,) each
+        if scale_target:
+            g_cross = -rt
+            col_sq = s_tt
+            col_b = -(s_tt - s_tp)
+            SA_col = -sum_t
+        else:
+            g_cross = rt - r_b_vert
+            col_sq = s_pp
+            col_b = s_tp - s_pp
+            SA_col = sum_t - sum_b
+        if target_joints is not None:
+            # Joints terms (unweighted, matching the kernel-path joints
+            # block in gram_assembly).
+            bJs = target_joints - p_j
+            col_joint = -target_joints if scale_target else p_j
+            g_cross = g_cross + jnp.einsum(
+                'bjae,bja->be', P_j, col_joint, precision=_HI
+            )
+            col_sq = col_sq + jnp.sum(col_joint * col_joint, axis=(1, 2))
+            col_b = col_b + jnp.sum(col_joint * bJs, axis=(1, 2))
+            SA_col = SA_col + jnp.sum(col_joint, axis=1)
+    elif scale_col:
         if scale_target:
             col_vert = -target_vertices
             col_joint = -target_joints if target_joints is not None else None

@@ -325,26 +325,29 @@ def _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend=None, homog=None):
     ]
 
 
-def _rhs_kernel(nchunks, rem, weighted, *refs):
-    if weighted:
-        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref, om_ref,
-         r_ref, y_small_ref) = refs
-    else:
-        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref,
-         r_ref, y_small_ref) = refs
+def _rhs_kernel(nchunks, rem, weighted, scale, *refs):
+    refs = list(refs)
+    tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref = refs[:6]
+    refs = refs[6:]
+    om_ref = refs.pop(0) if weighted else None
+    r_ref, y_small_ref = refs[:2]
+    rt_ref, yt_ref, sc_ref = refs[2:] if scale else (None, None, None)
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         r_ref[:] = jnp.zeros_like(r_ref)
         y_small_ref[:] = jnp.zeros_like(y_small_ref)
+        if scale:
+            rt_ref[:] = jnp.zeros_like(rt_ref)
+            yt_ref[:] = jnp.zeros_like(yt_ref)
+            sc_ref[:] = jnp.zeros_like(sc_ref)
 
     blend = _lbs_blend(pjp_ref, wtsp_ref)
     pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend)
     w = _plain_weights(wtsp_ref)
-    b = [
-        _mask_tail_rows(tgt_ref[a], k, nchunks, rem) - pos[a] for a in range(3)
-    ]  # (VC, TB) residuals
+    t_vals = [_mask_tail_rows(tgt_ref[a], k, nchunks, rem) for a in range(3)]
+    b = [t_vals[a] - pos[a] for a in range(3)]  # (VC, TB) residuals
     if weighted:
         # Per-vertex fit weights ride the residual: one exact f32 VPU multiply
         # makes every reduction below a weighted sum (r = Σ ω jacᵀb,
@@ -356,20 +359,44 @@ def _rhs_kernel(nchunks, rem, weighted, *refs):
     for a in range(3):
         # Parts-major (J, TB): J=24 on output lanes would pad 24 -> 128.
         y_small_ref[a] += _dot3(w, b[a], _C0_0)  # (J, TB)
+
     # The shape-Jacobian contraction folded in-kernel: r_e = Σ_v Σ_c
     # SD_v[c,e] (R̄_vᵀ b_v)_c, reusing the blends as R̄ columns. The joint-pair
     # moment formulation would emit a (TB, J·3·E) block instead — a K=VC dot
     # padded to 6 lane tiles that dominated this kernel.
-    acc = None
-    for c in range(3):
-        g_c = sum(blend[a * 4 + c] * b[a] for a in range(3))  # (VC, TB)
-        term = _dot3(sd_ref[c], g_c, _C0_0)  # (E, TB)
-        acc = term if acc is None else acc + term
-    r_ref[:] += acc
+    def jac_proj(field, out_ref):
+        acc = None
+        for c in range(3):
+            g_c = sum(blend[a * 4 + c] * field[a] for a in range(3))  # (VC, TB)
+            term = _dot3(sd_ref[c], g_c, _C0_0)  # (E, TB)
+            acc = term if acc is None else acc + term
+        out_ref[:] += acc
+
+    jac_proj(b, r_ref)
+    if scale:
+        # Target-side moments for the scale column (the pos-side moments
+        # follow by linearity: pos = tgt - b). Pad rows of the edge chunk are
+        # masked in t_vals, and pos is identically 0 there (zero skinning
+        # rows), so the second moments are exact.
+        for a in range(3):
+            yt_ref[a] += _dot3(w, t_vals[a], _C0_0)
+        jac_proj(t_vals, rt_ref)
+        s_tt = sum(t_vals[a] * t_vals[a] for a in range(3))
+        s_tp = sum(t_vals[a] * pos[a] for a in range(3))
+        s_pp = sum(pos[a] * pos[a] for a in range(3))
+        sc_ref[:] += jnp.concatenate(
+            [
+                jnp.sum(s_tt, axis=0, keepdims=True),
+                jnp.sum(s_tp, axis=0, keepdims=True),
+                jnp.sum(s_pp, axis=0, keepdims=True),
+            ],
+            axis=0,
+        )
 
 
 def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
-                      omega=None, interpret: bool = False):
+                      omega=None, scale: bool = False,
+                      interpret: bool = False):
     """Fused residual projection of the shape solve.
 
     Args:
@@ -386,7 +413,10 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
 
     Returns:
         r (E, B) = Σ_v [ω_v] (R̄_v SD_v)ᵀ b_v (the rotation part of Σ jacᵀb)
-        and y (3, J, B) = Σ_v [ω_v] w_vj b_v.
+        and y (3, J, B) = Σ_v [ω_v] w_vj b_v. With ``scale=True``, also the
+        target-side scale-column moments rt (E, B) = Σ (R̄SD)ᵀ tgt,
+        yt (3, J, B) = Σ w_vj tgt, and sc (3, B) = [Σ|tgt|², Σ tgt·pos,
+        Σ|pos|²] (pos-side first moments follow by linearity: pos = tgt − b).
     """
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
@@ -400,6 +430,7 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     wtsp = _pack6_lhs(weights_pad, axis=1)  # (V_pad, 6J)
     pjp = _pack6_rhs(pj_cm, axis=1)  # (12, 6J, B)
     weighted = omega is not None
+    assert not (weighted and scale), 'weighted+scale solves use the streamed path'
 
     in_specs = [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
@@ -414,18 +445,32 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
         in_specs.append(_omega_spec(omega, tb))
         operands.append(omega)
 
-    return pl.pallas_call(
-        functools.partial(_rhs_kernel, nchunks, v_t % VC, weighted),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
+    out_specs = [
+        pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((E, B), jnp.float32),
+        jax.ShapeDtypeStruct((3, J, B), jnp.float32),
+    ]
+    if scale:
+        out_specs += [
             pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
+            pl.BlockSpec((3, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
             jax.ShapeDtypeStruct((E, B), jnp.float32),
             jax.ShapeDtypeStruct((3, J, B), jnp.float32),
-        ],
+            jax.ShapeDtypeStruct((3, B), jnp.float32),
+        ]
+
+    return pl.pallas_call(
+        functools.partial(_rhs_kernel, nchunks, v_t % VC, weighted, scale),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*operands)
 
@@ -866,10 +911,18 @@ def _rhs_moments_w_bwd_rule(interpret, res, g):
 _rhs_moments_w_diff.defvjp(_rhs_moments_w_fwd, _rhs_moments_w_bwd_rule)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+@functools.partial(jax.jit, static_argnames=('scale', 'interpret'))
 def rhs_moments(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
-                omega=None, interpret: bool = False):
-    """Differentiable fused residual projection (see _rhs_moments_impl)."""
+                omega=None, scale: bool = False, interpret: bool = False):
+    """Differentiable fused residual projection (see _rhs_moments_impl).
+
+    ``scale=True`` additionally returns the scale-column moments
+    (rt, yt, sc) — that variant carries no custom VJP (scale solves follow
+    ``autodiff_policy`` onto the XLA formulation under gradient traces)."""
+    if scale:
+        return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad,
+                                 consts_pad, sd_cm, omega=omega, scale=True,
+                                 interpret=interpret)
     if omega is None:
         return _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad,
                                  consts_pad, sd_cm, interpret)

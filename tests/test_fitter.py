@@ -600,3 +600,36 @@ class TestWarmStartKernelPath:
             np.testing.assert_allclose(
                 np.asarray(got[k]), np.asarray(ref[k]), atol=2e-3, err_msg=k
             )
+
+
+class TestScaleKernelPath:
+    """Scale columns on the fused-kernel solve (rhs_moments scale moments)
+    vs the XLA moment formulation."""
+
+    @pytest.mark.parametrize('mode', ['scale_target', 'scale_fit'])
+    @pytest.mark.parametrize('has_joints', [True, False])
+    def test_scale_kernel_matches_xla(self, smpl_model, smpl_fitter, mode,
+                                      has_joints):
+        from smplfitter_tpu.ops import lbs_kernels
+
+        pose, betas, trans = random_params(8, seed=66, pose_std=0.12)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        tv = np.asarray(res['vertices']) * 1.1
+        tj = np.asarray(res['joints']) * 1.1
+        kw = dict(
+            target_vertices=tv,
+            target_joints=tj if has_joints else None,
+            num_iter=3, beta_regularizer=0.0,
+            requested_keys=['pose_rotvecs', 'shape_betas', 'scale_corr'],
+            **{mode: True},
+        )
+        ref = smpl_fitter.fit(**kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = smpl_fitter.fit(**kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        for k in ('shape_betas', 'trans', 'scale_corr', 'pose_rotvecs'):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), atol=3e-3, err_msg=k
+            )
