@@ -1887,20 +1887,29 @@ class BodyFitter:
             bm = self.body_model.data
             pose_rotvecs = jnp.asarray(pose_rotvecs)
             target_vertices = jnp.asarray(target_vertices)
-            # Lane-major fast path: kernel-eligible batch, no per-call
-            # per-vertex weights (static weights ride the ω-weighted gram),
-            # no scale column. Per-call joint weights ALONE never reach the
-            # shape solve (the reference's both-or-neither rule; known-pose
-            # has no rotation fit for them to affect) — but paired with
-            # static vertex weights they would, so that combo falls back.
+            # Lane-major fast path: kernel-eligible batch, no scale column.
+            # Static weights ride the ω-weighted gram; per-call vertex
+            # weights run the weighted-Gramian kernel (no statics to mix
+            # with). Per-call joint weights ALONE never reach the shape
+            # solve (the reference's both-or-neither rule; known-pose has
+            # no rotation fit for them to affect) — but paired with static
+            # vertex weights they would, so that combo falls back.
+            lm_weights_ok = (
+                vertex_weights is None
+                and (joint_weights is None or self.static_vw is None)
+            ) or (
+                vertex_weights is not None
+                and self.static_vw is None
+                and self.static_jw is None
+            )
             if (
                 lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
-                and vertex_weights is None
-                and (joint_weights is None or self.static_vw is None)
+                and lm_weights_ok
                 and not (scale_target or scale_fit)
             ):
                 return self._fit_with_known_pose_lm(
                     pose_rotvecs, target_vertices, target_joints,
+                    vertex_weights, joint_weights,
                     beta_regularizer, beta_regularizer2, kid_regularizer,
                     share_beta, beta_regularizer_reference,
                     kid_regularizer_reference,
@@ -1948,6 +1957,8 @@ class BodyFitter:
         pose_rotvecs,
         target_vertices,
         target_joints,
+        vertex_weights,
+        joint_weights,
         beta_regularizer,
         beta_regularizer2,
         kid_regularizer,
@@ -1957,9 +1968,11 @@ class BodyFitter:
     ) -> dict:
         """Lane-major known-pose solve: FK the given pose once, then ONE
         moment-tensor shape solve (fit_shape_gram_lm) — no per-instance design
-        matrix, same kernels as the full fit's solve stage."""
+        matrix, same kernels as the full fit's solve stage. Per-call vertex
+        weights run the weighted-Gramian solve (the reference both-or-neither
+        rule: with joints only when joint weights also exist)."""
         from .bodymodel import fk_rotations
-        from .shape_gram import fit_shape_gram_lm
+        from .shape_gram import fit_shape_gram_lm, fit_shape_wgram_lm
 
         bm = self.body_model.data
         if target_joints is not None:
@@ -1978,18 +1991,33 @@ class BodyFitter:
             None if target_joints is None
             else jnp.transpose(target_joints, (2, 1, 0))
         )
-        gram, jw_solve = self._lm_solve_weights(tj_lm is not None)
-        res = fit_shape_gram_lm(
-            bm, self.plan, gram, glob9, tgt_vm, tj_lm,
+        has_joints = tj_lm is not None
+        interp = lbs_kernels.kernel_mode(batch) == 'interpret'
+        solve_args = dict(
             beta_regularizer=beta_regularizer,
             beta_regularizer2=beta_regularizer2,
             kid_regularizer=kid_regularizer,
             share_beta=share_beta,
             beta_regularizer_reference=beta_regularizer_reference,
             kid_regularizer_reference=kid_regularizer_reference,
-            jw_static=jw_solve,
-            interpret=lbs_kernels.kernel_mode(batch) == 'interpret',
+            interpret=interp,
         )
+        wgram = vertex_weights is not None and (
+            not has_joints or joint_weights is not None
+        )
+        if wgram:
+            res = fit_shape_wgram_lm(
+                bm, self.plan, self.gram, glob9, tgt_vm, tj_lm,
+                jnp.asarray(vertex_weights).T,
+                jnp.asarray(joint_weights).T if has_joints else None,
+                **solve_args,
+            )
+        else:
+            gram, jw_solve = self._lm_solve_weights(has_joints)
+            res = fit_shape_gram_lm(
+                bm, self.plan, gram, glob9, tgt_vm, tj_lm,
+                jw_static=jw_solve, **solve_args,
+            )
         result = dict(
             shape_betas=res['shape_betas'],
             kid_factor=res['kid_factor'],
