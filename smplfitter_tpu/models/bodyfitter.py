@@ -2059,21 +2059,29 @@ class BodyFitter:
             plan = self.plan
             shape_betas = jnp.asarray(shape_betas)[:, : self.n_betas]
             target_vertices = jnp.asarray(target_vertices)
-            # Lane-major fast path: kernel-eligible batch, no per-call
-            # per-vertex weights, no scale; kid only when the plan carries the
-            # kid column (the spec folds it into the shape features).
+            # Lane-major fast path: kernel-eligible batch, no scale; kid only
+            # when the plan carries the kid column (the spec folds it into
+            # the shape features). Per-call vertex weights run the runtime-ω
+            # rotation fits (no statics to mix with).
+            lm_weights_ok = (
+                vertex_weights is None
+                and (joint_weights is None or self.static_vw is None)
+            ) or (
+                vertex_weights is not None
+                and self.static_vw is None
+                and self.static_jw is None
+            )
             if (
                 lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
-                and vertex_weights is None
-                and (joint_weights is None or self.static_vw is None)
+                and lm_weights_ok
                 and not scale_fit
                 and (kid_factor is None or plan.enable_kid)
                 and (plan.leveladj_supported or not final_adjust_rots)
             ):
                 return self._fit_with_known_shape_lm(
                     shape_betas, target_vertices, target_joints,
-                    joint_weights, kid_factor, num_iter, final_adjust_rots,
-                    initial_pose_rotvecs, requested_keys,
+                    vertex_weights, joint_weights, kid_factor, num_iter,
+                    final_adjust_rots, initial_pose_rotvecs, requested_keys,
                 )
             vertex_weights, joint_weights = self._materialize_static_weights(
                 target_vertices.shape[0], vertex_weights, joint_weights
@@ -2162,6 +2170,7 @@ class BodyFitter:
         shape_betas,
         target_vertices,
         target_joints,
+        vertex_weights,
         joint_weights,
         kid_factor,
         num_iter,
@@ -2195,6 +2204,9 @@ class BodyFitter:
         )
         has_joints = tj_lm is not None
         jw_lm = None if joint_weights is None else jnp.asarray(joint_weights).T
+        omega_vm = (
+            None if vertex_weights is None else jnp.asarray(vertex_weights).T
+        )
         if jw_lm is None and self.static_jw is not None:
             jw_lm = jnp.broadcast_to(
                 jnp.asarray(self.static_jw)[:, None],
@@ -2235,7 +2247,7 @@ class BodyFitter:
             if has_joints:
                 rot = fit_global_rotations_lm(
                     bm, plan, tgt_vm, tj_lm, None, rj, jw_lm,
-                    reference_spec=spec,
+                    reference_spec=spec, omega=omega_vm,
                 )
             else:
                 recon_vm = lbs_kernels.lbs_points(
@@ -2243,30 +2255,48 @@ class BodyFitter:
                     spec['consts_pad'], interpret=interp,
                 )
                 rot = fit_global_rotations_lm(
-                    bm, plan, tgt_vm, None, recon_vm, None, jw_lm
+                    bm, plan, tgt_vm, None, recon_vm, None, jw_lm,
+                    omega=omega_vm,
                 )
             glob9 = rot_ops.matmul3x3_lm(rot, glob9)
 
         # Translation: weighted-mean gap per fit_scale_and_translation
         # semantics (weighted only when BOTH weight kinds exist with joints;
-        # vertex weights alone without joints). rec_sum rides gram.Kc moments.
+        # vertex weights alone without joints). Static weights contract
+        # rec_sum from gram.Kc moments; runtime per-call ω reduces one
+        # materialized reconstruction instead.
         if has_joints:
-            weighted = self.static_vw is not None and self.static_jw is not None
+            w_static = self.static_vw is not None and self.static_jw is not None
+            w_runtime = omega_vm is not None and jw_lm is not None
         else:
-            weighted = self.static_vw is not None
-        gram_t = self.gram_w if weighted else self.gram
+            w_static = self.static_vw is not None
+            w_runtime = omega_vm is not None
+        gram_t = self.gram_w if w_static else self.gram
         spec_f, rj_f, rec_sum = lbs_recon_spec_lm(
             bm, plan, gram_t, glob9, x_T, interpret=interp
         )
         V = bm.num_vertices
-        if weighted:
+        recon_f = None
+        if w_runtime:
+            recon_f = lbs_kernels.lbs_points(
+                spec_f['pj_cm'], spec_f['feat_cols'], spec_f['weights_pad'],
+                spec_f['consts_pad'], interpret=interp,
+            )
+            rec_sum = jnp.einsum('vb,cvb->cb', omega_vm, recon_f[:, :V])
+            tgt_sum = jnp.einsum('vb,cvb->cb', omega_vm, tgt_vm[:, :V])
+            w_tot = jnp.sum(omega_vm, axis=0)  # (B,)
+        elif w_static:
             tgt_sum = jnp.einsum('v,cvb->cb', gram_t.omega, tgt_vm[:, :V])
             w_tot = gram_t.w_total
         else:
             tgt_sum = jnp.sum(tgt_vm[:, :V], axis=1)
             w_tot = float(V)
         if has_joints:
-            if weighted:
+            if w_runtime:
+                tgt_sum = tgt_sum + jnp.einsum('jb,cjb->cb', jw_lm, tj_lm)
+                rec_sum = rec_sum + jnp.einsum('jb,cjb->cb', jw_lm, rj_f)
+                w_tot = w_tot + jnp.sum(jw_lm, axis=0)
+            elif w_static:
                 jw_stat = jnp.asarray(self.static_jw, dtype)
                 tgt_sum = tgt_sum + jnp.einsum('j,cjb->cb', jw_stat, tj_lm)
                 rec_sum = rec_sum + jnp.einsum('j,cjb->cb', jw_stat, rj_f)
@@ -2291,16 +2321,22 @@ class BodyFitter:
                 glob9 = fit_global_rotations_dependent_lm(
                     bm, plan, tgt_vm, tj_lm, None, rj_shift, jw_lm,
                     glob9, shape_betas, trans_lm, kid_factor,
-                    reference_spec=spec_f,
+                    reference_spec=spec_f, omega=omega_vm,
                 )
             else:
-                recon_vm = lbs_kernels.lbs_points(
-                    spec_f['pj_cm'], spec_f['feat_cols'], spec_f['weights_pad'],
-                    spec_f['consts_pad'], interpret=interp,
+                recon_vm = (
+                    recon_f + trans_lm[:, None, :]
+                    if recon_f is not None
+                    else lbs_kernels.lbs_points(
+                        spec_f['pj_cm'], spec_f['feat_cols'],
+                        spec_f['weights_pad'], spec_f['consts_pad'],
+                        interpret=interp,
+                    )
                 )
                 glob9 = fit_global_rotations_dependent_lm(
                     bm, plan, tgt_vm, None, recon_vm, rj_shift, jw_lm,
                     glob9, shape_betas, trans_lm, kid_factor,
+                    omega=omega_vm,
                 )
 
         result = dict(

@@ -664,3 +664,34 @@ class TestScaleKernelPath:
                     np.asarray(got[k]), np.asarray(ref[k]), atol=1e-3,
                     err_msg=f'{k} joints={has_joints}',
                 )
+
+    def test_known_shape_per_call_weights_lm(self, smpl_model, smpl_fitter):
+        """Per-call weighted known-shape solve (runtime-ω rotation fits and
+        weighted translation) vs the batch-major weighted solve."""
+        from smplfitter_tpu.ops import lbs_kernels
+
+        pose, betas, trans = random_params(8, seed=68, pose_std=0.12)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+        rng = np.random.RandomState(68)
+        vw = (0.2 + rng.rand(8, smpl_model.num_vertices)).astype(np.float32)
+        jw = (0.2 + rng.rand(8, smpl_model.num_joints)).astype(np.float32)
+        for has_joints in (True, False):
+            kw = dict(
+                shape_betas=betas, target_vertices=tv,
+                target_joints=tj if has_joints else None,
+                vertex_weights=vw,
+                joint_weights=jw if has_joints else None,
+                num_iter=2, requested_keys=['pose_rotvecs'],
+            )
+            ref = smpl_fitter.fit_with_known_shape(**kw)
+            lbs_kernels.FORCE_INTERPRET = True
+            try:
+                got = smpl_fitter.fit_with_known_shape(**kw)
+            finally:
+                lbs_kernels.FORCE_INTERPRET = False
+            for k in ('trans', 'pose_rotvecs'):
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), np.asarray(ref[k]), atol=2e-3,
+                    err_msg=f'{k} joints={has_joints}',
+                )
