@@ -36,7 +36,7 @@ from flax import struct
 
 from ..ops import lbs_kernels
 from ..ops import rotation as rot_ops
-from ..ops.lstsq import solve_spd_unrolled
+from ..ops.lstsq import batch_reduce_sum, solve_spd_unrolled
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -618,8 +618,10 @@ def _solve_partial_share(G_aug: jax.Array, r_aug: jax.Array, n_shared: int) -> j
     Ci = solve_spd_unrolled(Gii, jnp.swapaxes(Gsi, -1, -2))  # (B, ni, ns)
     di = solve_spd_unrolled(Gii, ri)  # (B, ni)
 
-    S = jnp.sum(Gss - Gsi @ Ci, axis=0)
-    rhs_s = jnp.sum(rs - jnp.einsum('bse,be->bs', Gsi, di, precision=_HI), axis=0)
+    S = batch_reduce_sum(Gss - Gsi @ Ci, axis=0)
+    rhs_s = batch_reduce_sum(
+        rs - jnp.einsum('bse,be->bs', Gsi, di, precision=_HI), axis=0
+    )
     xs = solve_spd_unrolled(S[None], rhs_s[None])[0]  # (ns,)
 
     xi = di - jnp.einsum('bis,s->bi', Ci, xs)

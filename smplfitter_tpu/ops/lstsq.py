@@ -26,6 +26,21 @@ from jax import lax
 # equations (squared condition number).
 _HI = lax.Precision.HIGHEST
 
+# Inside a ``jax.shard_map`` region the batch axis is per-device LOCAL, so the
+# shared-block sums below must be completed with an explicit cross-device
+# psum. ``parallel.sharding.cross_shard`` sets this to the mesh axis name;
+# under plain GSPMD jit it stays None and XLA derives the all-reduce itself.
+CROSS_SHARD_AXIS: Optional[str] = None
+
+
+def batch_reduce_sum(x: jax.Array, axis=0, keepdims: bool = False) -> jax.Array:
+    """Sum over the (possibly device-local) batch axis, completed with a
+    ``psum`` over the mesh axis when inside a ``cross_shard`` region."""
+    s = jnp.sum(x, axis=axis, keepdims=keepdims)
+    if CROSS_SHARD_AXIS is not None:
+        s = lax.psum(s, CROSS_SHARD_AXIS)
+    return s
+
 
 def normal_equations(
     matrix: jax.Array,
@@ -77,8 +92,8 @@ def lstsq(
         matrix, rhs, weights, l2_regularizer, l2_regularizer_rhs
     )
     if shared:
-        gram = jnp.sum(gram, axis=0, keepdims=True)
-        moment = jnp.sum(moment, axis=0, keepdims=True)
+        gram = batch_reduce_sum(gram, axis=0, keepdims=True)
+        moment = batch_reduce_sum(moment, axis=0, keepdims=True)
     return cholesky_solve(jnp.linalg.cholesky(gram), moment)
 
 
@@ -193,10 +208,10 @@ def lstsq_partial_share(
     pivot_s = eliminated[..., :n_shared]  # Gii⁻¹ Gis, (B, I, S)
     pivot_k = eliminated[..., n_shared:]  # Gii⁻¹ bi,  (B, I, K)
 
-    schur = jnp.sum(
+    schur = batch_reduce_sum(
         g_ss - jnp.matmul(g_si, pivot_s, precision=_HI), axis=0, keepdims=True
     )
-    schur_moment = jnp.sum(
+    schur_moment = batch_reduce_sum(
         m_s - jnp.matmul(g_si, pivot_k, precision=_HI), axis=0, keepdims=True
     )
     x_shared = cholesky_solve(jnp.linalg.cholesky(schur), schur_moment)  # (1, S, K)

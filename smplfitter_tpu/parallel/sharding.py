@@ -17,13 +17,30 @@ program. These helpers make that one-liner ergonomic.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import lstsq as _lstsq
+
 DATA_AXIS = 'data'
+
+
+@contextlib.contextmanager
+def cross_shard(axis_name: str = DATA_AXIS):
+    """Mark the enclosed fit as running INSIDE a ``shard_map`` region: the
+    share_beta shared-block reductions complete with an explicit ``psum``
+    over ``axis_name`` (under plain GSPMD jit this is unnecessary — XLA
+    derives the all-reduce from the batch-sharded ``jnp.sum`` itself)."""
+    prev = _lstsq.CROSS_SHARD_AXIS
+    _lstsq.CROSS_SHARD_AXIS = axis_name
+    try:
+        yield
+    finally:
+        _lstsq.CROSS_SHARD_AXIS = prev
 
 
 def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
@@ -55,6 +72,7 @@ def make_sharded_fit_fn(
     fitter,
     mesh: Optional[Mesh] = None,
     donate: bool = False,
+    method: str = 'shard_map',
     **fit_kwargs,
 ):
     """Build a jitted fit function whose batch inputs are sharded over ``mesh``.
@@ -63,22 +81,69 @@ def make_sharded_fit_fn(
     sharding, so per-instance compute runs fully locally per chip and only the
     share_beta reductions (if enabled) cross chips.
 
+    ``method``:
+      - ``'shard_map'`` (default): the fit body is mapped per device with
+        ``jax.shard_map``; each device traces the fit on its LOCAL batch, so
+        the fused Pallas kernels run shard-locally by construction (GSPMD has
+        no partitioning rule for ``pallas_call`` and would gather/replicate
+        them), and the share_beta shared-block sums complete with an explicit
+        ``psum`` over the mesh axis (see :func:`cross_shard`). The per-device
+        batch must itself be kernel-eligible (divisible by 8) for the kernel
+        path to engage.
+      - ``'gspmd'``: plain jit + sharding constraints; XLA partitions the
+        per-instance ops and derives the all-reduce itself. Correct for the
+        pure-XLA formulation (``use_kernels=False`` or CPU).
+
     ``fit_kwargs`` are the static fit flags (num_iter, regularizers, etc.).
     """
     if mesh is None:
         mesh = make_mesh()
-    sharding = batch_sharding(mesh)
+    axis_name = mesh.axis_names[0]
+    sharding = NamedSharding(mesh, P(axis_name))
 
-    def _constrain(x):
-        return None if x is None else jax.lax.with_sharding_constraint(x, sharding)
+    if method == 'gspmd':
+        def _constrain(x):
+            return None if x is None else jax.lax.with_sharding_constraint(x, sharding)
+
+        def fit(verts, joints=None, vertex_weights=None, joint_weights=None):
+            return fitter.fit(
+                _constrain(verts),
+                target_joints=_constrain(joints),
+                vertex_weights=_constrain(vertex_weights),
+                joint_weights=_constrain(joint_weights),
+                **fit_kwargs,
+            )
+
+        return jax.jit(fit, donate_argnums=(0,) if donate else ())
+    if method != 'shard_map':
+        raise ValueError(f'unknown sharding method {method!r}')
 
     def fit(verts, joints=None, vertex_weights=None, joint_weights=None):
-        return fitter.fit(
-            _constrain(verts),
-            target_joints=_constrain(joints),
-            vertex_weights=_constrain(vertex_weights),
-            joint_weights=_constrain(joint_weights),
-            **fit_kwargs,
+        optional = (joints, vertex_weights, joint_weights)
+        mask = tuple(x is not None for x in optional)
+        present = (verts,) + tuple(x for x in optional if x is not None)
+
+        def inner(*args):
+            it = iter(args[1:])
+            full = [next(it) if m else None for m in mask]
+            with cross_shard(axis_name):
+                return fitter.fit(
+                    args[0],
+                    target_joints=full[0],
+                    vertex_weights=full[1],
+                    joint_weights=full[2],
+                    **fit_kwargs,
+                )
+
+        mapped = jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(axis_name),) * len(present),
+            out_specs=P(axis_name),
+            # The Pallas out_shapes carry no varying-mesh-axes metadata; the
+            # per-shard program is identical on every device by construction.
+            check_vma=False,
         )
+        return mapped(*present)
 
     return jax.jit(fit, donate_argnums=(0,) if donate else ())

@@ -153,3 +153,61 @@ class TestShardedFit:
             np.asarray(plain['pose_rotvecs']),
             atol=5e-4,
         )
+
+    def test_gspmd_method_matches(self, smpl_model, mesh):
+        """The plain GSPMD jit variant (XLA-derived all-reduce) still works."""
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.parallel import make_sharded_fit_fn, shard_batch
+
+        fitter = BodyFitter(smpl_model)
+        pose, betas, trans = random_params(16, seed=64, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+        kw = dict(num_iter=2, beta_regularizer=0.0, share_beta=True,
+                  requested_keys=('shape_betas',))
+        out = make_sharded_fit_fn(fitter, mesh, method='gspmd', **kw)(
+            *shard_batch((tv, tj), mesh)
+        )
+        plain = fitter.fit(tv, tj, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out['shape_betas']), np.asarray(plain['shape_betas']),
+            atol=5e-4,
+        )
+
+    def test_shard_map_kernel_path(self, smpl_model, mesh):
+        """The fused kernels inside shard_map (interpret mode): each device
+        traces its LOCAL batch (16 per device, kernel-eligible) and the
+        share_beta psum crosses shards."""
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+        from smplfitter_tpu.parallel import make_sharded_fit_fn, shard_batch
+
+        fitter = BodyFitter(smpl_model)
+        rng = np.random.default_rng(65)
+        B = 128
+        pose = rng.normal(0, 0.1, (B, 72)).astype(np.float32)
+        betas = np.broadcast_to(
+            rng.normal(0, 1, (1, 10)).astype(np.float32), (B, 10)
+        ).copy()
+        trans = rng.normal(0, 0.5, (B, 3)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+        kw = dict(num_iter=2, beta_regularizer=0.0, share_beta=True,
+                  requested_keys=('shape_betas', 'pose_rotvecs'))
+        plain = fitter.fit(tv, tj, **kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            out = make_sharded_fit_fn(fitter, mesh, **kw)(
+                *shard_batch((tv, tj), mesh)
+            )
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        sharded_betas = np.asarray(out['shape_betas'])
+        assert np.all(np.std(sharded_betas, axis=0) < 1e-5)
+        np.testing.assert_allclose(
+            sharded_betas, np.asarray(plain['shape_betas']), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out['pose_rotvecs']), np.asarray(plain['pose_rotvecs']),
+            atol=2e-3,
+        )
