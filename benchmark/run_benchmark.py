@@ -126,6 +126,24 @@ def bench_fit(conn, bm, fitter, batch_sizes, n_sets, device, methods):
                     (jax.numpy.asarray(p), r['vertices'], r['joints'])
                     for p, _, r in sets
                 ]
+            elif method == 'fit_weighted':
+                import numpy as _np
+                wrng = np.random.default_rng(batch + 1)
+                vw = jax.numpy.asarray(
+                    (0.2 + wrng.random((batch, bm.num_vertices))).astype(_np.float32)
+                )
+                jw = jax.numpy.asarray(
+                    (0.2 + wrng.random((batch, bm.num_joints))).astype(_np.float32)
+                )
+                f = jax.jit(
+                    lambda tv, tj, vw, jw: fitter.fit(
+                        tv, tj, vertex_weights=vw, joint_weights=jw,
+                        num_iter=3, beta_regularizer=1.0,
+                        final_adjust_rots=True,
+                        requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+                    )
+                )
+                argsets = [(r['vertices'], r['joints'], vw, jw) for _, _, r in sets]
             else:
                 raise ValueError(method)
             sec = measure_pipelined(f, argsets)
@@ -140,7 +158,7 @@ def main(argv=None) -> int:
     parser.add_argument('--batch-sizes', nargs='*', type=int,
                         default=[32, 256, 1024, 4096])
     parser.add_argument('--fit-methods', nargs='*',
-                        default=['fit', 'fit_known_shape', 'fit_known_pose'])
+                        default=['fit', 'fit_known_shape', 'fit_known_pose', 'fit_weighted'])
     parser.add_argument('--model', default='smpl')
     parser.add_argument('--model-root', default=None)
     parser.add_argument('--synthetic', action='store_true',
