@@ -127,13 +127,12 @@ def bench_fit(conn, bm, fitter, batch_sizes, n_sets, device, methods):
                     for p, _, r in sets
                 ]
             elif method == 'fit_weighted':
-                import numpy as _np
                 wrng = np.random.default_rng(batch + 1)
                 vw = jax.numpy.asarray(
-                    (0.2 + wrng.random((batch, bm.num_vertices))).astype(_np.float32)
+                    (0.2 + wrng.random((batch, bm.num_vertices))).astype(np.float32)
                 )
                 jw = jax.numpy.asarray(
-                    (0.2 + wrng.random((batch, bm.num_joints))).astype(_np.float32)
+                    (0.2 + wrng.random((batch, bm.num_joints))).astype(np.float32)
                 )
                 f = jax.jit(
                     lambda tv, tj, vw, jw: fitter.fit(

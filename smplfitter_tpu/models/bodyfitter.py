@@ -1278,6 +1278,25 @@ class BodyFitter:
                 consts_full=self.gram.consts_full, sd_cm=self.gram.sd_cm,
             )
 
+    def _lm_weights_ok(self, vertex_weights, joint_weights) -> bool:
+        """Kernel-path eligibility of a weighting configuration: static
+        fitter weights ride the ω-weighted gram; per-call weights run the
+        runtime-ω kernels; MIXED static/per-call combos fall back to the
+        batch-major formulation (which materializes and merges them)."""
+        if vertex_weights is None:
+            return joint_weights is None or self.static_vw is None
+        return self.static_vw is None and self.static_jw is None
+
+    @staticmethod
+    def _solve_weighted(has_joints, vertex_weights, joint_weights) -> bool:
+        """The reference both-or-neither rule: with target joints the linear
+        solve is weighted only when BOTH weight kinds exist; without joints,
+        vertex weights alone apply
+        (/root/reference/src/smplfitter/np/bodyfitter.py:758-766)."""
+        return vertex_weights is not None and (
+            not has_joints or joint_weights is not None
+        )
+
     def _lm_solve_weights(self, has_joints):
         """Gram data + static joint weights for the lane-major shape solve.
 
@@ -1377,6 +1396,7 @@ class BodyFitter:
         use_kernels = self._resolve_use_kernels(
             use_kernels, 'fit',
             target_vertices, target_joints, vertex_weights, joint_weights,
+            initial_pose_rotvecs, initial_shape_betas, initial_kid_factor,
         )
         ctx = (
             contextlib.nullcontext() if use_kernels else lbs_kernels.disabled()
@@ -1697,9 +1717,9 @@ class BodyFitter:
             )
         gram, jw_solve = self._lm_solve_weights(has_joints)
         # Per-call ω: the solve is runtime-weighted per the reference rule
-        # (with joints only when joint weights also exist; fit() forbids
-        # mixing per-call and static weights, so `gram` is unweighted here).
-        wgram_solve = omega_vm is not None and (not has_joints or jw_lm is not None)
+        # (fit() forbids mixing per-call and static weights, so `gram` is
+        # unweighted here).
+        wgram_solve = self._solve_weighted(has_joints, omega_vm, jw_lm)
 
         if initial_pose_rotvecs is None and initial_shape_betas is None:
             rj0 = (
@@ -1878,7 +1898,8 @@ class BodyFitter:
         autodiff traces by default)."""
         use_kernels = self._resolve_use_kernels(
             use_kernels, 'fit_with_known_pose',
-            target_vertices, target_joints, vertex_weights, joint_weights,
+            pose_rotvecs, target_vertices, target_joints,
+            vertex_weights, joint_weights,
         )
         ctx = (
             contextlib.nullcontext() if use_kernels else lbs_kernels.disabled()
@@ -1894,17 +1915,9 @@ class BodyFitter:
             # solve (the reference's both-or-neither rule; known-pose has
             # no rotation fit for them to affect) — but paired with static
             # vertex weights they would, so that combo falls back.
-            lm_weights_ok = (
-                vertex_weights is None
-                and (joint_weights is None or self.static_vw is None)
-            ) or (
-                vertex_weights is not None
-                and self.static_vw is None
-                and self.static_jw is None
-            )
             if (
                 lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
-                and lm_weights_ok
+                and self._lm_weights_ok(vertex_weights, joint_weights)
                 and not (scale_target or scale_fit)
             ):
                 return self._fit_with_known_pose_lm(
@@ -2002,9 +2015,7 @@ class BodyFitter:
             kid_regularizer_reference=kid_regularizer_reference,
             interpret=interp,
         )
-        wgram = vertex_weights is not None and (
-            not has_joints or joint_weights is not None
-        )
+        wgram = self._solve_weighted(has_joints, vertex_weights, joint_weights)
         if wgram:
             res = fit_shape_wgram_lm(
                 bm, self.plan, self.gram, glob9, tgt_vm, tj_lm,
@@ -2049,7 +2060,7 @@ class BodyFitter:
         use_kernels = self._resolve_use_kernels(
             use_kernels, 'fit_with_known_shape',
             shape_betas, target_vertices, target_joints,
-            vertex_weights, joint_weights,
+            vertex_weights, joint_weights, kid_factor, initial_pose_rotvecs,
         )
         ctx = (
             contextlib.nullcontext() if use_kernels else lbs_kernels.disabled()
@@ -2063,17 +2074,9 @@ class BodyFitter:
             # when the plan carries the kid column (the spec folds it into
             # the shape features). Per-call vertex weights run the runtime-ω
             # rotation fits (no statics to mix with).
-            lm_weights_ok = (
-                vertex_weights is None
-                and (joint_weights is None or self.static_vw is None)
-            ) or (
-                vertex_weights is not None
-                and self.static_vw is None
-                and self.static_jw is None
-            )
             if (
                 lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
-                and lm_weights_ok
+                and self._lm_weights_ok(vertex_weights, joint_weights)
                 and not scale_fit
                 and (kid_factor is None or plan.enable_kid)
                 and (plan.leveladj_supported or not final_adjust_rots)
@@ -2265,12 +2268,10 @@ class BodyFitter:
         # vertex weights alone without joints). Static weights contract
         # rec_sum from gram.Kc moments; runtime per-call ω reduces one
         # materialized reconstruction instead.
-        if has_joints:
-            w_static = self.static_vw is not None and self.static_jw is not None
-            w_runtime = omega_vm is not None and jw_lm is not None
-        else:
-            w_static = self.static_vw is not None
-            w_runtime = omega_vm is not None
+        w_static = self._solve_weighted(has_joints, self.static_vw, self.static_jw)
+        w_runtime = self._solve_weighted(
+            has_joints, omega_vm, None if joint_weights is None else jw_lm
+        )
         gram_t = self.gram_w if w_static else self.gram
         spec_f, rj_f, rec_sum = lbs_recon_spec_lm(
             bm, plan, gram_t, glob9, x_T, interpret=interp

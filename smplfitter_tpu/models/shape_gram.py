@@ -481,6 +481,10 @@ def fit_shape_gram(
         l2 = jnp.concatenate([l2, jnp.full((1,), scale_regularizer, dtype)])
         l2_ref = jnp.concatenate([l2_ref, jnp.zeros((batch, 1), dtype)], axis=1)
     l2_rhs = l2 * l2_ref  # (B, P)
+    if share_beta:
+        # Reference identity-row semantics: shared pull is l2^2 * ref (see
+        # _solve_tail).
+        l2_rhs = l2 * l2_rhs
 
     # --- assemble the augmented [betas(+kid)(+scale), trans] system ---
     # Pure concatenation (scatter-assembly via .at[].set lowers to slow
@@ -854,6 +858,12 @@ def _solve_tail(
             kid_ref = jnp.asarray(kid_regularizer_reference).reshape(batch, 1).astype(dtype)
         l2_ref = jnp.concatenate([l2_ref, kid_ref], axis=1)
     l2_rhs = l2 * l2_ref
+    if share_beta:
+        # Reference identity-row semantics (np/lstsq.py:26-55 there): under
+        # partial share the pull enters through l2-weighted identity rows
+        # with rhs l2*ref, i.e. scaled by l2 once more than the non-shared
+        # moment form.
+        l2_rhs = l2 * l2_rhs
 
     eyeW = W[:, None, None] * jnp.eye(3, dtype=dtype)
     SAT = jnp.swapaxes(SA, -1, -2)

@@ -253,6 +253,17 @@ def to_vertex_major(x: jax.Array, v_pad: int | None = None) -> jax.Array:
     return jnp.pad(xt, ((0, 0), (0, v_pad - xt.shape[1]), (0, 0)))
 
 
+
+def _runtime_omega(omega) -> bool:
+    """True for a per-call (V, B) fit-weight operand. Runtime-weighted calls
+    bypass the custom-VJP wrappers (whose backward passes assume the static
+    (V_pad, 1) column): differentiating them raises JAX's non-differentiable
+    pallas_call error instead of producing silently mis-weighted cotangents —
+    autodiff traces are expected to take the XLA fallback per
+    ``autodiff_policy``."""
+    return omega is not None and omega.ndim == 2 and omega.shape[1] > 1
+
+
 def _omega_spec(omega, tb):
     """BlockSpec for a per-vertex fit-weight operand: (V_pad, 1) static
     weights broadcast over lanes; (V, B) runtime weights tile like targets
@@ -579,6 +590,9 @@ def part_sums_vm(t_vm, a_vm, pm, omega=None, interpret: bool = False):
     """
     if omega is None:
         raw, st, sa = _part_sums_diff(t_vm, a_vm, pm, interpret)
+    elif _runtime_omega(omega):
+        raw, st, sa = _part_sums_impl(t_vm, a_vm, pm, omega=omega,
+                                      interpret=interpret)
     else:
         raw, st, sa = _part_sums_w_diff(t_vm, a_vm, pm, omega, interpret)
     B = t_vm.shape[2]
@@ -597,6 +611,8 @@ def part_sums_vm_lm(t_vm, a_vm, pm, omega=None, interpret: bool = False):
     transposes (the rotation fits consume these directly)."""
     if omega is None:
         return _part_sums_diff(t_vm, a_vm, pm, interpret)
+    if _runtime_omega(omega):
+        return _part_sums_impl(t_vm, a_vm, pm, omega=omega, interpret=interpret)
     return _part_sums_w_diff(t_vm, a_vm, pm, omega, interpret)
 
 
@@ -926,6 +942,10 @@ def rhs_moments(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     if omega is None:
         return _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad,
                                  consts_pad, sd_cm, interpret)
+    if _runtime_omega(omega):
+        return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad,
+                                 consts_pad, sd_cm, omega=omega,
+                                 interpret=interpret)
     return _rhs_moments_w_diff(tgt_vm, pj_cm, feat_cols, weights_pad,
                                consts_pad, sd_cm, omega, interpret)
 
@@ -1171,6 +1191,11 @@ def recon_part_sums(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
         raw, st, sa = _recon_part_sums_diff(
             tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, interpret
         )
+    elif _runtime_omega(omega):
+        raw, st, sa = _recon_part_sums_impl(
+            tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
+            omega=omega, interpret=interpret,
+        )
     else:
         raw, st, sa = _recon_part_sums_w_diff(
             tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega,
@@ -1192,6 +1217,11 @@ def recon_part_sums_lm(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     if omega is None:
         return _recon_part_sums_diff(
             tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, interpret
+        )
+    if _runtime_omega(omega):
+        return _recon_part_sums_impl(
+            tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
+            omega=omega, interpret=interpret,
         )
     return _recon_part_sums_w_diff(
         tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega, interpret

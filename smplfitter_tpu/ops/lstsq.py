@@ -30,15 +30,22 @@ _HI = lax.Precision.HIGHEST
 # shared-block sums below must be completed with an explicit cross-device
 # psum. ``parallel.sharding.cross_shard`` sets this to the mesh axis name;
 # under plain GSPMD jit it stays None and XLA derives the all-reduce itself.
-CROSS_SHARD_AXIS: Optional[str] = None
+# A ContextVar (not a module global) so a cross_shard region is scoped to the
+# trace that opened it — concurrent traces on other threads are unaffected.
+import contextvars
+
+CROSS_SHARD_AXIS: contextvars.ContextVar[Optional[str]] = contextvars.ContextVar(
+    'smplfitter_cross_shard_axis', default=None
+)
 
 
 def batch_reduce_sum(x: jax.Array, axis=0, keepdims: bool = False) -> jax.Array:
     """Sum over the (possibly device-local) batch axis, completed with a
     ``psum`` over the mesh axis when inside a ``cross_shard`` region."""
     s = jnp.sum(x, axis=axis, keepdims=keepdims)
-    if CROSS_SHARD_AXIS is not None:
-        s = lax.psum(s, CROSS_SHARD_AXIS)
+    axis_name = CROSS_SHARD_AXIS.get()
+    if axis_name is not None:
+        s = lax.psum(s, axis_name)
     return s
 
 

@@ -34,13 +34,13 @@ def cross_shard(axis_name: str = DATA_AXIS):
     """Mark the enclosed fit as running INSIDE a ``shard_map`` region: the
     share_beta shared-block reductions complete with an explicit ``psum``
     over ``axis_name`` (under plain GSPMD jit this is unnecessary — XLA
-    derives the all-reduce from the batch-sharded ``jnp.sum`` itself)."""
-    prev = _lstsq.CROSS_SHARD_AXIS
-    _lstsq.CROSS_SHARD_AXIS = axis_name
+    derives the all-reduce from the batch-sharded ``jnp.sum`` itself).
+    Scoped via a ContextVar: only the trace that opened the region sees it."""
+    token = _lstsq.CROSS_SHARD_AXIS.set(axis_name)
     try:
         yield
     finally:
-        _lstsq.CROSS_SHARD_AXIS = prev
+        _lstsq.CROSS_SHARD_AXIS.reset(token)
 
 
 def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:

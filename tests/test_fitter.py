@@ -695,3 +695,46 @@ class TestScaleKernelPath:
                     np.asarray(got[k]), np.asarray(ref[k]), atol=2e-3,
                     err_msg=f'{k} joints={has_joints}',
                 )
+
+
+class TestSharedPullSemantics:
+    def test_warm_share_matches_np_reference(self, smpl_model, smpl_fitter,
+                                             reference_np):
+        """share_beta + a regularizer reference (warm start): the shared pull
+        enters as l2^2*ref (identity-row semantics, np/lstsq.py:26-55 there).
+        NOTE the reference's pt backend DROPS the pull in its n_indep==0
+        shortcut (pt/lstsq.py:44-46) — a reference-internal discrepancy; we
+        follow the np semantic reference, on both solve formulations."""
+        from smplfitter_tpu.ops import lbs_kernels
+
+        pose, betas0, _ = random_params(8, seed=69, pose_std=0.1)
+        betas = np.broadcast_to(betas0[:1], betas0.shape).copy()
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+        rng = np.random.RandomState(69)
+        ref_betas = (betas + rng.randn(*betas.shape).astype(np.float32) * 0.3)
+        rfitter = reference_np.BodyFitter(
+            reference_np.BodyModel('smpl', 'neutral')
+        )
+        # The reference np warm-start path forgets to set this attribute.
+        rfitter.vertex_subset = np.arange(smpl_model.num_vertices)
+        oracle = rfitter.fit(
+            tv, tj, initial_shape_betas=ref_betas, num_iter=2,
+            beta_regularizer=2.0, share_beta=True,
+            requested_keys=['shape_betas'],
+        )['shape_betas']
+        kw = dict(num_iter=2, beta_regularizer=2.0, share_beta=True,
+                  initial_shape_betas=ref_betas,
+                  requested_keys=('shape_betas',))
+        got_xla = smpl_fitter.fit(tv, tj, use_kernels=False, **kw)
+        np.testing.assert_allclose(
+            np.asarray(got_xla['shape_betas']), oracle, atol=1e-4
+        )
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got_lm = smpl_fitter.fit(tv, tj, **kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        np.testing.assert_allclose(
+            np.asarray(got_lm['shape_betas']), oracle, atol=1e-4
+        )
