@@ -107,6 +107,75 @@ class TestSmplx:
         ).mean()
         assert err < 5e-2, f'SMPL-X fit error {err}'
 
+    def test_weighted_lm_fit_large_j(self, body_models_dir):
+        """Per-call weighted kernel path on SMPL-X (J=55 exercises the
+        large-J XLA gram assembly alongside the wgram kernel) vs the
+        batch-major weighted solve."""
+        from smplfitter_tpu import BodyModel, BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+
+        bm = BodyModel('smplx', 'neutral')
+        fitter = BodyFitter(bm)
+        rng = np.random.default_rng(94)
+        B = 8
+        pose = rng.normal(0, 0.05, (B, 55 * 3)).astype(np.float32)
+        betas = rng.normal(0, 1, (B, 16)).astype(np.float32)
+        res = bm(pose_rotvecs=pose, shape_betas=betas)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+        vw = (0.2 + rng.random((B, bm.num_vertices))).astype(np.float32)
+        jw = (0.2 + rng.random((B, bm.num_joints))).astype(np.float32)
+        kw = dict(
+            target_joints=tj, vertex_weights=vw, joint_weights=jw,
+            num_iter=2, beta_regularizer=0.5,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+        )
+        ref = fitter.fit(tv, **kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = fitter.fit(tv, **kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        # f32 reduction-order noise is chaotically amplified by the iterative
+        # fit at isolated joints (the reference documents the same effect,
+        # pt/bodyfitter.py:250-255 there) — measured 4.4e-3 max on one of
+        # 1320 pose entries at J=55.
+        for k, tol in (('shape_betas', 3e-3), ('trans', 3e-3),
+                       ('pose_rotvecs', 8e-3)):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), atol=tol, err_msg=k
+            )
+
+    def test_known_shape_lm_large_j(self, body_models_dir):
+        """Known-shape lane-major path on SMPL-X vs the general solve."""
+        from smplfitter_tpu import BodyModel, BodyFitter
+        from smplfitter_tpu.ops import lbs_kernels
+
+        bm = BodyModel('smplx', 'neutral')
+        fitter = BodyFitter(bm)
+        rng = np.random.default_rng(95)
+        B = 8
+        pose = rng.normal(0, 0.05, (B, 55 * 3)).astype(np.float32)
+        betas = rng.normal(0, 1, (B, 16)).astype(np.float32)
+        res = bm(pose_rotvecs=pose, shape_betas=betas)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+        kw = dict(
+            shape_betas=betas, target_vertices=tv, target_joints=tj,
+            num_iter=2, requested_keys=['pose_rotvecs'],
+        )
+        ref = fitter.fit_with_known_shape(**kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = fitter.fit_with_known_shape(**kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        np.testing.assert_allclose(
+            np.asarray(got['trans']), np.asarray(ref['trans']), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got['pose_rotvecs']), np.asarray(ref['pose_rotvecs']),
+            atol=3e-3,
+        )
+
 
 class TestGenderedFiles:
     def test_female_male(self, body_models_dir):
