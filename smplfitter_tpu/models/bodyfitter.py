@@ -39,6 +39,8 @@ import numpy as np
 from flax import struct
 
 from ..ops import lbs_kernels
+
+_HI = jax.lax.Precision.HIGHEST
 from ..ops import rotation as rot_ops
 from ..ops.lstsq import lstsq, lstsq_partial_share, solve_spd_unrolled
 from ..ops.precision import matmul_precision
@@ -1001,6 +1003,28 @@ def fit_shape_streamed(
     n_ext = shapedirs.shape[2]  # betas (+ kid)
     n_params = n_ext + (1 if scale_col else 0)
 
+    # Center the beta-Jacobian by its exact omega-weighted mean (change of
+    # variables t' = t + mu^T x): the per-joint translation columns carry a
+    # large common mode across vertices, and the uncentered f32 normal
+    # equations lose ~3 digits in the translation-elimination cancellation
+    # (the reference centers explicitly, np/bodyfitter.py:758-762 there).
+    Msd_rt = (bm.weights[:, :, None, None] * shapedirs[:, None]).reshape(
+        V, num_joints * 3 * n_ext
+    )
+    Lm = jnp.einsum(
+        'bv,vp->bp', vertex_weights.astype(dtype), Msd_rt, precision=_HI
+    ).reshape(batch, num_joints, 3, n_ext)
+    mj_rt = jnp.einsum(
+        'vj,bv->bj', bm.weights, vertex_weights.astype(dtype), precision=_HI
+    )
+    w_tot_rt = jnp.sum(vertex_weights.astype(dtype), axis=1)
+    mu = (
+        jnp.einsum('bjac,bjce->bae', glob_rotmats, Lm, precision=_HI)
+        + jnp.einsum(
+            'bjae,bj->bae', translations_ext[..., 1:], mj_rt, precision=_HI
+        )
+    ) / jnp.maximum(w_tot_rt, 1e-12)[:, None, None]  # (B, 3, n_ext)
+
     # Static chunk bounds; the edge chunk is simply shorter (static shapes,
     # no padding or dynamic slicing — XLA schedules the unrolled chunks as
     # independent subgraphs, unlike a while-loop scan whose per-iteration
@@ -1024,6 +1048,7 @@ def fit_shape_streamed(
         jac = (
             jnp.einsum('bvCc,vcs->bvCs', rot_blend, sd_c)
             + jnp.einsum('vj,bjcs->bvcs', w_c, translations_ext[..., 1:])
+            - mu[:, None]
         )
         if scale_target:
             A = jnp.concatenate([jac, -tgt_c[..., None]], axis=3)
@@ -1058,7 +1083,7 @@ def fit_shape_streamed(
 
     if target_joints is not None:
         pos_j = glob_positions_ext[..., 0]
-        jac_j = glob_positions_ext[..., 1:]
+        jac_j = glob_positions_ext[..., 1:] - mu[:, None]
         if scale_target:
             A_j = jnp.concatenate([jac_j, -target_joints[..., None]], axis=3)
         elif scale_fit:
@@ -1101,7 +1126,12 @@ def fit_shape_streamed(
         sol = solve_spd_unrolled(G_aug, r_aug)
 
     x = sol[:, :n_params]
-    new_trans = sol[:, n_params:]
+    # Undo the centering change of variables (the RAW solved trans pairs with
+    # the CENTERED Jacobian; reconstruction below uses whichever matches).
+    new_trans_raw = sol[:, n_params:]
+    new_trans = new_trans_raw - jnp.einsum(
+        'bae,be->ba', mu, x[:, :n_ext], precision=_HI
+    )
     new_shape = x[:, :n_betas]
     new_kid_factor = x[:, n_betas] if plan.enable_kid else None
     new_scale_corr = None
@@ -1133,12 +1163,18 @@ def fit_shape_streamed(
             + new_trans[:, None]
         )
     if 'vertices' in requested_keys:
+        # chunk_design yields the CENTERED Jacobian: add the mean's
+        # contribution μ·x back alongside the corrected trans (for the
+        # non-scale case this equals pairing jac_c with the raw trans).
+        shift = new_trans + jnp.einsum('bae,be->ba', mu, full_x, precision=_HI)
         verts_chunks = []
         for s, e in bounds:
             A, pos, _ = chunk_design(s, e)
             jac = A[..., :n_ext]
             verts_chunks.append(pos + jnp.einsum('bvcs,bs->bvc', jac, full_x))
-        result['vertices'] = jnp.concatenate(verts_chunks, axis=1) + new_trans[:, None]
+        result['vertices'] = (
+            jnp.concatenate(verts_chunks, axis=1) + shift[:, None]
+        )
 
     return result
 
@@ -1192,16 +1228,30 @@ def fit_scale_and_translation(
 # ---------------------------------------------------------------------------
 
 
-def _center_targets(target_vertices, target_joints):
+def _center_targets(target_vertices, target_joints, full_mean: bool = False):
     """Shift targets to a body-centered origin (f32 conditioning for the raw
-    part moments). ANY center works — it is exactly compensated by adding
-    ``target_mean`` back to the fitted translation — so with joints given the
-    joints-mean is used: same conditioning, (B, J, 3) reduce instead of a full
-    (B, V, 3) HBM pass."""
+    part moments). For non-scale fits ANY center works — it is exactly
+    compensated by adding ``target_mean`` back to the fitted translation — so
+    with joints given the joints-mean is used: same conditioning, (B, J, 3)
+    reduce instead of a full (B, V, 3) HBM pass.
+
+    ``full_mean`` selects the reference's concatenated vertices+joints mean
+    (np/bodyfitter.py:469-474 there). REQUIRED for scale configurations: the
+    reference's scale compensation (trans += mean*s or mean/s) is not a
+    centering invariance — its solve-level trans scales with slope 1 in the
+    center, not s — so the published scale_target/scale_fit results depend on
+    the reference's own center and parity demands the same one."""
     if target_joints is None:
         target_mean = jnp.mean(target_vertices, axis=1)
         return target_vertices - target_mean[:, None], None, target_mean
-    target_mean = jnp.mean(target_joints, axis=1)
+    if full_mean:
+        V = target_vertices.shape[1]
+        J = target_joints.shape[1]
+        target_mean = (
+            jnp.sum(target_vertices, axis=1) + jnp.sum(target_joints, axis=1)
+        ) / (V + J)
+    else:
+        target_mean = jnp.mean(target_joints, axis=1)
     return (
         target_vertices - target_mean[:, None],
         target_joints - target_mean[:, None],
@@ -1465,7 +1515,8 @@ class BodyFitter:
             target_vertices.shape[0], vertex_weights, joint_weights
         )
         target_vertices, target_joints, target_mean = _center_targets(
-            target_vertices, target_joints
+            target_vertices, target_joints,
+            full_mean=scale_target or scale_fit,
         )
         # With the fused vertex-major kernels active, the shape solve hands its
         # reconstructed reference meshes to the rotation fits in vertex-major
@@ -1933,7 +1984,8 @@ class BodyFitter:
             if target_joints is not None:
                 target_joints = jnp.asarray(target_joints)
             target_vertices, target_joints, target_mean = _center_targets(
-                target_vertices, target_joints
+                target_vertices, target_joints,
+                full_mean=scale_target or scale_fit,
             )
             from .bodymodel import fk_rotations
 

@@ -821,11 +821,13 @@ def _solve_tail(
     beta_regularizer, beta_regularizer2, kid_regularizer, share_beta,
     beta_regularizer_reference, kid_regularizer_reference,
     requested_keys, interpret,
+    trans_shift_jac=None,
 ) -> dict:
     """Regularize, solve the augmented [betas(,kid), trans] system and build
     the lane-major result dict (shared by the moment-assembled and the
     runtime-weighted solves). G (B, E, E), SA (B, 3, E), r (B, E), Sb (B, 3),
-    W (B,); ``pre`` per :func:`_fk_ext_prelude`."""
+    W (B,); ``pre`` per :func:`_fk_ext_prelude`. ``trans_shift_jac`` (B, 3, E)
+    undoes a Jacobian-mean centering: t = t' − μᵀx."""
     glob_lm = pre['glob_lm']
     rel9, rot_params_cols = pre['rel9'], pre['rot_params_cols']
     p_j, P4, t_lm, T4 = pre['p_j'], pre['P4'], pre['t_lm'], pre['T4']
@@ -881,6 +883,10 @@ def _solve_tail(
     new_shape = sol[:, :n_betas]
     new_kid_factor = sol[:, n_betas] if plan.enable_kid else None
     new_trans = sol[:, E:]
+    if trans_shift_jac is not None:
+        new_trans = new_trans - jnp.einsum(
+            'bae,be->ba', trans_shift_jac, sol[:, :E], precision=_HI
+        )
 
     result = dict(
         shape_betas=new_shape,
@@ -947,6 +953,41 @@ def _solve_tail(
     return result
 
 
+def weighted_jac_mean_lm(bm, gram: GramData, glob_lm, T4, omega_vm):
+    """ω-weighted mean of the per-vertex beta-Jacobian, (3, E, B), plus the
+    weight sum (B,). Exact via ONE runtime-moment GEMM (``gram.Msd``ᵀ ω):
+
+        Σ_v ω jac[a,e] = Σ_{j,c} R[a,c,j] (Σ_v ω w_vj SD_v[c,e]) + Σ_j T4 m_j.
+
+    Used to CENTER the weighted normal equations: the Jacobian's per-joint
+    translation columns carry a large common mode across vertices, and
+    accumulating the uncentered f32 Gramian loses ~3 digits through the
+    translation-elimination cancellation (the reference centers explicitly,
+    np/bodyfitter.py:758-762 there; the unweighted moment path avoids it via
+    f64 host moments)."""
+    J = bm.num_joints
+    E = gram.n_ext
+    B = glob_lm.shape[2]
+    Lm = jnp.einsum('vp,vb->pb', gram.Msd, omega_vm, precision=_HI).reshape(
+        J, 3, E, B
+    )
+    m_j = jnp.einsum('vj,vb->jb', bm.weights, omega_vm, precision=_HI)
+    w_tot = jnp.sum(omega_vm, axis=0)  # (B,)
+    mu = jnp.stack(
+        [
+            sum(
+                jnp.einsum('jeb,jb->eb', Lm[:, c], glob_lm[a * 3 + c],
+                           precision=_HI)
+                for c in range(3)
+            )
+            + jnp.einsum('ejb,jb->eb', T4[a], m_j, precision=_HI)
+            for a in range(3)
+        ],
+        axis=0,
+    )  # (3, E, B)
+    return mu / jnp.maximum(w_tot, 1e-12), w_tot
+
+
 def fit_shape_wgram_lm(
     bm,
     plan,
@@ -983,9 +1024,14 @@ def fit_shape_wgram_lm(
     pre = _fk_ext_prelude(bm, plan, glob_lm, dtype)
     T4 = pre['T4']
     t4_cm = T4.reshape(3 * E, bm.num_joints, batch)  # rows (a, e) a-major
+    # Center the Jacobian by its exact ω-weighted mean (the equivalent change
+    # of variables t' = t + μᵀx): the translation columns' common mode would
+    # otherwise cancel catastrophically in f32 during trans elimination.
+    mu, _ = weighted_jac_mean_lm(bm, gram, glob_lm, T4, omega_vm)  # (3, E, B)
     Gk, SAk, rk, Sbk, Wk = lbs_kernels.wgram_moments(
         tgt_vm, pre['pj_cm'], pre['feat_cols'], t4_cm,
-        gram.weights_pad, gram.consts_pose, gram.sd_cm, omega_vm,
+        gram.weights_pad, gram.consts_pose, gram.sd_cm,
+        mu.reshape(3 * E, batch), omega_vm,
         interpret=interpret,
     )
     G = Gk.T.reshape(batch, E, E)
@@ -995,13 +1041,15 @@ def fit_shape_wgram_lm(
     W = Wk[0]
 
     if tj_lm is not None:
-        # Runtime-jw joints block (small (3, E, J, B) contractions).
+        # Runtime-jw joints block (small (3, E, J, B) contractions), in the
+        # same centered variables (P4 − μ).
         p_j, P4 = pre['p_j'], pre['P4']
         bJ = tj_lm - p_j  # (3, J, B)
-        P4w = P4 * jw_lm[None, None]
-        G = G + jnp.einsum('aejb,afjb->bef', P4w, P4, precision=_HI)
+        P4c = P4 - mu[:, :, None, :]
+        P4w = P4c * jw_lm[None, None]
+        G = G + jnp.einsum('aejb,afjb->bef', P4w, P4c, precision=_HI)
         r = r + jnp.einsum('aejb,ajb->be', P4w, bJ, precision=_HI)
-        SA = SA + jnp.einsum('aejb,jb->bae', P4, jw_lm, precision=_HI)
+        SA = SA + jnp.einsum('aejb,jb->bae', P4c, jw_lm, precision=_HI)
         Sb = Sb + jnp.einsum('ajb,jb->ba', bJ, jw_lm, precision=_HI)
         W = W + jnp.sum(jw_lm, axis=0)
 
@@ -1010,6 +1058,7 @@ def fit_shape_wgram_lm(
         beta_regularizer, beta_regularizer2, kid_regularizer, share_beta,
         beta_regularizer_reference, kid_regularizer_reference,
         requested_keys, interpret,
+        trans_shift_jac=jnp.transpose(mu, (2, 0, 1)),  # (B, 3, E)
     )
 
 

@@ -1599,7 +1599,8 @@ def gram_assembly(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
 
 
 def _wgram_kernel(nchunks, rem, E, *refs):
-    (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref, t4p_ref, om_ref,
+    (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref, t4p_ref,
+     mu_ref, om_ref,
      g_ref, sa_ref, r_ref, sb_ref, w_ref) = refs
     k = pl.program_id(1)
 
@@ -1620,13 +1621,20 @@ def _wgram_kernel(nchunks, rem, E, *refs):
     ]
     wb = [om * b[a] for a in range(3)]
 
-    # jac[a][e] (VC, TB) = Σ_c R̄[a,c] SD[c,e] + T̄[a,e]; T̄ via K-packed
-    # single-pass blends (same 6J contraction as the [R|t] blends).
+    # jac[a][e] (VC, TB) = Σ_c R̄[a,c] SD[c,e] + T̄[a,e] − μ[a,e]; T̄ via
+    # K-packed single-pass blends (same 6J contraction as the [R|t] blends).
+    # μ is the exact ω-weighted Jacobian mean: centering removes the
+    # translation columns' common mode, whose f32 cancellation in the
+    # trans-elimination Schur step otherwise costs ~3 digits. Pad rows
+    # become −μ, but every reduction below gates them through masked ω.
     jac = []
     for a in range(3):
         row = []
         for e in range(E):
-            t_ae = _dot1(wp, t4p_ref[a * E + e], _MM)
+            t_ae = (
+                _dot1(wp, t4p_ref[a * E + e], _MM)
+                - mu_ref[a * E + e:a * E + e + 1]
+            )
             for c in range(3):
                 sd_col = sd_ref[c][:, e:e + 1]  # (VC, 1)
                 t_ae = t_ae + blend[a * 4 + c] * sd_col
@@ -1669,7 +1677,7 @@ def _wgram_kernel(nchunks, rem, E, *refs):
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
-                  sd_cm, omega_vm, interpret: bool = False):
+                  sd_cm, mu_cm, omega_vm, interpret: bool = False):
     """Runtime-ω shape-solve normal equations (see the section comment).
 
     Args:
@@ -1680,9 +1688,14 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
         weights_pad: (V_pad, J) skinning weights (zero rows in padding).
         consts_pad: (4, V_pad, F) homogeneous template projector.
         sd_cm: (3, V_pad, E) shape directions, component-major.
+        mu_cm: (3E, B) ω-weighted Jacobian mean, rows (a, e) a-major —
+            subtracted from every per-vertex Jacobian (centering; see
+            models/shape_gram.weighted_jac_mean_lm). Pass zeros to disable.
         omega_vm: (V, B) runtime per-vertex fit weights.
 
-    Returns G (E*E, B), SA (3E, B), r (E, B), Sb (3, B), W (1, B).
+    Returns G (E*E, B), SA (3E, B), r (E, B), Sb (3, B), W (1, B) of the
+    CENTERED system; the caller recovers the true translation as
+    t = t' − μᵀx after the solve.
 
     No custom VJP: runtime-weighted fits follow ``autodiff_policy`` and fall
     back to the streamed XLA solve under gradient traces.
@@ -1715,6 +1728,7 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
             pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * E, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((VC, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1732,4 +1746,4 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ],
         interpret=interpret,
-    )(tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm, t4p, omega_vm)
+    )(tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm, t4p, mu_cm, omega_vm)

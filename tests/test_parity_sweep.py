@@ -1,0 +1,165 @@
+"""Combinatorial semantic parity sweep vs the reference NumPy oracle.
+
+Single-feature parity is covered file by file; this sweep targets the
+INTERACTIONS (weights x share_beta x scale x kid x warm start x joints),
+where solver-routing rules multiply — the class of bug that produced the
+shared-pull discrepancy (see TestSharedPullSemantics). Each configuration is
+fitted by the reference np backend and by BOTH our formulations (batch-major
+XLA and, where the configuration is kernel-eligible, the lane-major kernels
+in interpret mode), on the same synthetic targets.
+
+Thresholds are loose-ish (f32 vs f64 reduction orders amplified by the
+iterative fit — the reference documents the chaos at pt/bodyfitter.py:250-255
+there); what they catch is SEMANTIC divergence (wrong weighting/regularizer/
+path routing), which shows up orders of magnitude above noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import random_params
+
+BETA_TOL = 2e-3
+TRANS_TOL = 2e-3
+POSE_TOL = 8e-3
+
+# (name, kid, config-kwargs-builder inputs): each entry toggles a combination
+# of axes. 'weights' adds per-call vertex+joint weights; 'warm' adds
+# initial pose+betas (+kid); scale is 'target'/'fit'/None.
+SWEEP = [
+    dict(name='w_share', weights=True, share=True),
+    dict(name='w_share_kid', weights=True, share=True, kid=True),
+    dict(name='w_kid', weights=True, kid=True),
+    dict(name='share_kid', share=True, kid=True),
+    dict(name='scale_t_kid', scale='target', kid=True),
+    dict(name='scale_f_kid', scale='fit', kid=True),
+    dict(name='scale_t_share', scale='target', share=True),
+    dict(name='scale_f_share', scale='fit', share=True),
+    dict(name='scale_t_w', scale='target', weights=True),
+    dict(name='warm_kid', warm=True, kid=True),
+    dict(name='warm_share_kid', warm=True, share=True, kid=True),
+    dict(name='warm_w', warm=True, weights=True),
+    dict(name='warm_scale_t', warm=True, scale='target'),
+    dict(name='w_share_nojoints', weights=True, share=True, joints=False),
+    dict(name='warm_nojoints', warm=True, joints=False),
+    dict(name='scale_f_nojoints', scale='fit', joints=False),
+]
+
+
+@pytest.fixture(scope='module')
+def sweep_data(smpl_model):
+    pose, betas, trans = random_params(8, seed=77, pose_std=0.1)
+    rng = np.random.RandomState(77)
+    kid = rng.rand(8).astype(np.float32) * 0.5
+    res_plain = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+    res_kid = smpl_model(pose_rotvecs=pose, shape_betas=betas, kid_factor=kid)
+    vw = (0.2 + rng.rand(8, smpl_model.num_vertices)).astype(np.float32)
+    jw = (0.2 + rng.rand(8, smpl_model.num_joints)).astype(np.float32)
+    warm_pose = pose + rng.randn(*pose.shape).astype(np.float32) * 0.05
+    return dict(
+        pose=pose, betas=betas, kid=kid,
+        tv=np.asarray(res_plain['vertices']).copy(),
+        tj=np.asarray(res_plain['joints']).copy(),
+        tv_kid=np.asarray(res_kid['vertices']).copy(),
+        tj_kid=np.asarray(res_kid['joints']).copy(),
+        vw=vw, jw=jw, warm_pose=warm_pose,
+    )
+
+
+def _build_kwargs(cfg, d):
+    use_kid = cfg.get('kid', False)
+    tv = d['tv_kid'] if use_kid else d['tv']
+    tj = d['tj_kid'] if use_kid else d['tj']
+    scale = cfg.get('scale')
+    if scale:
+        tv = tv * 1.08
+        tj = tj * 1.08
+    kw = dict(
+        num_iter=2,
+        beta_regularizer=0.5,
+        requested_keys=['pose_rotvecs', 'shape_betas', 'trans'],
+    )
+    if cfg.get('joints', True):
+        kw['target_joints'] = tj
+    if cfg.get('weights'):
+        kw['vertex_weights'] = d['vw']
+        if cfg.get('joints', True):
+            kw['joint_weights'] = d['jw']
+    if cfg.get('share'):
+        kw['share_beta'] = True
+    if scale == 'target':
+        kw['scale_target'] = True
+    elif scale == 'fit':
+        kw['scale_fit'] = True
+    if use_kid:
+        kw['kid_regularizer'] = 0.1
+    if cfg.get('warm'):
+        kw['initial_pose_rotvecs'] = d['warm_pose']
+        kw['initial_shape_betas'] = d['betas']
+        if use_kid:
+            kw['initial_kid_factor'] = d['kid']
+    return tv, kw, use_kid
+
+
+@pytest.mark.parametrize('cfg', SWEEP, ids=[c['name'] for c in SWEEP])
+def test_config_matches_oracle(cfg, smpl_model, sweep_data, reference_np,
+                               body_models_dir):
+    from smplfitter_tpu import BodyFitter
+    from smplfitter_tpu.ops import lbs_kernels
+
+    tv, kw, use_kid = _build_kwargs(cfg, sweep_data)
+    if cfg.get('weights'):
+        # For WEIGHTED solves the np backend is the reference-internal
+        # outlier: it centers by the UNWEIGHTED row mean and recovers trans
+        # from it (np/bodyfitter.py:759-762 there), which is not the weighted
+        # optimum; the pt flagship centers by the weighted mean
+        # (pt/bodyfitter.py:1200-1212), equivalent to our exact joint
+        # [betas, trans] elimination. Use the flagship as the oracle here.
+        import torch
+        import smplfitter.pt as reference_pt
+
+        rbm = reference_pt.BodyModel(
+            'smpl', 'neutral', model_root=str(body_models_dir) + '/smpl'
+        )
+        rfitter = reference_pt.BodyFitter(rbm, enable_kid=use_kid)
+        with torch.no_grad():
+            oracle_t = rfitter.fit(
+                torch.as_tensor(tv),
+                **{
+                    k: (torch.as_tensor(v) if isinstance(v, np.ndarray) else v)
+                    for k, v in kw.items()
+                },
+            )
+        oracle = {k: v.numpy() for k, v in oracle_t.items()}
+    else:
+        rbm = reference_np.BodyModel('smpl', 'neutral')
+        rfitter = reference_np.BodyFitter(rbm, enable_kid=use_kid)
+        # The reference np warm-start path forgets to set this attribute.
+        rfitter.vertex_subset = np.arange(smpl_model.num_vertices)
+        oracle = rfitter.fit(tv, **{k: v for k, v in kw.items()})
+
+    fitter = BodyFitter(smpl_model, enable_kid=use_kid)
+    got_xla = fitter.fit(tv, use_kernels=False, **kw)
+    lbs_kernels.FORCE_INTERPRET = True
+    try:
+        got_lm = fitter.fit(tv, **kw)
+    finally:
+        lbs_kernels.FORCE_INTERPRET = False
+
+    for label, got in (('xla', got_xla), ('lm', got_lm)):
+        for key, tol in (
+            ('shape_betas', BETA_TOL),
+            ('trans', TRANS_TOL),
+            ('pose_rotvecs', POSE_TOL),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(got[key]), np.asarray(oracle[key]), atol=tol,
+                err_msg=f'{cfg["name"]} [{label}] {key}',
+            )
+        if cfg.get('scale'):
+            np.testing.assert_allclose(
+                np.asarray(got['scale_corr']), np.asarray(oracle['scale_corr']),
+                atol=5e-3, err_msg=f'{cfg["name"]} [{label}] scale_corr',
+            )
