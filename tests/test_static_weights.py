@@ -489,3 +489,44 @@ class TestWeightedKernels:
             np.testing.assert_allclose(
                 np.asarray(g1) / scale, np.asarray(g2) / scale, atol=6e-4
             )
+
+
+class TestRuntimeOmegaEdgeMasking:
+    def test_weighted_lm_non_divisible_subset(self, body_models_dir):
+        """Runtime (V, B) ω with a vertex count that is NOT a multiple of the
+        kernel chunk (V=600 → 88-row edge chunk): exercises the in-kernel ω
+        edge masking on part_sums/rhs/wgram vs the batch-major solve."""
+        import numpy as np
+
+        from smplfitter_tpu import BodyFitter, BodyModel
+        from smplfitter_tpu.ops import lbs_kernels
+
+        rng = np.random.RandomState(88)
+        full_v = BodyModel('smpl', 'neutral').num_vertices
+        n_sub = min(600, full_v - 8)
+        assert n_sub % 256 != 0, 'need a non-chunk-divisible vertex count'
+        subset = np.sort(rng.choice(full_v, n_sub, replace=False))
+        bm = BodyModel('smpl', 'neutral', vertex_subset=subset)
+        fitter = BodyFitter(bm)
+        B = 8
+        pose = rng.randn(B, bm.num_joints * 3).astype(np.float32) * 0.1
+        betas = rng.randn(B, 10).astype(np.float32)
+        res = bm(pose_rotvecs=pose, shape_betas=betas)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+        vw = (0.2 + rng.rand(B, bm.num_vertices)).astype(np.float32)
+        jw = (0.2 + rng.rand(B, bm.num_joints)).astype(np.float32)
+        kw = dict(
+            target_joints=tj, vertex_weights=vw, joint_weights=jw,
+            num_iter=2, beta_regularizer=0.5,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+        )
+        ref = fitter.fit(tv, **kw)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            got = fitter.fit(tv, **kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        for k in ('shape_betas', 'trans', 'pose_rotvecs'):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), atol=3e-3, err_msg=k
+            )
