@@ -312,25 +312,37 @@ def login_and_download(opener, domain: str, remote_file: str, dest_path: str,
     ).encode()
     os.makedirs(osp.dirname(dest_path) or '.', exist_ok=True)
     req = urllib.request.Request(url, data=data)
-    with opener.open(req) as resp, open(dest_path, 'wb') as out:
-        ctype = resp.headers.get('Content-Type', '')
-        if 'text/html' in ctype:
-            raise RuntimeError(
-                f'Login failed for domain {domain!r} — check credentials '
-                f'(registered at {REGISTRATION_URLS.get(domain, "?")}?)'
-            )
-        total = int(resp.headers.get('Content-Length', 0))
-        done = 0
-        while True:
-            chunk = resp.read(1 << 20)
-            if not chunk:
-                break
-            out.write(chunk)
-            done += len(chunk)
+    # Download to a temp path and rename into place only on success: a failed
+    # login or dropped connection must not leave a partial file that later
+    # runs' existence checks treat as installed.
+    tmp_path = dest_path + '.part'
+    try:
+        with opener.open(req) as resp, open(tmp_path, 'wb') as out:
+            ctype = resp.headers.get('Content-Type', '')
+            if 'text/html' in ctype:
+                raise RuntimeError(
+                    f'Login failed for domain {domain!r} — check credentials '
+                    f'(registered at {REGISTRATION_URLS.get(domain, "?")}?)'
+                )
+            total = int(resp.headers.get('Content-Length', 0))
+            done = 0
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+                done += len(chunk)
+                if total:
+                    print(
+                        f'\r  {remote_file}: {done * 100 // total}%',
+                        end='', flush=True,
+                    )
             if total:
-                print(f'\r  {remote_file}: {done * 100 // total}%', end='', flush=True)
-        if total:
-            print()
+                print()
+        os.replace(tmp_path, dest_path)
+    finally:
+        if osp.exists(tmp_path):
+            os.remove(tmp_path)
 
 
 def install_remote_archive(opener, asset: ArchiveAsset, body_models_dir: str,

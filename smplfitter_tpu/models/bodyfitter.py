@@ -951,8 +951,8 @@ def fit_shape_streamed(
     """Weighted shape solve with CHUNKED normal-equations accumulation.
 
     Solves the same weighted ridge system as the dense :func:`fit_shape` path,
-    but never materializes the (B, V, 3, P) design matrix: a ``lax.scan`` over
-    vertex chunks accumulates the (P, P) Gramian, the per-component weighted
+    but never materializes the (B, V, 3, P) design matrix: an unrolled loop
+    over vertex chunks accumulates the (P, P) Gramian, the per-component weighted
     column sums, the moment and the weighted target sums, then solves the
     TRANSLATION-AUGMENTED (P+3) SPD system. Augmenting with the translation
     columns is algebraically identical to the dense path's weighted-mean
@@ -1363,6 +1363,16 @@ class BodyFitter:
         jw_solve = self.static_jw if (use_wgram and has_joints) else None
         return gram, jw_solve
 
+    def _check_no_mixed_weights(self, vertex_weights, joint_weights) -> None:
+        if (self.static_vw is not None or self.static_jw is not None) and (
+            vertex_weights is not None or joint_weights is not None
+        ):
+            raise ValueError(
+                'this fitter was constructed with static vertex/joint weights; '
+                'per-call weights cannot be combined with them — construct an '
+                'unweighted BodyFitter for per-call weighting'
+            )
+
     def _resolve_use_kernels(self, use_kernels, method_name, *arrays) -> bool:
         """Apply ``lbs_kernels.autodiff_policy`` to a fit entry point: under a
         Python-level autodiff trace the fused-kernel path silently falls back
@@ -1434,14 +1444,7 @@ class BodyFitter:
         (default) silently uses the pure-XLA formulation, ``'kernels'`` keeps
         the fused backward kernels, ``'error'`` raises. See docs/howto.md
         "Differentiate through the fit"."""
-        if (self.static_vw is not None or self.static_jw is not None) and (
-            vertex_weights is not None or joint_weights is not None
-        ):
-            raise ValueError(
-                'this fitter was constructed with static vertex/joint weights; '
-                'per-call weights cannot be combined with them — construct an '
-                'unweighted BodyFitter for per-call weighting'
-            )
+        self._check_no_mixed_weights(vertex_weights, joint_weights)
 
         use_kernels = self._resolve_use_kernels(
             use_kernels, 'fit',
@@ -1947,6 +1950,7 @@ class BodyFitter:
         ``use_kernels`` / ``lbs_kernels.autodiff_policy`` behave exactly as on
         :meth:`fit` (the fused-kernel path falls back to pure XLA under
         autodiff traces by default)."""
+        self._check_no_mixed_weights(vertex_weights, joint_weights)
         use_kernels = self._resolve_use_kernels(
             use_kernels, 'fit_with_known_pose',
             pose_rotvecs, target_vertices, target_joints,
@@ -2109,6 +2113,7 @@ class BodyFitter:
         ``use_kernels`` / ``lbs_kernels.autodiff_policy`` behave exactly as on
         :meth:`fit` (the fused-kernel path falls back to pure XLA under
         autodiff traces by default)."""
+        self._check_no_mixed_weights(vertex_weights, joint_weights)
         use_kernels = self._resolve_use_kernels(
             use_kernels, 'fit_with_known_shape',
             shape_betas, target_vertices, target_joints,

@@ -20,7 +20,15 @@ def mesh():
     from smplfitter_tpu.parallel import make_mesh
 
     if len(jax.devices()) != 8:
-        pytest.skip('needs the 8-device virtual mesh (default conftest CPU mode)')
+        # On the CPU conftest the 8-device virtual mesh is guaranteed — a
+        # shortfall there is a provisioning REGRESSION, not a skip condition
+        # (the sharding suite guards the only cross-chip collective).
+        if jax.default_backend() == 'cpu':
+            pytest.fail(
+                'conftest should have provisioned 8 virtual CPU devices, got '
+                f'{len(jax.devices())}'
+            )
+        pytest.skip('needs the 8-device virtual mesh (CPU conftest mode)')
     return make_mesh()
 
 
