@@ -1259,6 +1259,38 @@ def _center_targets(target_vertices, target_joints, full_mean: bool = False):
     )
 
 
+def _pad_batch(pad: int, batch: int, *arrays):
+    """Replicate each array's last instance ``pad`` times along axis 0.
+
+    Only arrays whose leading dim equals ``batch`` are padded (per-instance
+    operands); scalars, None and broadcast operands pass through. Replication
+    (rather than zero fill) keeps the padded lanes' per-instance solves
+    well-conditioned — their outputs are discarded by :func:`_slice_batch`.
+    """
+
+    def p(a):
+        if a is None:
+            return None
+        a = jnp.asarray(a)
+        if a.ndim == 0 or a.shape[0] != batch:
+            return a
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad, *a.shape[1:]))], axis=0
+        )
+
+    return [p(a) for a in arrays]
+
+
+def _slice_batch(result: dict, batch: int, padded: int) -> dict:
+    """Drop the padded instances from every batch-leading result array."""
+    return {
+        k: v[:batch]
+        if isinstance(v, jax.Array) and v.ndim >= 1 and v.shape[0] == padded
+        else v
+        for k, v in result.items()
+    }
+
+
 class BodyFitter:
     """Fits body model parameters to target vertices and optionally joints.
 
@@ -1437,7 +1469,10 @@ class BodyFitter:
         kernels of the same structure), so the fast path is differentiable.
         ``use_kernels=False`` selects the pure-XLA formulation — identical
         math; useful as a fallback when the compiler balks at very large
-        gradient graphs, and automatic on CPU/odd batch sizes.
+        gradient graphs, and automatic on CPU. Batch sizes that are not a
+        multiple of the 8-wide kernel batch tile ride the kernels via
+        last-instance padding (share_beta excluded — its summed Gramian
+        couples instances).
 
         When this method is traced under autodiff (``jax.grad``/``jax.vjp``),
         ``lbs_kernels.autodiff_policy`` governs the path: ``'fallback'``
@@ -1501,17 +1536,41 @@ class BodyFitter:
         # the fused kernels' native layouts — no (B, J, 3, 3) relayouts.
         # Per-call vertex weights ride it too: runtime ω part sums and the
         # weighted-Gramian kernel (lbs_kernels.wgram_moments).
-        if (
-            lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
-            and not (scale_target or scale_fit)
+        B = target_vertices.shape[0]
+        lm_eligible = (
+            not (scale_target or scale_fit)
             and (plan.leveladj_supported or not final_adjust_rots)
-        ):
+        )
+        if lm_eligible and lbs_kernels.kernel_mode(B) is not None:
             return self._fit_lm(
                 target_vertices, target_joints, vertex_weights, joint_weights,
                 num_iter, beta_regularizer, beta_regularizer2, kid_regularizer,
                 share_beta, final_adjust_rots, initial_pose_rotvecs,
                 initial_shape_betas, initial_kid_factor, requested_keys,
             )
+        # Arbitrary batch sizes ride the kernels too: replicate the last
+        # instance up to the 8-wide batch tile, fit, drop the padded lanes.
+        # All solves are per-instance so padding cannot change real outputs —
+        # EXCEPT share_beta, whose summed Gramian couples instances; that
+        # configuration stays batch-major at non-tile batch sizes.
+        pad = (-B) % 8
+        if (
+            pad
+            and lm_eligible
+            and not share_beta
+            and lbs_kernels.kernel_mode(B + pad) is not None
+        ):
+            tv, tj, vw, jw, ipr, isb, ikf = _pad_batch(
+                pad, B, target_vertices, target_joints, vertex_weights,
+                joint_weights, initial_pose_rotvecs, initial_shape_betas,
+                initial_kid_factor,
+            )
+            out = self._fit_lm(
+                tv, tj, vw, jw, num_iter, beta_regularizer, beta_regularizer2,
+                kid_regularizer, share_beta, final_adjust_rots, ipr, isb, ikf,
+                requested_keys,
+            )
+            return _slice_batch(out, B, B + pad)
         # Batch-major paths take static fitter weights as materialized
         # per-call arrays (broadcasts are free until consumed).
         vertex_weights, joint_weights = self._materialize_static_weights(
@@ -1970,18 +2029,38 @@ class BodyFitter:
             # solve (the reference's both-or-neither rule; known-pose has
             # no rotation fit for them to affect) — but paired with static
             # vertex weights they would, so that combo falls back.
+            B = target_vertices.shape[0]
+            pad = (-B) % 8
             if (
-                lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
-                and self._lm_weights_ok(vertex_weights, joint_weights)
+                self._lm_weights_ok(vertex_weights, joint_weights)
                 and not (scale_target or scale_fit)
             ):
-                return self._fit_with_known_pose_lm(
-                    pose_rotvecs, target_vertices, target_joints,
-                    vertex_weights, joint_weights,
-                    beta_regularizer, beta_regularizer2, kid_regularizer,
-                    share_beta, beta_regularizer_reference,
-                    kid_regularizer_reference,
-                )
+                if lbs_kernels.kernel_mode(B) is not None:
+                    return self._fit_with_known_pose_lm(
+                        pose_rotvecs, target_vertices, target_joints,
+                        vertex_weights, joint_weights,
+                        beta_regularizer, beta_regularizer2, kid_regularizer,
+                        share_beta, beta_regularizer_reference,
+                        kid_regularizer_reference,
+                    )
+                # Batch-tile padding (see _fit): per-instance solves only, so
+                # share_beta's coupled Gramian is excluded.
+                if (
+                    pad
+                    and not share_beta
+                    and lbs_kernels.kernel_mode(B + pad) is not None
+                ):
+                    pr, tv, tj, vw, jw, brr, krr = _pad_batch(
+                        pad, B, pose_rotvecs, target_vertices, target_joints,
+                        vertex_weights, joint_weights,
+                        beta_regularizer_reference, kid_regularizer_reference,
+                    )
+                    out = self._fit_with_known_pose_lm(
+                        pr, tv, tj, vw, jw,
+                        beta_regularizer, beta_regularizer2, kid_regularizer,
+                        share_beta, brr, krr,
+                    )
+                    return _slice_batch(out, B, B + pad)
             vertex_weights, joint_weights = self._materialize_static_weights(
                 target_vertices.shape[0], vertex_weights, joint_weights
             )
@@ -2131,18 +2210,33 @@ class BodyFitter:
             # when the plan carries the kid column (the spec folds it into
             # the shape features). Per-call vertex weights run the runtime-ω
             # rotation fits (no statics to mix with).
+            B = target_vertices.shape[0]
+            pad = (-B) % 8
             if (
-                lbs_kernels.kernel_mode(target_vertices.shape[0]) is not None
-                and self._lm_weights_ok(vertex_weights, joint_weights)
+                self._lm_weights_ok(vertex_weights, joint_weights)
                 and not scale_fit
                 and (kid_factor is None or plan.enable_kid)
                 and (plan.leveladj_supported or not final_adjust_rots)
             ):
-                return self._fit_with_known_shape_lm(
-                    shape_betas, target_vertices, target_joints,
-                    vertex_weights, joint_weights, kid_factor, num_iter,
-                    final_adjust_rots, initial_pose_rotvecs, requested_keys,
-                )
+                if lbs_kernels.kernel_mode(B) is not None:
+                    return self._fit_with_known_shape_lm(
+                        shape_betas, target_vertices, target_joints,
+                        vertex_weights, joint_weights, kid_factor, num_iter,
+                        final_adjust_rots, initial_pose_rotvecs, requested_keys,
+                    )
+                # Batch-tile padding (see _fit); known-shape has no
+                # cross-instance coupling at all.
+                if pad and lbs_kernels.kernel_mode(B + pad) is not None:
+                    sb, tv, tj, vw, jw, kf, ipr = _pad_batch(
+                        pad, B, shape_betas, target_vertices, target_joints,
+                        vertex_weights, joint_weights, kid_factor,
+                        initial_pose_rotvecs,
+                    )
+                    out = self._fit_with_known_shape_lm(
+                        sb, tv, tj, vw, jw, kf, num_iter,
+                        final_adjust_rots, ipr, requested_keys,
+                    )
+                    return _slice_batch(out, B, B + pad)
             vertex_weights, joint_weights = self._materialize_static_weights(
                 target_vertices.shape[0], vertex_weights, joint_weights
             )
