@@ -1,12 +1,12 @@
 """TPU timings for every public fit entry point / weighting configuration.
 
-The lane-major kernel pipeline now covers plain ``fit``, static- AND
-per-call-weighted fits (runtime-ω part sums + the weighted-Gramian kernel),
-warm starts, ``share_beta``, ``fit_with_known_pose`` and
-``fit_with_known_shape``; only scale columns and non-kernel-eligible batches
-run the general XLA formulation. This measures each configuration plus the
-streamed XLA solve (``use_kernels=False``) as the explicit fallback price
-(cf. STATUS.md secondary metrics).
+The lane-major kernel pipeline now covers EVERY fit configuration: plain
+``fit``, static- AND per-call-weighted fits (runtime-ω part sums + the
+weighted-Gramian kernel), warm starts, ``share_beta`` (any batch size, via
+zero-masked padding), scale columns (including weighted+scale),
+``fit_with_known_pose`` and ``fit_with_known_shape``. This measures each
+configuration plus the streamed XLA solve (``use_kernels=False``) as the
+explicit fallback price (cf. STATUS.md secondary metrics).
 
 Usage: python benchmark/bench_fallback_paths.py [--batch 4096] [--reps 6]
 """
@@ -163,7 +163,29 @@ def main():
     try_measure(results, 'warm_start_fit', jax, fit_warm,
                 [(tv, tj, p, b) for tv, tj, p, b, _ in targets], reps)
 
-    # 5. Plain kernel-path fit for scale (the headline config).
+    # 5. Scale columns on the kernel path: plain scale_target and the
+    # (formerly streamed) weighted+scale configuration — both ride the
+    # lane-major driver now (scale column in fit_shape_gram_lm /
+    # appended in-kernel by wgram_moments).
+    fit_st = jax.jit(
+        lambda tv, tj: fitter.fit(
+            tv, tj, scale_target=True,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'scale_corr'), **common,
+        )
+    )
+    try_measure(results, 'scale_target_fit', jax, fit_st,
+                [(tv, tj) for tv, tj, *_ in targets], reps)
+
+    fit_wsf = jax.jit(
+        lambda tv, tj, vw, jw: fitter.fit(
+            tv, tj, vertex_weights=vw, joint_weights=jw, scale_fit=True,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'scale_corr'), **common,
+        )
+    )
+    try_measure(results, f'weighted_scale_fit_b{B}', jax, fit_wsf,
+                [(tv, tj, vweights, jweights) for tv, tj, *_ in targets], reps)
+
+    # 6. Plain kernel-path fit for scale (the headline config).
     fit_k = jax.jit(
         lambda tv, tj: fitter.fit(
             tv, tj, requested_keys=('pose_rotvecs', 'shape_betas', 'trans'), **common,

@@ -1,0 +1,105 @@
+"""TPU cost of differentiating THROUGH the fit (grad w.r.t. target vertices).
+
+The reference flagship backpropagates through the whole fit
+(/root/reference/tests/pt/test_fitter_grad.py:1-60). Here, under autodiff
+traces the fit follows ``lbs_kernels.autodiff_policy``: the default
+('fallback') runs the pure-XLA formulation, whose backward graph the remote
+AOT compiler handles at production batch sizes — grad-of-fit WITH backward
+kernels exceeds this environment's compile budget (see STATUS.md "Known
+gaps"). This measures the adopted fallback's real cost: compile time and
+steady-state ms/batch for value+grad of a fit loss, at small and production
+batch sizes.
+
+Usage: python benchmark/bench_grad.py [--batches 32,4096] [--reps 4]
+Writes one JSON line per batch size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--batches', type=str, default='32,4096')
+    parser.add_argument('--reps', type=int, default=4)
+    parser.add_argument('--num-iter', type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_compilation_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    import smplfitter_tpu
+    from smplfitter_tpu.utils import synthetic
+
+    models_dir = synthetic.ensure_cached_models()
+    bm = smplfitter_tpu.BodyModel('smpl', 'neutral', model_root=models_dir + '/smpl')
+    fitter = smplfitter_tpu.BodyFitter(bm)
+
+    def loss(tv, tj):
+        # Scalar loss over everything the fit publishes on its main path:
+        # forces the full backward graph through rotations + shape solve +
+        # final adjustment.
+        res = fitter.fit(
+            tv, tj, num_iter=args.num_iter, beta_regularizer=1.0,
+            final_adjust_rots=True,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+        )
+        return (
+            jnp.sum(res['shape_betas'] ** 2)
+            + jnp.sum(res['trans'] ** 2)
+            + jnp.sum(res['pose_rotvecs'] ** 2)
+        )
+
+    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+
+    rng = np.random.default_rng(0)
+    fwd = jax.jit(lambda p, b, t: bm(pose_rotvecs=p, shape_betas=b, trans=t))
+
+    for B in [int(x) for x in args.batches.split(',')]:
+        targets = []
+        for _ in range(args.reps):
+            pose = rng.normal(0, 0.3, (B, 72)).astype(np.float32)
+            betas = rng.normal(0, 1, (B, 10)).astype(np.float32)
+            trans = rng.normal(0, 0.5, (B, 3)).astype(np.float32)
+            res = fwd(pose, betas, trans)
+            targets.append((res['vertices'], res['joints']))
+        jax.block_until_ready(targets)
+
+        t0 = time.perf_counter()
+        out = vg(*targets[0])
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+
+        # Pipelined steady state over distinct inputs (memoizing runtime).
+        t0 = time.perf_counter()
+        outs = [vg(*t) for t in targets]
+        jax.block_until_ready(outs)
+        ms = (time.perf_counter() - t0) / args.reps * 1e3
+
+        g0 = np.asarray(outs[0][1][0])
+        finite = bool(np.isfinite(g0).all())
+        nonzero = bool(np.abs(g0).max() > 0)
+        print(json.dumps(dict(
+            metric='grad_of_fit', batch=B, num_iter=args.num_iter,
+            compile_s=round(compile_s, 1), ms_per_batch=round(ms, 2),
+            fits_per_s=round(B / ms * 1e3),
+            grad_finite=finite, grad_nonzero=nonzero,
+            policy='fallback (pure-XLA backward)',
+            device=jax.devices()[0].device_kind,
+        )), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -69,7 +69,7 @@ def make_inputs(bm, batch, n_sets, rng, pose_std=0.3):
     return sets
 
 
-def bench_forward(conn, bm, batch_sizes, n_sets, device):
+def bench_forward(conn, bm, batch_sizes, n_sets, device, model='smpl'):
     import jax
     import jax.numpy as jnp
 
@@ -83,13 +83,14 @@ def bench_forward(conn, bm, batch_sizes, n_sets, device):
             sets = make_inputs(bm, batch, n_sets, rng)
             argsets = [(jnp.asarray(p), jnp.asarray(b)) for p, b, _ in sets]
             sec = measure_pipelined(fwd, argsets)
-            cfg = dict(return_vertices=return_vertices)
+            cfg = dict(return_vertices=return_vertices, model=model)
             record(conn, 'forward', cfg, batch, batch / sec, sec * 1e3, device)
             print(f'forward vertices={return_vertices} b={batch}: '
                   f'{batch / sec:,.0f}/s ({sec * 1e3:.2f} ms)')
 
 
-def bench_fit(conn, bm, fitter, batch_sizes, n_sets, device, methods):
+def bench_fit(conn, bm, fitter, batch_sizes, n_sets, device, methods,
+              model='smpl'):
     import jax
 
     for method in methods:
@@ -146,14 +147,52 @@ def bench_fit(conn, bm, fitter, batch_sizes, n_sets, device, methods):
             else:
                 raise ValueError(method)
             sec = measure_pipelined(f, argsets)
-            record(conn, method, {}, batch, batch / sec, sec * 1e3, device)
+            record(conn, method, dict(model=model), batch, batch / sec,
+                   sec * 1e3, device)
             print(f'{method} b={batch}: {batch / sec:,.0f} fits/s ({sec * 1e3:.1f} ms)')
+
+
+def bench_latency(conn, bm, fitter, batch_sizes, n_sets, device,
+                  model='smpl'):
+    """Single-call LATENCY (block every dispatch) — the small-batch regime.
+
+    Unlike the pipelined throughput numbers, this includes the full
+    dispatch+sync round trip per call (this environment's remote tunnel has a
+    ~25 ms dispatch floor; on a locally attached TPU the floor is the XLA
+    dispatch overhead, ~100 µs). Reported as the median over ``n_sets``
+    distinct-input calls. Buffers are donated where the entry point allows.
+    """
+    import jax
+
+    for batch in batch_sizes:
+        rng = np.random.default_rng(batch)
+        sets = make_inputs(bm, batch, max(n_sets, 8), rng)
+        f = jax.jit(
+            lambda tv, tj: fitter.fit(
+                tv, tj, num_iter=3, beta_regularizer=1.0,
+                final_adjust_rots=True,
+                requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+            ),
+            donate_argnums=(0, 1),
+        )
+        argsets = [(r['vertices'], r['joints']) for _, _, r in sets]
+        jax.block_until_ready(f(*argsets[0]))  # compile (consumes set 0)
+        times = []
+        for args in argsets[1:]:
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*args))
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        record(conn, 'fit_latency', dict(mode='blocking', model=model), batch,
+               batch / med, med * 1e3, device)
+        print(f'fit_latency b={batch}: median {med * 1e3:.2f} ms/call '
+              f'({batch / med:,.0f} fits/s serialized)')
 
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument('--suite', nargs='*', default=['forward', 'fit'],
-                        choices=['forward', 'fit'])
+                        choices=['forward', 'fit', 'latency'])
     parser.add_argument('--batch-sizes', nargs='*', type=int,
                         default=[32, 256, 1024, 4096])
     parser.add_argument('--fit-methods', nargs='*',
@@ -179,7 +218,17 @@ def main(argv=None) -> int:
     if args.synthetic and model_root is None:
         from smplfitter_tpu.utils import synthetic
 
-        model_root = os.path.join(synthetic.ensure_cached_models(), args.model)
+        cache = synthetic.ensure_cached_models()
+        model_root = os.path.join(cache, args.model)
+        if not os.path.isdir(model_root):
+            # Real tensor shapes for the non-default model families so FLOP
+            # counts match the licensed models: MANO V=778/J=16,
+            # SMPL-X V=10475/J=55, SMPL+H V=6890/J=52.
+            real_v = dict(mano=778, smplx=10475, smplh16=6890)[args.model]
+            n_betas = dict(mano=10, smplx=16, smplh16=16)[args.model]
+            synthetic.write_model_files(
+                cache, args.model, num_vertices=real_v, num_betas=n_betas
+            )
 
     bm = smplfitter_tpu.BodyModel(args.model, 'neutral', model_root)
     fitter = smplfitter_tpu.BodyFitter(bm)
@@ -187,10 +236,14 @@ def main(argv=None) -> int:
 
     conn = init_db(args.db)
     if 'forward' in args.suite:
-        bench_forward(conn, bm, args.batch_sizes, args.n_sets, device)
+        bench_forward(conn, bm, args.batch_sizes, args.n_sets, device,
+                      model=args.model)
     if 'fit' in args.suite:
         bench_fit(conn, bm, fitter, args.batch_sizes, args.n_sets, device,
-                  args.fit_methods)
+                  args.fit_methods, model=args.model)
+    if 'latency' in args.suite:
+        bench_latency(conn, bm, fitter, args.batch_sizes, args.n_sets,
+                      device, model=args.model)
     return 0
 
 

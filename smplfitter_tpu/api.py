@@ -70,7 +70,8 @@ def get_cached_fit_fn(
     fitter = BodyFitter(body_model, enable_kid=enable_kid)
 
     @functools.partial(jax.jit, static_argnames=())
-    def fit_fn(verts, joints=None, vertex_weights=None, joint_weights=None):
+    def fit_fn(verts, joints=None, vertex_weights=None, joint_weights=None,
+               batch_mask=None):
         return fitter.fit(
             verts,
             target_joints=joints,
@@ -86,6 +87,7 @@ def get_cached_fit_fn(
             scale_target=scale_target,
             scale_fit=scale_fit,
             requested_keys=requested_keys,
+            batch_mask=batch_mask,
         )
 
     V = body_model.num_vertices
@@ -105,4 +107,57 @@ def get_cached_fit_fn(
         res = fit_fn(verts_resh, joints_resh, vw_resh, jw_resh)
         return {k: v.reshape(*lead, *v.shape[1:]) for k, v in res.items()}
 
+    def ragged(verts_seqs, joints_seqs=None, vertex_weights_seqs=None,
+               joint_weights_seqs=None):
+        """Fit variable-length sequences in one bucketed call.
+
+        The XLA analogue of the reference TF wrapper's RaggedTensor handling
+        (/root/reference/src/smplfitter/tf/__init__.py:98-207) under static
+        shapes: the sequences are flattened into one frame batch, padded up
+        to the next power-of-two bucket (so the number of compiled
+        executables stays logarithmic in the workload's size range), fit
+        once, and split back per sequence. The padding frames replicate the
+        last frame and are marked by a zero ``batch_mask``, which keeps
+        ``share_beta`` exact (padding is excluded from the shared-Gramian
+        sums); like the TF wrapper, ``share_beta`` couples ALL frames in the
+        call, across sequences.
+
+        Args are lists of per-sequence arrays: verts (T_i, V, 3), optional
+        joints (T_i, J, 3), vertex weights (T_i, V), joint weights (T_i, J).
+        Returns a dict mapping each requested key to a LIST of per-sequence
+        arrays (T_i leading).
+        """
+        import numpy as np
+
+        lengths = [int(v.shape[0]) for v in verts_seqs]
+        n = sum(lengths)
+        if n == 0:
+            raise ValueError('ragged fit needs at least one frame')
+        bucket = max(8, 1 << (n - 1).bit_length())
+        pad = bucket - n
+
+        def cat(seqs):
+            flat = jnp.concatenate([jnp.asarray(s) for s in seqs], axis=0)
+            if pad:
+                flat = jnp.concatenate(
+                    [flat, jnp.broadcast_to(flat[-1:], (pad, *flat.shape[1:]))],
+                    axis=0,
+                )
+            return flat
+
+        mask = jnp.asarray((np.arange(bucket) < n).astype(np.float32))
+        res = fit_fn(
+            cat(verts_seqs),
+            None if joints_seqs is None else cat(joints_seqs),
+            None if vertex_weights_seqs is None else cat(vertex_weights_seqs),
+            None if joint_weights_seqs is None else cat(joint_weights_seqs),
+            batch_mask=mask,
+        )
+        splits = np.cumsum([0] + lengths)
+        return {
+            k: [v[splits[i]:splits[i + 1]] for i in range(len(lengths))]
+            for k, v in res.items()
+        }
+
+    wrapped.ragged = ragged
     return wrapped

@@ -18,9 +18,10 @@ TPU-first design decisions:
    batched 3x3 algebra with static shapes. No eager device compute at init
    (eager dispatch on TPU is pathologically slow).
  - The kinematic tree is walked level-batched (<= 8 static steps for SMPL),
-   including the final rotation adjustment when part structure allows
-   (cf. /root/reference/src/smplfitter/pt/bodyfitter.py:1471-1544), with an
-   unrolled per-joint fallback for hand models.
+   including the final rotation adjustment: adjustable parts refine in
+   equal-joint-count buckets per level (generalizing the equal-count level
+   batching of /root/reference/src/smplfitter/pt/bodyfitter.py:1471-1544 to
+   hand models with mixed joint counts — no per-joint unrolled walks).
  - SO(3) projections use the branch-free analytic polar decomposition
    (ops/rotation.py) — one fused VPU computation for all parts at once.
  - All fit flags (num_iter, share_beta, scale_*, requested_keys, presence of
@@ -88,9 +89,13 @@ class FitterPlan:
     is_smpl_family: bool = struct.field(pytree_node=False)
     n_betas: int = struct.field(pytree_node=False)
     enable_kid: bool = struct.field(pytree_node=False)
-    leveladj_supported: bool = struct.field(pytree_node=False)
-    adj_levels: tuple = struct.field(pytree_node=False)  # adjustable parts per level
-    adj_n_joints: int = struct.field(pytree_node=False)
+    # Final-adjustment schedule: entry 0 is the root, entry k+1 the k-th tree
+    # level; each entry groups its adjustable parts into BUCKETS of equal
+    # joint count, so every bucket refines as one fixed-width batched step.
+    # This generalizes the reference's equal-count level batching
+    # (/root/reference/src/smplfitter/pt/bodyfitter.py:211-233) to models
+    # with mixed joint counts (MANO/SMPL-X hands) — no sequential fallback.
+    adj_level_buckets: tuple = struct.field(pytree_node=False)
     # Static per-vertex fit weights ω (None = unweighted plan), consumed ONLY
     # by the fused-kernel (lane-major) path: ``pm_t_pad`` stays BINARY (the
     # exact 2-pass membership dots require a binary operand) and the kernels
@@ -208,16 +213,21 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
     eye_feat = np.tile(np.eye(3), (J - 1, 1)).reshape(-1)
     default_mesh = v_template + posedirs @ eye_feat
 
-    # Level-batched final adjustment requires all adjustable parts to contain
-    # the same number of joints (fixed-width joint gather per level).
-    joint_counts = {len(children_and_self[i]) for i in adjustable_parts}
-    leveladj_supported = is_smpl_family and len(joint_counts) == 1
+    # Final-adjustment schedule: [root] + tree levels, each level's adjustable
+    # parts grouped into equal-joint-count buckets (fixed-width gathers).
     levels = tree_levels(bm.kintree_parents)
     adjustable_set = set(adjustable_parts)
-    adj_levels = tuple(
-        tuple(i for i in level if i in adjustable_set) for level in levels
+
+    def _buckets(parts):
+        by_count: dict[int, list] = {}
+        for i in parts:
+            by_count.setdefault(len(children_and_self[i]), []).append(i)
+        return tuple(tuple(v) for _, v in sorted(by_count.items()))
+
+    adj_level_buckets = tuple(
+        _buckets([i for i in lvl if i in adjustable_set])
+        for lvl in [[0], *levels]
     )
-    adj_n_joints = joint_counts.pop() if leveladj_supported else 0
 
     return FitterPlan(
         part_matrix=jnp.asarray(part_matrix, dtype),
@@ -247,9 +257,7 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
         is_smpl_family=is_smpl_family,
         n_betas=n_betas,
         enable_kid=enable_kid,
-        leveladj_supported=leveladj_supported,
-        adj_levels=adj_levels,
-        adj_n_joints=adj_n_joints,
+        adj_level_buckets=adj_level_buckets,
         omega_pad=(
             None if omega is None
             else jnp.asarray(
@@ -353,31 +361,9 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
     return raw, s_t, s_a, s_w
 
 
-def _centered_cov(raw, s_t, s_a, s_w, c_t, c_a):
-    """Centered cross-covariance from raw sums and centers (broadcasting)."""
-    return (
-        raw
-        - s_t[..., None] * c_a[..., None, :]
-        - c_t[..., None] * s_a[..., None, :]
-        + s_w[..., None] * (c_t[..., None] * c_a[..., None, :])
-    )
-
-
 # ---------------------------------------------------------------------------
 # Orientation fits
 # ---------------------------------------------------------------------------
-
-
-def _outer_sum3(x, y):
-    """Σ_k x[..., k, :, None] y[..., k, None, :] -> (..., 3, 3), componentwise.
-
-    Equivalent to ``swapaxes(x, -1, -2) @ y`` for (..., k, 3) operands but lowers
-    to fused VPU elementwise ops instead of tiny relayout-heavy MXU dots.
-    """
-    entries = [
-        jnp.sum(x[..., a] * y[..., c], axis=-1) for a in range(3) for c in range(3)
-    ]
-    return jnp.stack(entries, axis=-1).reshape(*x.shape[:-2], 3, 3)
 
 
 def _rot_apply_ext(rot, ext):
@@ -413,12 +399,15 @@ def fit_global_rotations(
     reference_spec=None,
     target_vm=None,
 ):
-    """Per-part global orientations via bucketed Kabsch / swing+twist.
+    """Per-part global orientations via bucketed Kabsch / swing+twist
+    (semantics per /root/reference/src/smplfitter/np/bodyfitter.py:871-964).
 
-    Semantics per /root/reference/src/smplfitter/np/bodyfitter.py:871-964. For
-    bone parts, with ``H = R_swing A^T`` (A the centered vertex cross-covariance)
-    the optimal twist about the target bone direction b is
-    ``atan2(b . vee(H), tr(H) - b^T H b)``.
+    Batch-major adapter: the per-part sufficient statistics come from
+    :func:`part_sums` (XLA or fused-kernel, depending on eligibility), are
+    transposed to the lane-major layout — tiny (J-sized) arrays, free relative
+    to the vertex passes — and the single shared core
+    (:func:`_fit_rotations_core_lm`) does the covariance assembly and the
+    bucketed projections.
     """
     if target_joints is None or reference_joints is None:
         target_joints = _regress_joints(bm, target_vertices)
@@ -431,60 +420,19 @@ def fit_global_rotations(
         target_vm=target_vm, reference_vm=reference_vertices_vm,
         reference_spec=reference_spec,
     )
-    mt = plan.center_matrix @ target_joints  # (B, J, 3)
-    ma = plan.center_matrix @ reference_joints  # (B_ref, J, 3)
-    A_vert = _centered_cov(raw, s_t, s_a, s_w, mt, ma)  # (B, J, 3, 3)
+    J = raw.shape[1]
+    raw_lm = jnp.transpose(raw.reshape(raw.shape[0], J, 9), (2, 1, 0))
+    s_t_lm = jnp.transpose(s_t, (2, 1, 0))
+    s_a_lm = jnp.transpose(s_a, (2, 1, 0))
+    s_w_lm = jnp.transpose(jnp.asarray(s_w)[..., 0], (1, 0))  # (J, B|1)
+    tj_lm = jnp.transpose(target_joints, (2, 1, 0))
+    rj_lm = jnp.transpose(reference_joints, (2, 1, 0))
+    jw_lm = None if joint_weights is None else joint_weights.T
 
-    # Joint-point cross-covariances for the multi-joint parts.
-    rj = reference_joints
-    if joint_weights is not None:
-        rj = rj * joint_weights[..., None]
-        tj_sum_side = target_joints * joint_weights[..., None]
-        s_wj = plan.mjp_joint_membership @ joint_weights[..., None]
-    else:
-        tj_sum_side = target_joints
-        s_wj = plan.mjp_joint_counts
-    outer_j = (target_joints[..., :, None] * rj[..., None, :]).reshape(
-        B, target_joints.shape[1], 9
+    R9 = _fit_rotations_core_lm(
+        plan, raw_lm, s_t_lm, s_a_lm, s_w_lm, tj_lm, rj_lm, jw_lm
     )
-    raw_j = (plan.mjp_joint_membership @ outer_j).reshape(B, -1, 3, 3)
-    mtj = plan.mjp_center_matrix @ target_joints
-    maj = plan.mjp_center_matrix @ reference_joints
-    s_tj = plan.mjp_joint_membership @ tj_sum_side
-    s_aj = plan.mjp_joint_membership @ rj
-    A_multi = _centered_cov(raw_j, s_tj, s_aj, s_wj, mtj, maj)
-
-    # Kabsch bucket (multi-joint + leaf parts): one batched analytic projection.
-    leaf_idx = np.array(plan.leaf_parts, dtype=np.int32)
-    A_kabsch = jnp.concatenate([A_multi, A_vert[:, leaf_idx]], axis=1)
-    R_kabsch = rot_ops.proj_SO3(A_kabsch)
-
-    # Bone bucket: swing aligns the bone, twist recovered from vertices.
-    bp = np.array(plan.bone_pairs, dtype=np.int32).reshape(-1, 2)
-    b_ref = reference_joints[:, bp[:, 1]] - reference_joints[:, bp[:, 0]]
-    b_tgt = target_joints[:, bp[:, 1]] - target_joints[:, bp[:, 0]]
-    b_ref_n = rot_ops.divide_no_nan(b_ref, jnp.linalg.norm(b_ref, axis=-1, keepdims=True))
-    b_tgt_n = rot_ops.divide_no_nan(b_tgt, jnp.linalg.norm(b_tgt, axis=-1, keepdims=True))
-    R_swing = rot_ops.align_unit_vectors(b_ref_n, b_tgt_n)
-
-    bone_idx = np.array(plan.bone_parts, dtype=np.int32)
-    H = rot_ops.matmul3x3(R_swing, A_vert[:, bone_idx], transpose_b=True)
-    trH = jnp.trace(H, axis1=-2, axis2=-1)
-    bHb = jnp.einsum('bni,bnij,bnj->bn', b_tgt_n, H, b_tgt_n)
-    vee = jnp.stack(
-        [
-            H[..., 1, 2] - H[..., 2, 1],
-            H[..., 2, 0] - H[..., 0, 2],
-            H[..., 0, 1] - H[..., 1, 0],
-        ],
-        axis=-1,
-    )
-    twist_angle = jnp.arctan2(jnp.sum(b_tgt_n * vee, axis=-1), trH - bHb)
-    R_twist = rot_ops.rotvec2mat(b_tgt_n * twist_angle[..., None])
-    R_bone = rot_ops.matmul3x3(R_twist, R_swing)
-
-    R_concat = jnp.concatenate([R_kabsch, R_bone], axis=1)
-    return R_concat[:, np.array(plan.assemble_indices)]
+    return jnp.transpose(R9, (2, 1, 0)).reshape(B, J, 3, 3)
 
 
 def fit_global_rotations_dependent(
@@ -505,13 +453,15 @@ def fit_global_rotations_dependent(
     reference_spec=None,
     target_vm=None,
 ):
-    """Final rotation adjustment: refine parts sequentially down the tree,
+    """Final rotation adjustment: refine parts level by level down the tree,
     re-anchoring each at its recomputed proximal joint to absorb bone-length
-    mismatch. Level-batched when the model's part structure allows (SMPL
-    family), per-joint unrolled otherwise.
+    mismatch (semantics per /root/reference/src/smplfitter/np/bodyfitter.py:
+    966-1052, bucket-batched per ``plan.adj_level_buckets``).
 
-    Semantics per /root/reference/src/smplfitter/np/bodyfitter.py:966-1052 and
-    the level-batched reformulation /root/reference/src/smplfitter/pt/bodyfitter.py:1471-1595.
+    Batch-major adapter over the single lane-major core
+    (:func:`_fit_rotations_dependent_core_lm`): the per-part statistics come
+    from :func:`part_sums` and all the J-sized operands are transposed to the
+    lane-major layout (free relative to the vertex passes).
     """
     true_reference_joints = reference_joints
     if target_joints is None or reference_joints is None:
@@ -520,109 +470,31 @@ def fit_global_rotations_dependent(
     if true_reference_joints is None:
         true_reference_joints = reference_joints
 
-    j = bm.J_template + jnp.einsum(
-        'jcs,bs->bjc', bm.J_shapedirs[:, :, : plan.n_betas], shape_betas[:, : plan.n_betas]
-    )
-    if kid_factor is not None:
-        j = j + jnp.einsum('jc,b->bjc', bm.kid_J_shapedir, kid_factor)
-    if scale_corr is not None:
-        j = j * scale_corr[:, None, None]
-
-    parent_indices = np.array(bm.kintree_parents[1:])
-    j_parent = jnp.concatenate([jnp.zeros_like(j[:, :1]), j[:, parent_indices]], axis=1)
-    bones = j - j_parent
-
     raw, s_t, s_a, s_w = part_sums(
         plan, target_vertices, reference_vertices, vertex_weights,
         target_vm=target_vm, reference_vm=reference_vertices_vm,
         reference_spec=reference_spec,
     )
-
     batch = target_vertices.shape[0]
-    num_joints = bm.num_joints
-    rots = glob_rots_prev
-    positions = jnp.zeros((batch, num_joints, 3), dtype=j.dtype)
-    positions = positions.at[:, 0].set(j[:, 0] + trans)
+    J = bm.num_joints
+    raw_lm = jnp.transpose(raw.reshape(raw.shape[0], J, 9), (2, 1, 0))
+    s_t_lm = jnp.transpose(s_t, (2, 1, 0))
+    s_a_lm = jnp.transpose(s_a, (2, 1, 0))
+    s_w_lm = jnp.transpose(jnp.asarray(s_w)[..., 0], (1, 0))  # (J, B|1)
+    tj_lm = jnp.transpose(target_joints, (2, 1, 0))
+    rj_lm = jnp.transpose(reference_joints, (2, 1, 0))
+    true_rj_lm = jnp.transpose(true_reference_joints, (2, 1, 0))
+    jw_lm = None if joint_weights is None else joint_weights.T
+    glob9_prev = jnp.transpose(
+        glob_rots_prev.reshape(batch, J, 9), (2, 1, 0)
+    )
 
-    def refine_parts(adj, positions, rots):
-        """Refine the orientation of the given adjustable parts (batched)."""
-        adj_arr = np.array(adj, dtype=np.int32)
-        c_t = positions[:, adj_arr]  # (B, n, 3)
-        c_a = true_reference_joints[:, adj_arr]
-        A_vert = _centered_cov(
-            raw[:, adj_arr], s_t[:, adj_arr], s_a[:, adj_arr], s_w[:, adj_arr], c_t, c_a
-        )
-        joint_sel = np.array([plan.children_and_self[i] for i in adj], dtype=np.int32)
-        n, k = joint_sel.shape
-        estim = target_joints[:, joint_sel.reshape(-1)].reshape(batch, n, k, 3) - c_t[:, :, None]
-        default = reference_joints[:, joint_sel.reshape(-1)].reshape(-1, n, k, 3) - c_a[:, :, None]
-        if joint_weights is not None:
-            jw = joint_weights[:, joint_sel.reshape(-1)].reshape(-1, n, k)
-            default = default * jw[..., None]
-        A_joint = _outer_sum3(estim, default)
-        new_rots = rot_ops.matmul3x3(
-            rot_ops.proj_SO3(A_vert + A_joint), glob_rots_prev[:, adj_arr]
-        )
-        return rots.at[:, adj_arr].set(new_rots)
-
-    if plan.leveladj_supported:
-        adjustable_in_levels = {i for lvl in plan.adj_levels for i in lvl}
-        last_level = max(
-            (k for k, lvl in enumerate(plan.adj_levels) if lvl), default=-1
-        )
-        levels = tree_levels(bm.kintree_parents)
-        for k, level in enumerate(levels):
-            if k > last_level:
-                break
-            js = np.array(level)
-            ps = np.array([bm.kintree_parents[i] for i in level])
-            rotated = rot_ops.matvec3(rots[:, ps], bones[:, js])
-            positions = positions.at[:, js].set(positions[:, ps] + rotated)
-            adj = plan.adj_levels[k]
-            if adj:
-                rots = refine_parts(adj, positions, rots)
-        if plan.is_smpl_family:
-            rots = rots.at[:, np.array([10, 11])].set(rots[:, np.array([7, 8])])
-        del adjustable_in_levels
-        return rots
-
-    # Sequential per-joint fallback (hand/face models where every part adjusts).
-    glob_rots = []
-    glob_positions = []
-    for i in range(num_joints):
-        if i == 0:
-            glob_position = j[:, i] + trans
-        else:
-            i_parent = bm.kintree_parents[i]
-            glob_position = glob_positions[i_parent] + rot_ops.matvec3(
-                glob_rots[i_parent], bones[:, i]
-            )
-        glob_positions.append(glob_position)
-
-        if plan.is_smpl_family and i == 10:
-            glob_rots.append(glob_rots[7])
-            continue
-        if plan.is_smpl_family and i == 11:
-            glob_rots.append(glob_rots[8])
-            continue
-        if i not in plan.adjustable_parts:
-            glob_rots.append(glob_rots_prev[:, i])
-            continue
-
-        c_t = glob_position
-        c_a = true_reference_joints[:, i]
-        A_vert = _centered_cov(raw[:, i], s_t[:, i], s_a[:, i], s_w[:, i], c_t, c_a)
-        joint_sel = np.array(plan.children_and_self[i])
-        estim = target_joints[:, joint_sel] - c_t[:, None]
-        default = reference_joints[:, joint_sel] - c_a[:, None]
-        if joint_weights is not None:
-            default = default * joint_weights[:, joint_sel][..., None]
-        A_joint = _outer_sum3(estim, default)
-        glob_rots.append(
-            rot_ops.matmul3x3(rot_ops.proj_SO3(A_vert + A_joint), glob_rots_prev[:, i])
-        )
-
-    return jnp.stack(glob_rots, axis=1)
+    rots9 = _fit_rotations_dependent_core_lm(
+        bm, plan, raw_lm, s_t_lm, s_a_lm, s_w_lm, tj_lm, rj_lm, true_rj_lm,
+        jw_lm, glob9_prev, shape_betas, trans.T, kid_factor,
+        scale_corr=scale_corr,
+    )
+    return jnp.transpose(rots9, (2, 1, 0)).reshape(batch, J, 3, 3)
 
 
 # ---------------------------------------------------------------------------
@@ -715,6 +587,7 @@ def fit_shape(
     gram=None,
     target_vm=None,
     streamed: Optional[bool] = None,
+    batch_mask=None,
 ):
     """Shape/translation (and optional kid/scale) linear solve for fixed rotations.
 
@@ -764,6 +637,7 @@ def fit_shape(
             kid_regularizer_reference,
             requested_keys,
             target_vm=target_vm,
+            batch_mask=batch_mask,
         )
 
     if streamed and effective_vw is None:
@@ -792,6 +666,7 @@ def fit_shape(
             beta_regularizer_reference,
             kid_regularizer_reference,
             requested_keys,
+            batch_mask=batch_mask,
         )
 
     batch = target_vertices.shape[0]
@@ -879,7 +754,9 @@ def fit_shape(
 
     if share_beta:
         x = lstsq_partial_share(
-            A, b, w, l2, l2_rhs, n_shared=n_betas + (1 if plan.enable_kid else 0)
+            A, b, w, l2, l2_rhs,
+            n_shared=n_betas + (1 if plan.enable_kid else 0),
+            batch_mask=batch_mask,
         )
     else:
         x = lstsq(A, b, w, l2, l2_rhs)
@@ -947,6 +824,7 @@ def fit_shape_streamed(
     kid_regularizer_reference=None,
     requested_keys=(),
     chunk: int = 1024,
+    batch_mask=None,
 ):
     """Weighted shape solve with CHUNKED normal-equations accumulation.
 
@@ -1121,7 +999,7 @@ def fit_shape_streamed(
         from .shape_gram import _solve_partial_share
 
         n_shared = n_betas + (1 if plan.enable_kid else 0)
-        sol = _solve_partial_share(G_aug, r_aug, n_shared)
+        sol = _solve_partial_share(G_aug, r_aug, n_shared, batch_mask=batch_mask)
     else:
         sol = solve_spd_unrolled(G_aug, r_aug)
 
@@ -1279,6 +1157,13 @@ def _pad_batch(pad: int, batch: int, *arrays):
         )
 
     return [p(a) for a in arrays]
+
+
+def _pad_mask(batch: int, pad: int, dtype) -> jax.Array:
+    """(batch+pad,) mask: 1 for real instances, 0 for batch-tile padding."""
+    return jnp.concatenate(
+        [jnp.ones((batch,), dtype), jnp.zeros((pad,), dtype)]
+    )
 
 
 def _slice_batch(result: dict, batch: int, padded: int) -> dict:
@@ -1461,9 +1346,17 @@ class BodyFitter:
         initial_kid_factor=None,
         requested_keys=('pose_rotvecs',),
         use_kernels: bool = True,
+        batch_mask=None,
     ) -> dict:
         """Full alternating fit. Returns a dict filtered by ``requested_keys``
         (plus always shape_betas, trans, orientations).
+
+        ``batch_mask`` (B,) optionally marks PADDING instances with 0 (real
+        ones with 1): padding is excluded from ``share_beta``'s cross-instance
+        coupling, so bucketed batch padding stays exact — discard the padded
+        rows of every output. The mask is a traced array (its contents may
+        vary without recompilation); it has no effect on non-share fits,
+        whose instances never couple.
 
         The fused Pallas kernels define custom VJPs (backward passes are fused
         kernels of the same structure), so the fast path is differentiable.
@@ -1471,8 +1364,8 @@ class BodyFitter:
         math; useful as a fallback when the compiler balks at very large
         gradient graphs, and automatic on CPU. Batch sizes that are not a
         multiple of the 8-wide kernel batch tile ride the kernels via
-        last-instance padding (share_beta excluded — its summed Gramian
-        couples instances).
+        last-instance padding; share_beta stays exact because the padded
+        instances enter the shared-Gramian sums with weight zero.
 
         When this method is traced under autodiff (``jax.grad``/``jax.vjp``),
         ``lbs_kernels.autodiff_policy`` governs the path: ``'fallback'``
@@ -1508,6 +1401,7 @@ class BodyFitter:
                 initial_shape_betas,
                 initial_kid_factor,
                 tuple(requested_keys),
+                None if batch_mask is None else jnp.asarray(batch_mask),
             )
 
     def _fit(
@@ -1529,6 +1423,7 @@ class BodyFitter:
         initial_shape_betas,
         initial_kid_factor,
         requested_keys,
+        batch_mask=None,
     ) -> dict:
         bm = self.body_model.data
         plan = self.plan
@@ -1537,38 +1432,46 @@ class BodyFitter:
         # Per-call vertex weights ride it too: runtime ω part sums and the
         # weighted-Gramian kernel (lbs_kernels.wgram_moments).
         B = target_vertices.shape[0]
-        lm_eligible = (
-            not (scale_target or scale_fit)
-            and (plan.leveladj_supported or not final_adjust_rots)
-        )
-        if lm_eligible and lbs_kernels.kernel_mode(B) is not None:
+        if lbs_kernels.kernel_mode(B) is not None:
             return self._fit_lm(
                 target_vertices, target_joints, vertex_weights, joint_weights,
                 num_iter, beta_regularizer, beta_regularizer2, kid_regularizer,
                 share_beta, final_adjust_rots, initial_pose_rotvecs,
                 initial_shape_betas, initial_kid_factor, requested_keys,
+                batch_mask=batch_mask,
+                scale_regularizer=scale_regularizer,
+                scale_target=scale_target, scale_fit=scale_fit,
             )
         # Arbitrary batch sizes ride the kernels too: replicate the last
         # instance up to the 8-wide batch tile, fit, drop the padded lanes.
         # All solves are per-instance so padding cannot change real outputs —
-        # EXCEPT share_beta, whose summed Gramian couples instances; that
-        # configuration stays batch-major at non-tile batch sizes.
+        # except share_beta's summed Gramian, which stays exact because the
+        # padded instances enter the shared-block sums with weight 0
+        # (``batch_mask``; replication keeps their per-instance blocks
+        # well-conditioned).
         pad = (-B) % 8
-        if (
-            pad
-            and lm_eligible
-            and not share_beta
-            and lbs_kernels.kernel_mode(B + pad) is not None
-        ):
+        if pad and lbs_kernels.kernel_mode(B + pad) is not None:
             tv, tj, vw, jw, ipr, isb, ikf = _pad_batch(
                 pad, B, target_vertices, target_joints, vertex_weights,
                 joint_weights, initial_pose_rotvecs, initial_shape_betas,
                 initial_kid_factor,
             )
+            if share_beta:
+                mask = (
+                    _pad_mask(B, pad, target_vertices.dtype)
+                    if batch_mask is None
+                    else jnp.concatenate(
+                        [batch_mask, jnp.zeros((pad,), batch_mask.dtype)]
+                    )
+                )
+            else:
+                mask = None
             out = self._fit_lm(
                 tv, tj, vw, jw, num_iter, beta_regularizer, beta_regularizer2,
                 kid_regularizer, share_beta, final_adjust_rots, ipr, isb, ikf,
-                requested_keys,
+                requested_keys, batch_mask=mask,
+                scale_regularizer=scale_regularizer,
+                scale_target=scale_target, scale_fit=scale_fit,
             )
             return _slice_batch(out, B, B + pad)
         # Batch-major paths take static fitter weights as materialized
@@ -1662,6 +1565,7 @@ class BodyFitter:
                 else (recon_key,),
                 gram=self.gram,
                 target_vm=tgt_vm,
+                batch_mask=batch_mask,
             )
             glob_rotmats = rot_ops.matmul3x3(
                 fit_global_rotations(
@@ -1702,6 +1606,7 @@ class BodyFitter:
             else (recon_key,),
             gram=self.gram,
             target_vm=tgt_vm,
+            batch_mask=batch_mask,
         )
 
         if final_adjust_rots:
@@ -1792,6 +1697,10 @@ class BodyFitter:
         initial_shape_betas,
         initial_kid_factor,
         requested_keys,
+        batch_mask=None,
+        scale_regularizer=0.0,
+        scale_target=False,
+        scale_fit=False,
     ) -> dict:
         """Lane-major fit driver (fused-kernel configurations; see
         :func:`fit_global_rotations_lm`). Per-call ``vertex_weights`` run
@@ -1800,7 +1709,12 @@ class BodyFitter:
         weighted only per the reference rule (both weight kinds with joints,
         vertex weights alone without). ``initial_*`` warm starts (the flipper
         configuration) enter as a known-shape reconstruction spec for the
-        first rotation fit plus reference-anchored regularizers."""
+        first rotation fit plus reference-anchored regularizers.
+        ``scale_target``/``scale_fit`` add the scale column to the FINAL
+        solve (reference np/bodyfitter.py:751-757,836-868); the final
+        adjustment then works on scaled targets (scale_target) or the
+        scale-blended reconstruction (scale_fit), both applied to the
+        lane-major operands / the deferred recon spec directly."""
         from .shape_gram import (
             fit_shape_gram_lm,
             fit_shape_wgram_lm,
@@ -1810,8 +1724,9 @@ class BodyFitter:
 
         bm = self.body_model.data
         plan = self.plan
+        scale_any = scale_target or scale_fit
         target_vertices, target_joints, target_mean = _center_targets(
-            target_vertices, target_joints
+            target_vertices, target_joints, full_mean=scale_any
         )
         tgt_vm = lbs_kernels.to_vertex_major(target_vertices)
         tj_lm = (
@@ -1905,18 +1820,24 @@ class BodyFitter:
             beta_regularizer_reference=initial_shape_betas,
             kid_regularizer_reference=initial_kid_factor,
             interpret=interp,
+            batch_mask=batch_mask,
         )
 
-        def solve(g9, keys):
+        def solve(g9, keys, scale=False):
+            extra = (
+                dict(scale_target=scale_target, scale_fit=scale_fit,
+                     scale_regularizer=scale_regularizer)
+                if scale else {}
+            )
             if wgram_solve:
                 return fit_shape_wgram_lm(
                     bm, plan, gram, g9, tgt_vm, tj_lm, omega_vm,
                     jw_lm if has_joints else None,
-                    requested_keys=keys, **solve_args,
+                    requested_keys=keys, **extra, **solve_args,
                 )
             return fit_shape_gram_lm(
                 bm, plan, gram, g9, tgt_vm, tj_lm, jw_static=jw_solve,
-                requested_keys=keys, **solve_args,
+                requested_keys=keys, **extra, **solve_args,
             )
 
         for _ in range(num_iter - 1):
@@ -1938,20 +1859,63 @@ class BodyFitter:
             (recon_key, 'joints_lm')
             if (has_joints or final_adjust_rots)
             else (recon_key,),
+            scale=scale_any,
         )
 
         if final_adjust_rots:
+            # Scale handling mirrors the batch-major driver: scale_target
+            # scales the TARGETS by the fitted factor; scale_fit scales the
+            # reconstruction about its own translation (pos' = s·pos +
+            # (1−s)·t — applied to the deferred recon spec by scaling its
+            # per-joint [R|t] entries, which is exact since LBS is linear in
+            # them and skinning rows sum to 1) and re-anchors the tree walk
+            # at the scaled model joints (scale_corr into the core).
+            adj_tgt_vm, adj_tj = tgt_vm, tj_lm
+            ref_vm = res.get('vertices_vm')
+            ref_j = res.get('joints_lm')
+            ref_spec = res.get('recon_spec')
+            adj_scale_corr = None
+            if scale_target:
+                factor = res['scale_corr']  # (B,)
+                adj_tgt_vm = tgt_vm * factor[None, None, :]
+                adj_tj = None if tj_lm is None else tj_lm * factor[None, None, :]
+            elif scale_fit:
+                factor = res['scale_corr']
+                shift = (1.0 - factor)[None, :] * res['trans_lm']  # (3, B)
+                if ref_vm is not None:
+                    ref_vm = ref_vm * factor[None, None, :] + shift[:, None, :]
+                if ref_j is not None:
+                    ref_j = ref_j * factor[None, None, :] + shift[:, None, :]
+                if ref_spec is not None:
+                    pj = ref_spec['pj_cm']  # (12, J, B)
+                    rows = []
+                    for a in range(3):
+                        for c in range(4):
+                            row = pj[a * 4 + c] * factor[None, :]
+                            if c == 3:
+                                row = row + shift[a][None, :]
+                            rows.append(row)
+                    ref_spec = dict(ref_spec, pj_cm=jnp.stack(rows, axis=0))
+                adj_scale_corr = factor
             glob9 = fit_global_rotations_dependent_lm(
-                bm, plan, tgt_vm, tj_lm,
-                res.get('vertices_vm'), res.get('joints_lm'), jw_lm,
+                bm, plan, adj_tgt_vm, adj_tj,
+                ref_vm, ref_j, jw_lm,
                 glob9, res['shape_betas'], res['trans_lm'], res['kid_factor'],
-                reference_spec=res.get('recon_spec'), omega=omega_vm,
+                reference_spec=ref_spec, omega=omega_vm,
+                scale_corr=adj_scale_corr,
             )
 
+        if scale_target:
+            trans_out = res['trans'] + target_mean * res['scale_corr'][:, None]
+        elif scale_fit:
+            trans_out = res['trans'] + target_mean / res['scale_corr'][:, None]
+        else:
+            trans_out = res['trans'] + target_mean
         result = dict(
             shape_betas=res['shape_betas'],
             kid_factor=res['kid_factor'],
-            trans=res['trans'] + target_mean,
+            scale_corr=res.get('scale_corr'),
+            trans=trans_out,
             relative_orientations=jnp.transpose(
                 res['relative_orientations_lm'], (2, 1, 0)
             ).reshape(-1, bm.num_joints, 3, 3),
@@ -2003,12 +1967,15 @@ class BodyFitter:
         kid_regularizer_reference=None,
         requested_keys=('shape_betas',),
         use_kernels: bool = True,
+        batch_mask=None,
     ) -> dict:
         """Fit shape/translation (and optionally scale) for a known pose.
 
         ``use_kernels`` / ``lbs_kernels.autodiff_policy`` behave exactly as on
-        :meth:`fit` (the fused-kernel path falls back to pure XLA under
-        autodiff traces by default)."""
+        :meth:`fit`; ``batch_mask`` marks padding instances excluded from
+        ``share_beta``'s coupling, as on :meth:`fit`."""
+        if batch_mask is not None:
+            batch_mask = jnp.asarray(batch_mask)
         self._check_no_mixed_weights(vertex_weights, joint_weights)
         use_kernels = self._resolve_use_kernels(
             use_kernels, 'fit_with_known_pose',
@@ -2031,34 +1998,42 @@ class BodyFitter:
             # vertex weights they would, so that combo falls back.
             B = target_vertices.shape[0]
             pad = (-B) % 8
-            if (
-                self._lm_weights_ok(vertex_weights, joint_weights)
-                and not (scale_target or scale_fit)
-            ):
+            scale_kw = dict(
+                scale_target=scale_target, scale_fit=scale_fit,
+                scale_regularizer=scale_regularizer,
+            )
+            if self._lm_weights_ok(vertex_weights, joint_weights):
                 if lbs_kernels.kernel_mode(B) is not None:
                     return self._fit_with_known_pose_lm(
                         pose_rotvecs, target_vertices, target_joints,
                         vertex_weights, joint_weights,
                         beta_regularizer, beta_regularizer2, kid_regularizer,
                         share_beta, beta_regularizer_reference,
-                        kid_regularizer_reference,
+                        kid_regularizer_reference, batch_mask=batch_mask,
+                        **scale_kw,
                     )
-                # Batch-tile padding (see _fit): per-instance solves only, so
-                # share_beta's coupled Gramian is excluded.
-                if (
-                    pad
-                    and not share_beta
-                    and lbs_kernels.kernel_mode(B + pad) is not None
-                ):
+                # Batch-tile padding (see _fit); share_beta stays exact via
+                # the zero-mask on the shared-block sums.
+                if pad and lbs_kernels.kernel_mode(B + pad) is not None:
                     pr, tv, tj, vw, jw, brr, krr = _pad_batch(
                         pad, B, pose_rotvecs, target_vertices, target_joints,
                         vertex_weights, joint_weights,
                         beta_regularizer_reference, kid_regularizer_reference,
                     )
+                    if share_beta:
+                        mask = (
+                            _pad_mask(B, pad, target_vertices.dtype)
+                            if batch_mask is None
+                            else jnp.concatenate(
+                                [batch_mask, jnp.zeros((pad,), batch_mask.dtype)]
+                            )
+                        )
+                    else:
+                        mask = None
                     out = self._fit_with_known_pose_lm(
                         pr, tv, tj, vw, jw,
                         beta_regularizer, beta_regularizer2, kid_regularizer,
-                        share_beta, brr, krr,
+                        share_beta, brr, krr, batch_mask=mask, **scale_kw,
                     )
                     return _slice_batch(out, B, B + pad)
             vertex_weights, joint_weights = self._materialize_static_weights(
@@ -2093,6 +2068,7 @@ class BodyFitter:
                 beta_regularizer_reference=beta_regularizer_reference,
                 kid_regularizer_reference=kid_regularizer_reference,
                 gram=self.gram,
+                batch_mask=batch_mask,
             )
             result['trans'] = result['trans'] + target_mean
             result['orientations'] = glob_rotmats
@@ -2113,12 +2089,18 @@ class BodyFitter:
         share_beta,
         beta_regularizer_reference,
         kid_regularizer_reference,
+        batch_mask=None,
+        scale_target=False,
+        scale_fit=False,
+        scale_regularizer=0.0,
     ) -> dict:
         """Lane-major known-pose solve: FK the given pose once, then ONE
         moment-tensor shape solve (fit_shape_gram_lm) — no per-instance design
         matrix, same kernels as the full fit's solve stage. Per-call vertex
         weights run the weighted-Gramian solve (the reference both-or-neither
-        rule: with joints only when joint weights also exist)."""
+        rule: with joints only when joint weights also exist). Scale columns
+        ride the same solves; the mean is restored unscaled (reference
+        np/bodyfitter.py:502-503)."""
         from .bodymodel import fk_rotations
         from .shape_gram import fit_shape_gram_lm, fit_shape_wgram_lm
 
@@ -2126,7 +2108,8 @@ class BodyFitter:
         if target_joints is not None:
             target_joints = jnp.asarray(target_joints)
         target_vertices, target_joints, target_mean = _center_targets(
-            target_vertices, target_joints
+            target_vertices, target_joints,
+            full_mean=scale_target or scale_fit,
         )
         rel = rot_ops.rotvec2mat(pose_rotvecs.reshape(-1, bm.num_joints, 3))
         glob_rotmats = fk_rotations(bm, rel)
@@ -2149,6 +2132,10 @@ class BodyFitter:
             beta_regularizer_reference=beta_regularizer_reference,
             kid_regularizer_reference=kid_regularizer_reference,
             interpret=interp,
+            batch_mask=batch_mask,
+            scale_target=scale_target,
+            scale_fit=scale_fit,
+            scale_regularizer=scale_regularizer,
         )
         wgram = self._solve_weighted(has_joints, vertex_weights, joint_weights)
         if wgram:
@@ -2167,6 +2154,7 @@ class BodyFitter:
         result = dict(
             shape_betas=res['shape_betas'],
             kid_factor=res['kid_factor'],
+            scale_corr=res.get('scale_corr'),
             trans=res['trans'] + target_mean,
             orientations=glob_rotmats,
         )
@@ -2216,7 +2204,6 @@ class BodyFitter:
                 self._lm_weights_ok(vertex_weights, joint_weights)
                 and not scale_fit
                 and (kid_factor is None or plan.enable_kid)
-                and (plan.leveladj_supported or not final_adjust_rots)
             ):
                 if lbs_kernels.kernel_mode(B) is not None:
                     return self._fit_with_known_shape_lm(
@@ -2503,6 +2490,40 @@ class BodyFitter:
         _lm_rotation_formats(bm, result, glob9, tuple(requested_keys))
         return result
 
+    # -- scale/translation-only -----------------------------------------------
+
+    def fit_scale_and_translation(
+        self,
+        target_vertices,
+        reference_vertices,
+        target_joints=None,
+        reference_joints=None,
+        vertex_weights=None,
+        joint_weights=None,
+        scale: bool = False,
+    ) -> dict:
+        """Weighted Procrustes scale + translation between fixed point sets
+        (no rotation/shape change): aligns ``reference`` onto ``target``.
+
+        Returns ``{'trans': (B, 3)}`` plus ``'scale_corr'`` when ``scale=True``.
+        Semantics per /root/reference/src/smplfitter/np/bodyfitter.py:1055-1098
+        (with target joints, weights apply only when both kinds are given).
+        """
+        with matmul_precision():
+            scale_corr, trans = fit_scale_and_translation(
+                jnp.asarray(target_vertices),
+                jnp.asarray(reference_vertices),
+                None if target_joints is None else jnp.asarray(target_joints),
+                None if reference_joints is None else jnp.asarray(reference_joints),
+                None if vertex_weights is None else jnp.asarray(vertex_weights),
+                None if joint_weights is None else jnp.asarray(joint_weights),
+                scale=scale,
+            )
+        result = {'trans': trans}
+        if scale_corr is not None:
+            result['scale_corr'] = scale_corr
+        return result
+
     # -- helpers --------------------------------------------------------------
 
     def _add_rotation_formats(self, result, glob_rotmats, requested_keys) -> None:
@@ -2637,6 +2658,16 @@ def fit_global_rotations_lm(
     raw, s_t, s_a, s_w = part_sums_lm(
         plan, tgt_vm, reference_vm, reference_spec, omega=omega
     )
+    return _fit_rotations_core_lm(plan, raw, s_t, s_a, s_w, tj_lm, rj_lm, jw_lm)
+
+
+def _fit_rotations_core_lm(plan: FitterPlan, raw, s_t, s_a, s_w, tj_lm, rj_lm,
+                           jw_lm):
+    """Covariance assembly + bucketed projections of the orientation fit, from
+    per-part vertex statistics (lane-major: raw (9, J, B), s_t/s_a (3, J, B|1),
+    s_w (J, B|1)) and joints tj_lm/rj_lm (3, J, B|1). THE single statement of
+    this math — both drivers (lane-major kernels and the batch-major XLA
+    fallback) route through it via layout adapters."""
     mt = jnp.einsum('jk,ckb->cjb', plan.center_matrix, tj_lm)
     ma = jnp.einsum('jk,ckb->cjb', plan.center_matrix, rj_lm)
     A_vert = _centered_cov_lm(raw, s_t, s_a, s_w, mt, ma)  # (9, J, B)
@@ -2742,10 +2773,13 @@ def fit_global_rotations_dependent_lm(
     kid_factor,
     reference_spec=None,
     omega=None,
+    scale_corr=None,
 ):
-    """Lane-major level-batched final rotation adjustment (same math as
-    :func:`fit_global_rotations_dependent`; requires
-    ``plan.leveladj_supported``)."""
+    """Lane-major final rotation adjustment (same math as
+    :func:`fit_global_rotations_dependent`): regress joints when not given,
+    run the fused part-sum kernels, delegate to the shared bucketed core.
+    ``scale_corr`` (B,) scales the solved model joints in the core's tree
+    walk (the scale_fit configuration)."""
     # Parts are re-anchored at the SOLVED model joints (true_rj) even when the
     # working joints are regressed from the meshes (no-target-joints case) —
     # reference semantics, np/bodyfitter.py:966-1052.
@@ -2756,12 +2790,53 @@ def fit_global_rotations_dependent_lm(
     if true_rj_lm is None:
         true_rj_lm = rj_lm
 
+    raw, s_t, s_a, s_w = part_sums_lm(
+        plan, tgt_vm, reference_vm, reference_spec, omega=omega
+    )
+    return _fit_rotations_dependent_core_lm(
+        bm, plan, raw, s_t, s_a, s_w, tj_lm, rj_lm, true_rj_lm, jw_lm,
+        glob9_prev, shape_betas, trans_lm, kid_factor, scale_corr=scale_corr,
+    )
+
+
+def _fit_rotations_dependent_core_lm(
+    bm: BodyModelData,
+    plan: FitterPlan,
+    raw,
+    s_t,
+    s_a,
+    s_w,
+    tj_lm,
+    rj_lm,
+    true_rj_lm,
+    jw_lm,
+    glob9_prev,
+    shape_betas,
+    trans_lm,
+    kid_factor,
+    scale_corr=None,
+):
+    """Bucket-batched tree walk of the final rotation adjustment, from
+    per-part statistics (lane-major layouts as in
+    :func:`_fit_rotations_core_lm`). THE single statement of this math — both
+    drivers route through it via layout adapters.
+
+    FK one tree level at a time from the solved shape's bones, then refine
+    that level's adjustable parts in equal-joint-count buckets
+    (``plan.adj_level_buckets``; the root is the schedule's first entry, so
+    hand models whose wrist adjusts are covered). Each refinement re-anchors
+    the part's vertex covariance at its recomputed proximal joint and adds the
+    joint-points term, one batched projection per bucket.
+    """
     n_betas = plan.n_betas
+    batch = glob9_prev.shape[2]
     j_lm = jnp.einsum(
         'jcs,bs->cjb', bm.J_shapedirs[:, :, :n_betas], shape_betas[:, :n_betas]
     ) + jnp.transpose(bm.J_template, (1, 0))[:, :, None]
     if kid_factor is not None:
         j_lm = j_lm + jnp.einsum('jc,b->cjb', bm.kid_J_shapedir, kid_factor)
+    if scale_corr is not None:
+        j_lm = j_lm * scale_corr[None, None, :]
 
     parent_indices = np.array(bm.kintree_parents[1:])
     j_parent = jnp.concatenate(
@@ -2769,11 +2844,6 @@ def fit_global_rotations_dependent_lm(
     )
     bones = j_lm - j_parent  # (3, J, B)
 
-    raw, s_t, s_a, s_w = part_sums_lm(
-        plan, tgt_vm, reference_vm, reference_spec, omega=omega
-    )
-
-    batch = tgt_vm.shape[2]
     num_joints = bm.num_joints
     rots9 = glob9_prev
     positions = jnp.zeros((3, num_joints, batch), dtype=j_lm.dtype)
@@ -2792,9 +2862,9 @@ def fit_global_rotations_dependent_lm(
         )
         n, k = joint_sel.shape
         estim = tj_lm[:, joint_sel.reshape(-1)].reshape(3, n, k, batch) - c_t[:, :, None]
-        default = rj_lm[:, joint_sel.reshape(-1)].reshape(3, n, k, batch) - c_a[:, :, None]
+        default = rj_lm[:, joint_sel.reshape(-1)].reshape(3, n, k, -1) - c_a[:, :, None]
         if jw_lm is not None:
-            jw_sel = jw_lm[joint_sel.reshape(-1)].reshape(n, k, batch)
+            jw_sel = jw_lm[joint_sel.reshape(-1)].reshape(n, k, -1)
             default = default * jw_sel[None]
         A_joint = jnp.stack(
             [
@@ -2809,10 +2879,13 @@ def fit_global_rotations_dependent_lm(
         )
         return rots9.at[:, adj_arr].set(new9)
 
-    last_level = max((k for k, lvl in enumerate(plan.adj_levels) if lvl), default=-1)
+    buckets = plan.adj_level_buckets
+    last_entry = max((k for k, lvl in enumerate(buckets) if lvl), default=-1)
+    for bucket in buckets[0]:  # the root (adjustable for hand models)
+        rots9 = refine_parts(bucket, positions, rots9)
     levels = tree_levels(bm.kintree_parents)
     for k, level in enumerate(levels):
-        if k > last_level:
+        if k + 1 > last_entry:
             break
         js = np.array(level)
         ps = np.array([bm.kintree_parents[i] for i in level])
@@ -2824,9 +2897,8 @@ def fit_global_rotations_dependent_lm(
             axis=0,
         )
         positions = positions.at[:, js].set(positions[:, ps] + rotated)
-        adj = plan.adj_levels[k]
-        if adj:
-            rots9 = refine_parts(adj, positions, rots9)
+        for bucket in buckets[k + 1]:
+            rots9 = refine_parts(bucket, positions, rots9)
     if plan.is_smpl_family:
         rots9 = rots9.at[:, np.array([10, 11])].set(rots9[:, np.array([7, 8])])
     return rots9

@@ -212,6 +212,7 @@ def fit_shape_gram(
     kid_regularizer_reference,
     requested_keys=(),
     target_vm=None,
+    batch_mask=None,
 ) -> dict:
     """Drop-in replacement for the vertex block of ``fit_shape`` (no per-vertex
     runtime weights). Returns the same result dict."""
@@ -510,7 +511,7 @@ def fit_shape_gram(
     G_aug = G_aug + jnp.diag(jnp.concatenate([l2, jnp.zeros((3,), dtype)]))
 
     if share_beta:
-        sol = _solve_partial_share(G_aug, r_aug, n_shared=E)
+        sol = _solve_partial_share(G_aug, r_aug, n_shared=E, batch_mask=batch_mask)
     else:
         sol = solve_spd_unrolled(G_aug, r_aug)
 
@@ -609,10 +610,16 @@ def _sd_ext(bm, plan):
     return bm.shapedirs[:, :, : plan.n_betas]
 
 
-def _solve_partial_share(G_aug: jax.Array, r_aug: jax.Array, n_shared: int) -> jax.Array:
+def _solve_partial_share(G_aug: jax.Array, r_aug: jax.Array, n_shared: int,
+                         batch_mask: Optional[jax.Array] = None) -> jax.Array:
     """Gramian-level block elimination: first ``n_shared`` params shared
     batch-wide, the rest per-instance. The shared-Schur sums over the batch are
-    THE cross-device all-reduce under batch sharding."""
+    THE cross-device all-reduce under batch sharding.
+
+    ``batch_mask`` (B,) zeroes selected instances' contributions to the shared
+    sums — the exactness device behind batch-tile PADDING of share_beta fits
+    (replicate-padded instances carry mask 0; their per-instance solves run on
+    well-conditioned data and are discarded)."""
     Gss = G_aug[:, :n_shared, :n_shared]
     Gsi = G_aug[:, :n_shared, n_shared:]
     Gii = G_aug[:, n_shared:, n_shared:]
@@ -622,10 +629,13 @@ def _solve_partial_share(G_aug: jax.Array, r_aug: jax.Array, n_shared: int) -> j
     Ci = solve_spd_unrolled(Gii, jnp.swapaxes(Gsi, -1, -2))  # (B, ni, ns)
     di = solve_spd_unrolled(Gii, ri)  # (B, ni)
 
-    S = batch_reduce_sum(Gss - Gsi @ Ci, axis=0)
-    rhs_s = batch_reduce_sum(
-        rs - jnp.einsum('bse,be->bs', Gsi, di, precision=_HI), axis=0
-    )
+    schur_contrib = Gss - Gsi @ Ci
+    moment_contrib = rs - jnp.einsum('bse,be->bs', Gsi, di, precision=_HI)
+    if batch_mask is not None:
+        schur_contrib = schur_contrib * batch_mask[:, None, None]
+        moment_contrib = moment_contrib * batch_mask[:, None]
+    S = batch_reduce_sum(schur_contrib, axis=0)
+    rhs_s = batch_reduce_sum(moment_contrib, axis=0)
     xs = solve_spd_unrolled(S[None], rhs_s[None])[0]  # (ns,)
 
     xi = di - jnp.einsum('bis,s->bi', Ci, xs)
@@ -650,12 +660,19 @@ def fit_shape_gram_lm(
     requested_keys=(),
     jw_static: Optional[np.ndarray] = None,
     interpret: bool = False,
+    batch_mask: Optional[jax.Array] = None,
+    scale_target: bool = False,
+    scale_fit: bool = False,
+    scale_regularizer: float = 0.0,
 ) -> dict:
     """Lane-major shape solve: rotations as (9, J, B) entries, targets
     component-major, per-joint operands built by leading-dim stacks/concats —
     no (B, J, 3, 3)-layout relayouts anywhere on the hot path. Covers the
-    fused-kernel configurations (no per-call per-vertex weights, no scale
-    column); everything else goes through :func:`fit_shape_gram`.
+    fused-kernel configurations (no per-call per-vertex weights); everything
+    else goes through :func:`fit_shape_gram`. ``scale_target``/``scale_fit``
+    add the scale column from the kernel's target-side moments
+    (``rhs_moments(scale=True)``; pos side by linearity) — reference column
+    semantics /root/reference/src/smplfitter/np/bodyfitter.py:751-757.
 
     Static fit weights: a ω-weighted ``gram`` (see :func:`build_gram_data`)
     makes the vertex block weighted; ``jw_static`` (host (J,) array) weights
@@ -667,6 +684,7 @@ def fit_shape_gram_lm(
     batch = glob_lm.shape[2]
     J = bm.num_joints
     E = gram.n_ext
+    scale_col = scale_target or scale_fit
     dtype = tgt_vm.dtype
     has_joints = tj_lm is not None
     # Static joint weights take the joints block out of the assembly kernel
@@ -679,10 +697,16 @@ def fit_shape_gram_lm(
     rel9, rot_params_cols = pre['rel9'], pre['rot_params_cols']
     p_j, P4, t_lm, T4 = pre['p_j'], pre['P4'], pre['t_lm'], pre['T4']
     pj_cm, feat_cols = pre['pj_cm'], pre['feat_cols']
-    rk, yk = lbs_kernels.rhs_moments(
-        tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
-        gram.sd_cm, omega=gram.omega_pad, interpret=interpret,
-    )
+    if scale_col:
+        rk, yk, rtk, ytk, sck = lbs_kernels.rhs_moments(
+            tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
+            gram.sd_cm, omega=gram.omega_pad, scale=True, interpret=interpret,
+        )
+    else:
+        rk, yk = lbs_kernels.rhs_moments(
+            tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
+            gram.sd_cm, omega=gram.omega_pad, interpret=interpret,
+        )
 
     T_cm = T4.reshape(3, E * J, batch)
     if J * 3 <= 96:
@@ -752,11 +776,60 @@ def fit_shape_gram_lm(
         Sb = Sb + jnp.einsum('ajb,j->ba', bJ, jw_j, precision=_HI)
         W = W + float(jw64.sum())
 
+    if scale_col:
+        # Scale-column pieces from the kernel's target-side moments; the pos
+        # side follows by linearity (pos = tgt − b), exactly as in
+        # fit_shape_gram — here assembled lane-major from T4/P4.
+        rt_full = rtk.T + jnp.einsum('aejb,ajb->be', T4, ytk, precision=_HI)
+        r_b_vert = rk.T + jnp.einsum('aejb,ajb->be', T4, yk, precision=_HI)
+        sum_t = jnp.sum(ytk, axis=1).T  # (B, 3)
+        sum_b = jnp.sum(yk, axis=1).T
+        s_tt, s_tp, s_pp = sck[0], sck[1], sck[2]  # (B,) each
+        if scale_target:
+            g_cross = -rt_full
+            col_sq = s_tt
+            col_b = -(s_tt - s_tp)
+            SA_col = -sum_t
+        else:
+            g_cross = rt_full - r_b_vert
+            col_sq = s_pp
+            col_b = s_tp - s_pp
+            SA_col = sum_t - sum_b
+        if has_joints:
+            jw_j = (
+                jnp.asarray(np.asarray(jw_static, np.float64).reshape(J), dtype)
+                if weighted_joints
+                else jnp.ones((J,), dtype)
+            )
+            bJs = tj_lm - p_j  # (3, J, B)
+            col_joint = -tj_lm if scale_target else p_j
+            colw = col_joint * jw_j[None, :, None]
+            g_cross = g_cross + jnp.einsum(
+                'aejb,ajb->be', P4, colw, precision=_HI
+            )
+            col_sq = col_sq + jnp.einsum('ajb,ajb->b', col_joint, colw, precision=_HI)
+            col_b = col_b + jnp.einsum('ajb,ajb->b', bJs, colw, precision=_HI)
+            SA_col = SA_col + jnp.sum(colw, axis=1).T
+        G = jnp.concatenate(
+            [
+                jnp.concatenate([G, g_cross[:, :, None]], axis=2),
+                jnp.concatenate(
+                    [g_cross[:, None, :], col_sq[:, None, None]], axis=2
+                ),
+            ],
+            axis=1,
+        )
+        SA = jnp.concatenate([SA, SA_col[:, :, None]], axis=2)
+        r = jnp.concatenate([r, col_b[:, None]], axis=1)
+
     return _solve_tail(
         bm, plan, gram, pre, G, SA, r, Sb, W,
         beta_regularizer, beta_regularizer2, kid_regularizer, share_beta,
         beta_regularizer_reference, kid_regularizer_reference,
         requested_keys, interpret,
+        batch_mask=batch_mask,
+        scale_target=scale_target, scale_fit=scale_fit,
+        scale_regularizer=scale_regularizer,
     )
 
 
@@ -822,17 +895,25 @@ def _solve_tail(
     beta_regularizer_reference, kid_regularizer_reference,
     requested_keys, interpret,
     trans_shift_jac=None,
+    batch_mask=None,
+    scale_target: bool = False,
+    scale_fit: bool = False,
+    scale_regularizer: float = 0.0,
 ) -> dict:
-    """Regularize, solve the augmented [betas(,kid), trans] system and build
-    the lane-major result dict (shared by the moment-assembled and the
-    runtime-weighted solves). G (B, E, E), SA (B, 3, E), r (B, E), Sb (B, 3),
-    W (B,); ``pre`` per :func:`_fk_ext_prelude`. ``trans_shift_jac`` (B, 3, E)
-    undoes a Jacobian-mean centering: t = t' − μᵀx."""
+    """Regularize, solve the augmented [betas(,kid)(,scale), trans] system and
+    build the lane-major result dict (shared by the moment-assembled and the
+    runtime-weighted solves). With a scale column the caller passes E1 = E+1
+    wide blocks (scale is the LAST column before trans): G (B, E1, E1),
+    SA (B, 3, E1), r (B, E1), Sb (B, 3), W (B,); ``pre`` per
+    :func:`_fk_ext_prelude`. ``trans_shift_jac`` (B, 3, E1) undoes a
+    Jacobian-mean centering: t = t' − μᵀx."""
     glob_lm = pre['glob_lm']
     rel9, rot_params_cols = pre['rel9'], pre['rot_params_cols']
     p_j, P4, t_lm, T4 = pre['p_j'], pre['P4'], pre['t_lm'], pre['T4']
     batch = glob_lm.shape[2]
     E = gram.n_ext
+    scale_col = scale_target or scale_fit
+    E1 = E + (1 if scale_col else 0)
     n_betas = plan.n_betas
     dtype = G.dtype
 
@@ -859,6 +940,9 @@ def _solve_tail(
         else:
             kid_ref = jnp.asarray(kid_regularizer_reference).reshape(batch, 1).astype(dtype)
         l2_ref = jnp.concatenate([l2_ref, kid_ref], axis=1)
+    if scale_col:
+        l2 = jnp.concatenate([l2, jnp.full((1,), scale_regularizer, dtype)])
+        l2_ref = jnp.concatenate([l2_ref, jnp.zeros((batch, 1), dtype)], axis=1)
     l2_rhs = l2 * l2_ref
     if share_beta:
         # Reference identity-row semantics (np/lstsq.py:26-55 there): under
@@ -876,17 +960,25 @@ def _solve_tail(
     G_aug = G_aug + jnp.diag(jnp.concatenate([l2, jnp.zeros((3,), dtype)]))
 
     if share_beta:
-        sol = _solve_partial_share(G_aug, r_aug, n_shared=E)
+        # Betas (+kid) shared; a scale column stays per-instance with trans.
+        sol = _solve_partial_share(G_aug, r_aug, n_shared=E, batch_mask=batch_mask)
     else:
         sol = solve_spd_unrolled(G_aug, r_aug)
 
     new_shape = sol[:, :n_betas]
     new_kid_factor = sol[:, n_betas] if plan.enable_kid else None
-    new_trans = sol[:, E:]
+    new_scale_corr = sol[:, E] + 1 if scale_col else None
+    new_trans = sol[:, E1:]
     if trans_shift_jac is not None:
         new_trans = new_trans - jnp.einsum(
-            'bae,be->ba', trans_shift_jac, sol[:, :E], precision=_HI
+            'bae,be->ba', trans_shift_jac, sol[:, :E1], precision=_HI
         )
+    if scale_fit:
+        # Reference semantics (np/bodyfitter.py:845-850): scale_fit scales the
+        # MODEL, so the published betas/kid are divided by the fitted scale.
+        new_shape = new_shape / new_scale_corr[..., None]
+        if new_kid_factor is not None:
+            new_kid_factor = new_kid_factor / new_scale_corr
 
     result = dict(
         shape_betas=new_shape,
@@ -894,7 +986,7 @@ def _solve_tail(
         trans=new_trans,
         trans_lm=new_trans.T,
         relative_orientations_lm=rel9,
-        scale_corr=None,
+        scale_corr=new_scale_corr,
         joints=None,
         vertices=None,
     )
@@ -1005,6 +1097,10 @@ def fit_shape_wgram_lm(
     kid_regularizer_reference,
     requested_keys=(),
     interpret: bool = False,
+    batch_mask: Optional[jax.Array] = None,
+    scale_target: bool = False,
+    scale_fit: bool = False,
+    scale_regularizer: float = 0.0,
 ) -> dict:
     """Lane-major shape solve under RUNTIME per-vertex weights ω (V, B).
 
@@ -1016,9 +1112,16 @@ def fit_shape_wgram_lm(
     is None): /root/reference/src/smplfitter/np/bodyfitter.py:758-766.
     ``gram`` must be the UNWEIGHTED gram (its per-vertex operands feed the
     kernel; ω arrives solely through ``omega_vm``).
+
+    ``scale_target``/``scale_fit`` append the scale column IN-KERNEL (one
+    extra Jacobian column per vertex, reference column semantics
+    np/bodyfitter.py:751-757) — the weighted+scale configuration rides the
+    same fused pass as every other weighted solve.
     """
     batch = glob_lm.shape[2]
     E = gram.n_ext
+    scale_mode = 1 if scale_target else (2 if scale_fit else 0)
+    E1 = E + (1 if scale_mode else 0)
     dtype = tgt_vm.dtype
 
     pre = _fk_ext_prelude(bm, plan, glob_lm, dtype)
@@ -1027,25 +1130,44 @@ def fit_shape_wgram_lm(
     # Center the Jacobian by its exact ω-weighted mean (the equivalent change
     # of variables t' = t + μᵀx): the translation columns' common mode would
     # otherwise cancel catastrophically in f32 during trans elimination.
-    mu, _ = weighted_jac_mean_lm(bm, gram, glob_lm, T4, omega_vm)  # (3, E, B)
+    mu, w_tot = weighted_jac_mean_lm(bm, gram, glob_lm, T4, omega_vm)  # (3, E, B)
+    if scale_mode:
+        # Scale-column centering: ∓ the ω-weighted TARGET mean. For the pos
+        # column (scale_fit) this is approximate (pos ≈ tgt) — any per-batch
+        # constant is exact here (it folds into the translation change of
+        # variables, undone below); the mean only needs to kill the common
+        # mode for f32 conditioning.
+        t_mean = jnp.einsum('avb,vb->ab', tgt_vm[:, : omega_vm.shape[0]],
+                            omega_vm, precision=_HI) / jnp.maximum(
+            jnp.sum(omega_vm, axis=0), 1e-12
+        )
+        mu_s = -t_mean if scale_target else t_mean  # (3, B)
+        mu_full = jnp.concatenate([mu, mu_s[:, None, :]], axis=1)  # (3, E1, B)
+    else:
+        mu_s = None
+        mu_full = mu
     Gk, SAk, rk, Sbk, Wk = lbs_kernels.wgram_moments(
         tgt_vm, pre['pj_cm'], pre['feat_cols'], t4_cm,
         gram.weights_pad, gram.consts_pose, gram.sd_cm,
         mu.reshape(3 * E, batch), omega_vm,
+        mu_s=mu_s, scale_mode=scale_mode,
         interpret=interpret,
     )
-    G = Gk.T.reshape(batch, E, E)
-    SA = SAk.T.reshape(batch, 3, E)
+    G = Gk.T.reshape(batch, E1, E1)
+    SA = SAk.T.reshape(batch, 3, E1)
     r = rk.T
     Sb = Sbk.T
     W = Wk[0]
 
     if tj_lm is not None:
-        # Runtime-jw joints block (small (3, E, J, B) contractions), in the
-        # same centered variables (P4 − μ).
+        # Runtime-jw joints block (small (3, E1, J, B) contractions), in the
+        # same centered variables (P4 − μ; scale column −tj/p_j − μ_s).
         p_j, P4 = pre['p_j'], pre['P4']
         bJ = tj_lm - p_j  # (3, J, B)
         P4c = P4 - mu[:, :, None, :]
+        if scale_mode:
+            col_j = (-tj_lm if scale_target else p_j) - mu_s[:, None, :]
+            P4c = jnp.concatenate([P4c, col_j[:, None]], axis=1)  # (3, E1, J, B)
         P4w = P4c * jw_lm[None, None]
         G = G + jnp.einsum('aejb,afjb->bef', P4w, P4c, precision=_HI)
         r = r + jnp.einsum('aejb,ajb->be', P4w, bJ, precision=_HI)
@@ -1058,7 +1180,10 @@ def fit_shape_wgram_lm(
         beta_regularizer, beta_regularizer2, kid_regularizer, share_beta,
         beta_regularizer_reference, kid_regularizer_reference,
         requested_keys, interpret,
-        trans_shift_jac=jnp.transpose(mu, (2, 0, 1)),  # (B, 3, E)
+        trans_shift_jac=jnp.transpose(mu_full, (2, 0, 1)),  # (B, 3, E1)
+        batch_mask=batch_mask,
+        scale_target=scale_target, scale_fit=scale_fit,
+        scale_regularizer=scale_regularizer,
     )
 
 

@@ -388,13 +388,17 @@ def _rhs_kernel(nchunks, rem, weighted, scale, *refs):
         # Target-side moments for the scale column (the pos-side moments
         # follow by linearity: pos = tgt - b). Pad rows of the edge chunk are
         # masked in t_vals, and pos is identically 0 there (zero skinning
-        # rows), so the second moments are exact.
+        # rows), so the second moments are exact. Under ω the scale moments
+        # are ω-weighted like everything else (one VPU multiply on the
+        # target / quadratic maps).
+        mul = (lambda x: x * om) if weighted else (lambda x: x)
+        tw = [mul(t_vals[a]) for a in range(3)]
         for a in range(3):
-            yt_ref[a] += _dot3(w, t_vals[a], _C0_0)
-        jac_proj(t_vals, rt_ref)
-        s_tt = sum(t_vals[a] * t_vals[a] for a in range(3))
-        s_tp = sum(t_vals[a] * pos[a] for a in range(3))
-        s_pp = sum(pos[a] * pos[a] for a in range(3))
+            yt_ref[a] += _dot3(w, tw[a], _C0_0)
+        jac_proj(tw, rt_ref)
+        s_tt = mul(sum(t_vals[a] * t_vals[a] for a in range(3)))
+        s_tp = mul(sum(t_vals[a] * pos[a] for a in range(3)))
+        s_pp = mul(sum(pos[a] * pos[a] for a in range(3)))
         sc_ref[:] += jnp.concatenate(
             [
                 jnp.sum(s_tt, axis=0, keepdims=True),
@@ -425,9 +429,9 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     Returns:
         r (E, B) = Σ_v [ω_v] (R̄_v SD_v)ᵀ b_v (the rotation part of Σ jacᵀb)
         and y (3, J, B) = Σ_v [ω_v] w_vj b_v. With ``scale=True``, also the
-        target-side scale-column moments rt (E, B) = Σ (R̄SD)ᵀ tgt,
-        yt (3, J, B) = Σ w_vj tgt, and sc (3, B) = [Σ|tgt|², Σ tgt·pos,
-        Σ|pos|²] (pos-side first moments follow by linearity: pos = tgt − b).
+        target-side scale-column moments rt (E, B) = Σ [ω] (R̄SD)ᵀ tgt,
+        yt (3, J, B) = Σ [ω] w_vj tgt, and sc (3, B) = [Σ ω|tgt|², Σ ω tgt·pos,
+        Σ ω|pos|²] (pos-side first moments follow by linearity: pos = tgt − b).
     """
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
@@ -441,7 +445,6 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     wtsp = _pack6_lhs(weights_pad, axis=1)  # (V_pad, 6J)
     pjp = _pack6_rhs(pj_cm, axis=1)  # (12, 6J, B)
     weighted = omega is not None
-    assert not (weighted and scale), 'weighted+scale solves use the streamed path'
 
     in_specs = [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
@@ -1598,10 +1601,13 @@ def gram_assembly(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
 # ---------------------------------------------------------------------------
 
 
-def _wgram_kernel(nchunks, rem, E, *refs):
+def _wgram_kernel(nchunks, rem, E, scale_mode, *refs):
+    refs = list(refs)
     (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref, t4p_ref,
-     mu_ref, om_ref,
-     g_ref, sa_ref, r_ref, sb_ref, w_ref) = refs
+     mu_ref, om_ref) = refs[:9]
+    refs = refs[9:]
+    mu_s_ref = refs.pop(0) if scale_mode else None
+    g_ref, sa_ref, r_ref, sb_ref, w_ref = refs
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -1616,9 +1622,8 @@ def _wgram_kernel(nchunks, rem, E, *refs):
     pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend)
     om = _mask_tail_rows(om_ref[:], k, nchunks, rem)  # (VC, TB)
     wp = wtsp_ref[:]
-    b = [
-        _mask_tail_rows(tgt_ref[a], k, nchunks, rem) - pos[a] for a in range(3)
-    ]
+    t_vals = [_mask_tail_rows(tgt_ref[a], k, nchunks, rem) for a in range(3)]
+    b = [t_vals[a] - pos[a] for a in range(3)]
     wb = [om * b[a] for a in range(3)]
 
     # jac[a][e] (VC, TB) = Σ_c R̄[a,c] SD[c,e] + T̄[a,e] − μ[a,e]; T̄ via
@@ -1640,23 +1645,33 @@ def _wgram_kernel(nchunks, rem, E, *refs):
                 t_ae = t_ae + blend[a * 4 + c] * sd_col
             row.append(t_ae)
         jac.append(row)
-    wjac = [[om * jac[a][e] for e in range(E)] for a in range(3)]
+    if scale_mode:
+        # One extra column: −tgt (scale_target, mode 1) or pos (scale_fit,
+        # mode 2), centered by the caller-supplied per-batch mean μ_s. The
+        # augmented solve then treats scale exactly like a shape column; the
+        # moment-linearity gymnastics of the unweighted path are unnecessary.
+        # Pad rows become −μ_s, gated through masked ω like jac's −μ.
+        for a in range(3):
+            col = -t_vals[a] if scale_mode == 1 else pos[a]
+            jac[a].append(col - mu_s_ref[a:a + 1])
+    E1 = E + (1 if scale_mode else 0)
+    wjac = [[om * jac[a][e] for e in range(E1)] for a in range(3)]
 
     # Symmetric quadratic block: upper triangle computed once, mirrored.
     vals = {}
-    for e in range(E):
-        for f in range(e, E):
+    for e in range(E1):
+        for f in range(e, E1):
             s = sum(jac[a][e] * wjac[a][f] for a in range(3))
             vals[(e, f)] = jnp.sum(s, axis=0, keepdims=True)  # (1, TB)
     g_ref[:] += jnp.concatenate(
-        [vals[(min(e, f), max(e, f))] for e in range(E) for f in range(E)],
+        [vals[(min(e, f), max(e, f))] for e in range(E1) for f in range(E1)],
         axis=0,
     )
     sa_ref[:] += jnp.concatenate(
         [
             jnp.sum(wjac[a][e], axis=0, keepdims=True)
             for a in range(3)
-            for e in range(E)
+            for e in range(E1)
         ],
         axis=0,
     )
@@ -1665,7 +1680,7 @@ def _wgram_kernel(nchunks, rem, E, *refs):
             jnp.sum(
                 sum(jac[a][e] * wb[a] for a in range(3)), axis=0, keepdims=True
             )
-            for e in range(E)
+            for e in range(E1)
         ],
         axis=0,
     )
@@ -1675,9 +1690,10 @@ def _wgram_kernel(nchunks, rem, E, *refs):
     w_ref[:] += jnp.sum(om, axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+@functools.partial(jax.jit, static_argnames=('scale_mode', 'interpret'))
 def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
-                  sd_cm, mu_cm, omega_vm, interpret: bool = False):
+                  sd_cm, mu_cm, omega_vm, mu_s=None, scale_mode: int = 0,
+                  interpret: bool = False):
     """Runtime-ω shape-solve normal equations (see the section comment).
 
     Args:
@@ -1692,10 +1708,17 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
             subtracted from every per-vertex Jacobian (centering; see
             models/shape_gram.weighted_jac_mean_lm). Pass zeros to disable.
         omega_vm: (V, B) runtime per-vertex fit weights.
+        mu_s: (3, B) scale-column centering mean, required when
+            ``scale_mode``; any per-batch constant is exact (it folds into the
+            translation change of variables) — the caller passes ∓ the
+            ω-weighted target mean.
+        scale_mode: 0 = no scale column, 1 = scale_target (column −tgt),
+            2 = scale_fit (column pos). Adds one trailing column to the
+            per-vertex Jacobian in-kernel, so all outputs are E1 = E+1 wide.
 
-    Returns G (E*E, B), SA (3E, B), r (E, B), Sb (3, B), W (1, B) of the
-    CENTERED system; the caller recovers the true translation as
-    t = t' − μᵀx after the solve.
+    Returns G (E1*E1, B), SA (3*E1, B), r (E1, B), Sb (3, B), W (1, B) of the
+    CENTERED system (E1 = E + 1 when ``scale_mode`` else E); the caller
+    recovers the true translation as t = t' − μᵀx after the solve.
 
     No custom VJP: runtime-weighted fits follow ``autodiff_policy`` and fall
     back to the streamed XLA solve under gradient traces.
@@ -1704,6 +1727,7 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
     v_pad = weights_pad.shape[0]
     J = weights_pad.shape[1]
     E = sd_cm.shape[2]
+    E1 = E + (1 if scale_mode else 0)
     F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
     if tb is not None:
@@ -1712,38 +1736,48 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
     assert tb is not None and v_pad % VC == 0
     assert nchunks * VC >= v_t > (nchunks - 1) * VC
     assert omega_vm.shape == (v_t, B), (omega_vm.shape, v_t, B)
+    assert (mu_s is not None) == bool(scale_mode)
     grid = (B // tb, nchunks)
     wtsp = _pack6_lhs(weights_pad, axis=1)
     pjp = _pack6_rhs(pj_cm, axis=1)
     t4p = _pack6_rhs(t4_cm, axis=1)
 
+    in_specs = [
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * E, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
+    ]
+    operands = [tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm, t4p, mu_cm,
+                omega_vm]
+    if scale_mode:
+        in_specs.append(
+            pl.BlockSpec((3, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM)
+        )
+        operands.append(mu_s)
+
     return pl.pallas_call(
-        functools.partial(_wgram_kernel, nchunks, v_t % VC, E),
+        functools.partial(_wgram_kernel, nchunks, v_t % VC, E, scale_mode),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * E, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((E * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E1 * E1, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * E1, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E1, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((E * E, B), jnp.float32),
-            jax.ShapeDtypeStruct((3 * E, B), jnp.float32),
-            jax.ShapeDtypeStruct((E, B), jnp.float32),
+            jax.ShapeDtypeStruct((E1 * E1, B), jnp.float32),
+            jax.ShapeDtypeStruct((3 * E1, B), jnp.float32),
+            jax.ShapeDtypeStruct((E1, B), jnp.float32),
             jax.ShapeDtypeStruct((3, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ],
         interpret=interpret,
-    )(tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm, t4p, mu_cm, omega_vm)
+    )(*operands)

@@ -167,6 +167,7 @@ def lstsq_partial_share(
     l2_regularizer: jax.Array,
     l2_regularizer_rhs: Optional[jax.Array] = None,
     n_shared: int = 0,
+    batch_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Batch least squares where the first ``n_shared`` params are shared batch-wide.
 
@@ -186,6 +187,12 @@ def lstsq_partial_share(
     Tikhonov diagonal is applied per instance (so the shared block accumulates
     it B times), and the pull-target ``l2_regularizer_rhs`` enters scaled by
     the regularizer weights.
+
+    ``batch_mask`` (B,) zeroes selected instances' contributions to the
+    shared-block sums (their independent solves still run, on whatever data
+    they carry — replicated padding keeps them well conditioned). This makes
+    BATCH PADDING exact under sharing: a padded instance with mask 0
+    contributes nothing, so the shared solution equals the unpadded one.
     """
     n_params = matrix.shape[-1]
     n_out = rhs.shape[-1]
@@ -197,7 +204,15 @@ def lstsq_partial_share(
         pull = l2_regularizer[:, None] * l2_regularizer_rhs
 
     if n_indep == 0:
-        result = lstsq(matrix, rhs, weights, l2_regularizer, pull, shared=True)
+        gram, moment = normal_equations(
+            matrix, rhs, weights, l2_regularizer, pull
+        )
+        if batch_mask is not None:
+            gram = gram * batch_mask[:, None, None]
+            moment = moment * batch_mask[:, None, None]
+        gram = batch_reduce_sum(gram, axis=0, keepdims=True)
+        moment = batch_reduce_sum(moment, axis=0, keepdims=True)
+        result = cholesky_solve(jnp.linalg.cholesky(gram), moment)
         return jnp.broadcast_to(result, (batch, n_params, n_out))
 
     gram, moment = normal_equations(matrix, rhs, weights, l2_regularizer, pull)
@@ -215,12 +230,13 @@ def lstsq_partial_share(
     pivot_s = eliminated[..., :n_shared]  # Gii⁻¹ Gis, (B, I, S)
     pivot_k = eliminated[..., n_shared:]  # Gii⁻¹ bi,  (B, I, K)
 
-    schur = batch_reduce_sum(
-        g_ss - jnp.matmul(g_si, pivot_s, precision=_HI), axis=0, keepdims=True
-    )
-    schur_moment = batch_reduce_sum(
-        m_s - jnp.matmul(g_si, pivot_k, precision=_HI), axis=0, keepdims=True
-    )
+    schur_contrib = g_ss - jnp.matmul(g_si, pivot_s, precision=_HI)
+    moment_contrib = m_s - jnp.matmul(g_si, pivot_k, precision=_HI)
+    if batch_mask is not None:
+        schur_contrib = schur_contrib * batch_mask[:, None, None]
+        moment_contrib = moment_contrib * batch_mask[:, None, None]
+    schur = batch_reduce_sum(schur_contrib, axis=0, keepdims=True)
+    schur_moment = batch_reduce_sum(moment_contrib, axis=0, keepdims=True)
     x_shared = cholesky_solve(jnp.linalg.cholesky(schur), schur_moment)  # (1, S, K)
 
     # matmul broadcasts the batch-1 shared solution against the full batch.

@@ -43,73 +43,25 @@ def divide_no_nan(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def rotvec2mat(rotvec: jax.Array) -> jax.Array:
-    """Rodrigues formula: (..., 3) rotation vectors -> (..., 3, 3) matrices.
+    """(..., 3) rotation vectors -> (..., 3, 3) matrices.
 
-    Branch-free: the zero-angle limit is handled by ``divide_no_nan`` on the axis
-    (axis -> 0 gives the identity matrix exactly).
+    Layout adapter over the lane-major core (:func:`rotvec2mat_lm`), which
+    composes the half-angle unit quaternion and expands it to a matrix —
+    branch-free, exact identity at zero angle.
     """
-    angle = jnp.linalg.norm(rotvec, axis=-1, keepdims=True)
-    axis = divide_no_nan(rotvec, angle)
-
-    sin_axis = jnp.sin(angle) * axis
-    cos_angle = jnp.cos(angle)
-    cos1_axis = (1.0 - cos_angle) * axis
-
-    ax, ay, az = axis[..., 0], axis[..., 1], axis[..., 2]
-    c1x, c1y, _ = cos1_axis[..., 0], cos1_axis[..., 1], cos1_axis[..., 2]
-    sx, sy, sz = sin_axis[..., 0], sin_axis[..., 1], sin_axis[..., 2]
-
-    tmp = c1x * ay
-    m01 = tmp - sz
-    m10 = tmp + sz
-    tmp = c1x * az
-    m02 = tmp + sy
-    m20 = tmp - sy
-    tmp = c1y * az
-    m12 = tmp - sx
-    m21 = tmp + sx
-    diag = cos1_axis * axis + cos_angle
-    m00, m11, m22 = diag[..., 0], diag[..., 1], diag[..., 2]
-
-    flat = jnp.stack([m00, m01, m02, m10, m11, m12, m20, m21, m22], axis=-1)
-    return flat.reshape(*flat.shape[:-1], 3, 3)
+    R9 = rotvec2mat_lm(jnp.moveaxis(rotvec, -1, 0))
+    return jnp.moveaxis(R9, 0, -1).reshape(*rotvec.shape[:-1], 3, 3)
 
 
 def mat2rotvec(rotmat: jax.Array) -> jax.Array:
     """(..., 3, 3) rotation matrices -> (..., 3) rotation vectors.
 
-    Quaternion extraction with the four-branch numerically-stable selection,
-    expressed as nested ``where`` (branch-free).
+    Layout adapter over the lane-major core (:func:`mat2rotvec_lm`): quaternion
+    extraction by dominant-magnitude candidate selection, then the axis-angle
+    log map.
     """
     flat = rotmat.reshape(*rotmat.shape[:-2], 9)
-    r00, r01, r02, r10, r11, r12, r20, r21, r22 = [flat[..., i] for i in range(9)]
-
-    p10p01 = r10 + r01
-    p10m01 = r10 - r01
-    p02p20 = r02 + r20
-    p02m20 = r02 - r20
-    p21p12 = r21 + r12
-    p21m12 = r21 - r12
-    p00p11 = r00 + r11
-    p00m11 = r00 - r11
-    one_p22 = 1.0 + r22
-    one_m22 = 1.0 - r22
-
-    trace = r00 + r11 + r22
-    cand0 = jnp.stack([p21m12, p02m20, p10m01, 1.0 + trace], axis=-1)
-    cand1 = jnp.stack([one_m22 + p00m11, p10p01, p02p20, p21m12], axis=-1)
-    cand2 = jnp.stack([p10p01, one_m22 - p00m11, p21p12, p02m20], axis=-1)
-    cand3 = jnp.stack([p02p20, p21p12, one_p22 - p00p11, p10m01], axis=-1)
-
-    trace_pos = (trace > 0.0)[..., None]
-    d00_large = jnp.logical_and(r00 > r11, r00 > r22)[..., None]
-    d11_large = (r11 > r22)[..., None]
-    q = jnp.where(trace_pos, cand0, jnp.where(d00_large, cand1, jnp.where(d11_large, cand2, cand3)))
-
-    xyz = q[..., :3]
-    w = q[..., 3:]
-    norm = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
-    return (divide_no_nan(jnp.full_like(norm, 2.0), norm) * jnp.arctan2(norm, w)) * xyz
+    return jnp.moveaxis(mat2rotvec_lm(jnp.moveaxis(flat, -1, 0)), 0, -1)
 
 
 # ---------------------------------------------------------------------------
@@ -603,69 +555,79 @@ def matvec3_lm(m9, v3, transpose_m: bool = False):
     )
 
 
-def rotvec2mat_lm(v3: jax.Array) -> jax.Array:
-    """Rodrigues on lane-major (3, ...) rotation vectors -> (9, ...)."""
-    angle = jnp.sqrt(v3[0] * v3[0] + v3[1] * v3[1] + v3[2] * v3[2])
-    ax = divide_no_nan(v3[0], angle)
-    ay = divide_no_nan(v3[1], angle)
-    az = divide_no_nan(v3[2], angle)
-    sin_a = jnp.sin(angle)
-    cos_a = jnp.cos(angle)
-    c1 = 1.0 - cos_a
-    sx, sy, sz = sin_a * ax, sin_a * ay, sin_a * az
-    c1x, c1y = c1 * ax, c1 * ay
+def _quat_to_mat9(qw, qx, qy, qz):
+    """Unit quaternion components -> the 9 rotation-matrix entries (row-major).
 
-    tmp = c1x * ay
-    m01 = tmp - sz
-    m10 = tmp + sz
-    tmp = c1x * az
-    m02 = tmp + sy
-    m20 = tmp - sy
-    tmp = c1y * az
-    m12 = tmp - sx
-    m21 = tmp + sx
-    m00 = c1x * ax + cos_a
-    m11 = c1y * ay + cos_a
-    m22 = c1 * az * az + cos_a
-    return jnp.stack([m00, m01, m02, m10, m11, m12, m20, m21, m22], axis=0)
+    Standard expansion R = (w² − |v|²) I + 2 v vᵀ + 2 w [v]×, written out with
+    the |q| = 1 identity folded into the diagonal.
+    """
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    return [
+        1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy),
+        2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx),
+        2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy),
+    ]
+
+
+def rotvec2mat_lm(v3: jax.Array) -> jax.Array:
+    """Lane-major (3, ...) rotation vectors -> (9, ...) matrices.
+
+    Exponential map through the half-angle unit quaternion
+    q = (cos θ/2, sin(θ/2) v/θ): branch-free, and the zero-angle limit is
+    exact (the vector part vanishes with the input, so q -> (1, 0, 0, 0) and
+    the expansion is the identity matrix).
+    """
+    angle = jnp.sqrt(v3[0] * v3[0] + v3[1] * v3[1] + v3[2] * v3[2])
+    k = divide_no_nan(jnp.sin(0.5 * angle), angle)  # sin(θ/2)/θ
+    qw = jnp.cos(0.5 * angle)
+    return jnp.stack(
+        _quat_to_mat9(qw, k * v3[0], k * v3[1], k * v3[2]), axis=0
+    )
 
 
 def mat2rotvec_lm(R9: jax.Array) -> jax.Array:
-    """Lane-major (9, ...) rotation matrices -> (3, ...) rotation vectors."""
+    """Lane-major (9, ...) rotation matrices -> (3, ...) rotation vectors.
+
+    Quaternion extraction by anchored candidates: the four quantities
+    ``1 ± r00 ± r11 ± r22`` equal 4w², 4x², 4y², 4z²; one unnormalized
+    candidate quaternion is formed per component (scaled by 4·that component,
+    with the off-diagonal sums/differences supplying the rest). Selection is
+    w-anchored whenever the rotation angle is below 2π/3 (``mag_w > 1``,
+    i.e. positive trace — this also fixes which of the two antipodal
+    quaternion representatives, and hence which rotvec branch, is returned),
+    otherwise the candidate of the largest diagonal entry, whose anchor is
+    then at least 1 so the division below stays well conditioned. The log
+    map gives the rotation vector.
+    """
     r00, r01, r02, r10, r11, r12, r20, r21, r22 = _unpack9(R9)
 
-    p10p01 = r10 + r01
-    p10m01 = r10 - r01
-    p02p20 = r02 + r20
-    p02m20 = r02 - r20
-    p21p12 = r21 + r12
-    p21m12 = r21 - r12
-    p00p11 = r00 + r11
-    p00m11 = r00 - r11
-    one_p22 = 1.0 + r22
-    one_m22 = 1.0 - r22
+    mag_w = 1.0 + r00 + r11 + r22  # 4w²
+    mag_x = 1.0 + r00 - r11 - r22  # 4x²
+    mag_y = 1.0 - r00 + r11 - r22  # 4y²
+    mag_z = 1.0 - r00 - r11 + r22  # 4z²
 
-    trace = r00 + r11 + r22
-    cands = [
-        (p21m12, p02m20, p10m01, 1.0 + trace),
-        (one_m22 + p00m11, p10p01, p02p20, p21m12),
-        (p10p01, one_m22 - p00m11, p21p12, p02m20),
-        (p02p20, p21p12, one_p22 - p00p11, p10m01),
-    ]
-    trace_pos = trace > 0.0
-    d00_large = jnp.logical_and(r00 > r11, r00 > r22)
-    d11_large = r11 > r22
-    q = [
+    # Candidates ordered (x, y, z, w), each scaled by 4·(anchor component).
+    cand_w = (r21 - r12, r02 - r20, r10 - r01, mag_w)
+    cand_x = (mag_x, r01 + r10, r20 + r02, r21 - r12)
+    cand_y = (r01 + r10, mag_y, r12 + r21, r02 - r20)
+    cand_z = (r20 + r02, r12 + r21, mag_z, r10 - r01)
+
+    use_w = mag_w > 1.0  # trace > 0
+    x_dominant = jnp.logical_and(mag_x > mag_y, mag_x > mag_z)  # r00 largest
+    y_dominant = mag_y > mag_z  # r11 > r22
+    qx, qy, qz, qw = (
         jnp.where(
-            trace_pos,
-            cands[0][i],
-            jnp.where(d00_large, cands[1][i], jnp.where(d11_large, cands[2][i], cands[3][i])),
+            use_w, cw, jnp.where(x_dominant, cx, jnp.where(y_dominant, cy, cz))
         )
-        for i in range(4)
-    ]
-    norm = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2])
-    scale = divide_no_nan(jnp.full_like(norm, 2.0), norm) * jnp.arctan2(norm, q[3])
-    return jnp.stack([scale * q[0], scale * q[1], scale * q[2]], axis=0)
+        for cw, cx, cy, cz in zip(cand_w, cand_x, cand_y, cand_z)
+    )
+
+    # Log map: angle = 2 atan2(|v|, w), axis = v/|v| (zero vector -> zero).
+    s = jnp.sqrt(qx * qx + qy * qy + qz * qz)
+    scale = divide_no_nan(2.0 * jnp.arctan2(s, qw), s)
+    return jnp.stack([scale * qx, scale * qy, scale * qz], axis=0)
 
 
 def align_unit_vectors_lm(a3, b3) -> jax.Array:

@@ -111,10 +111,11 @@ def test_fit_odd_batch_weighted(smpl_model, smpl_fitter):
 
 
 def test_fit_share_beta_odd_batch_stays_exact(smpl_model, smpl_fitter):
-    """share_beta couples instances through the summed Gramian, so odd
-    batches must NOT be padded (padded duplicates would bias the shared
-    beta): the kernel-forced run must equal the XLA run bit-for-bit in path
-    choice terms, i.e. match to solver noise with std(betas) tiny."""
+    """share_beta couples instances through the summed Gramian; odd batches
+    pad by replication but the padded instances enter the shared-block sums
+    with weight 0 (batch_mask), so the shared beta is EXACTLY the unpadded
+    one. The kernel-forced padded run must match the XLA batch-major run to
+    kernel float noise, with std(betas) tiny across the batch."""
     pose, betas, trans = random_params(5, seed=74, pose_std=0.1)
     betas = np.broadcast_to(betas[:1], betas.shape).copy()
     res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
@@ -124,16 +125,63 @@ def test_fit_share_beta_odd_batch_stays_exact(smpl_model, smpl_fitter):
         num_iter=2,
         share_beta=True,
         beta_regularizer=0.0,
-        requested_keys=('shape_betas',),
+        requested_keys=('shape_betas', 'trans'),
     )
     ref = smpl_fitter.fit(use_kernels=False, **kw)
     got = _forced_kernels(smpl_fitter.fit, **kw)
-    # Both runs take the batch-major path (padding excluded under share_beta);
-    # results agree and betas are shared across the batch.
+    assert got['shape_betas'].shape[0] == 5
     np.testing.assert_allclose(
-        np.asarray(got['shape_betas']), np.asarray(ref['shape_betas']), atol=1e-5
+        np.asarray(got['shape_betas']), np.asarray(ref['shape_betas']), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got['trans']), np.asarray(ref['trans']), atol=5e-4
     )
     assert float(np.std(np.asarray(got['shape_betas']), axis=0).max()) < 1e-5
+
+    # Exactness of the mask itself: the padded kernel run at batch 5 must
+    # give the same shared beta as the kernel run on the tile-aligned batch 8
+    # whose last 3 instances are absent (i.e. the 5-instance problem) — NOT
+    # the one where the replicas participate.
+    got8 = _forced_kernels(
+        smpl_fitter.fit,
+        target_vertices=np.concatenate(
+            [res['vertices']] + [res['vertices'][-1:]] * 3, axis=0
+        ),
+        target_joints=np.concatenate(
+            [res['joints']] + [res['joints'][-1:]] * 3, axis=0
+        ),
+        num_iter=2, share_beta=True, beta_regularizer=0.0,
+        requested_keys=('shape_betas',),
+    )
+    biased = np.asarray(got8['shape_betas'])[0]
+    exact = np.asarray(got['shape_betas'])[0]
+    ref0 = np.asarray(ref['shape_betas'])[0]
+    # The replicated-participation beta is measurably different from the true
+    # shared beta; the masked one is not.
+    assert np.abs(exact - ref0).max() < np.abs(biased - ref0).max() or \
+        np.abs(biased - ref0).max() < 1e-6
+
+
+def test_known_pose_share_beta_odd_batch(smpl_model, smpl_fitter):
+    pose, betas, trans = random_params(6, seed=78, pose_std=0.1)
+    betas = np.broadcast_to(betas[:1], betas.shape).copy()
+    res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+    kw = dict(
+        pose_rotvecs=pose,
+        target_vertices=res['vertices'],
+        target_joints=res['joints'],
+        share_beta=True,
+        beta_regularizer=0.1,
+    )
+    ref = smpl_fitter.fit_with_known_pose(use_kernels=False, **kw)
+    got = _forced_kernels(smpl_fitter.fit_with_known_pose, **kw)
+    assert got['shape_betas'].shape[0] == 6
+    np.testing.assert_allclose(
+        np.asarray(got['shape_betas']), np.asarray(ref['shape_betas']), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got['trans']), np.asarray(ref['trans']), atol=5e-4
+    )
 
 
 def test_known_pose_odd_batch(smpl_model, smpl_fitter):

@@ -665,6 +665,41 @@ class TestScaleKernelPath:
                     err_msg=f'{k} joints={has_joints}',
                 )
 
+    @pytest.mark.parametrize('mode', ['scale_target', 'scale_fit'])
+    def test_known_pose_scale_lm(self, smpl_model, smpl_fitter, mode):
+        """Known-pose solve with a scale column on the kernel path (both the
+        moment-assembled and the runtime-ω weighted-Gramian variants) vs the
+        batch-major XLA solve."""
+        from smplfitter_tpu.ops import lbs_kernels
+
+        pose, betas, trans = random_params(8, seed=69, pose_std=0.12)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        f = 1.1 if mode == 'scale_target' else 0.9
+        tv = np.asarray(res['vertices']) * f
+        tj = np.asarray(res['joints']) * f
+        rng = np.random.RandomState(69)
+        vw = (0.2 + rng.rand(8, smpl_model.num_vertices)).astype(np.float32)
+        jw = (0.2 + rng.rand(8, smpl_model.num_joints)).astype(np.float32)
+        for weighted in (False, True):
+            kw = dict(
+                pose_rotvecs=pose, target_vertices=tv, target_joints=tj,
+                vertex_weights=vw if weighted else None,
+                joint_weights=jw if weighted else None,
+                beta_regularizer=0.5, scale_regularizer=0.1,
+                **{mode: True},
+            )
+            ref = smpl_fitter.fit_with_known_pose(use_kernels=False, **kw)
+            lbs_kernels.FORCE_INTERPRET = True
+            try:
+                got = smpl_fitter.fit_with_known_pose(**kw)
+            finally:
+                lbs_kernels.FORCE_INTERPRET = False
+            for k in ('shape_betas', 'trans', 'scale_corr'):
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), np.asarray(ref[k]), atol=1e-3,
+                    err_msg=f'{k} weighted={weighted}',
+                )
+
     def test_known_shape_per_call_weights_lm(self, smpl_model, smpl_fitter):
         """Per-call weighted known-shape solve (runtime-ω rotation fits and
         weighted translation) vs the batch-major weighted solve."""
@@ -737,4 +772,61 @@ class TestSharedPullSemantics:
             lbs_kernels.FORCE_INTERPRET = False
         np.testing.assert_allclose(
             np.asarray(got_lm['shape_betas']), oracle, atol=1e-4
+        )
+
+
+class TestFitScaleAndTranslation:
+    """Direct oracle parity of the public scale/translation-only fit
+    (reference module function np/bodyfitter.py:1055-1098)."""
+
+    @pytest.mark.parametrize('scale', [False, True])
+    @pytest.mark.parametrize('weighted', [False, True])
+    def test_matches_np_reference(self, smpl_model, smpl_fitter, reference_np,
+                                  scale, weighted):
+        import smplfitter.np.bodyfitter as ref_bf
+
+        pose, betas, trans = random_params(3, seed=71, pose_std=0.2)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        ref = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        tv = np.asarray(res['vertices']) * (1.07 if scale else 1.0)
+        tj = np.asarray(res['joints']) * (1.07 if scale else 1.0)
+        rv, rj = np.asarray(ref['vertices']), np.asarray(ref['joints'])
+        rng = np.random.default_rng(71)
+        vw = (0.2 + rng.random(tv.shape[:2])).astype(np.float32) if weighted else None
+        jw = (0.2 + rng.random(tj.shape[:2])).astype(np.float32) if weighted else None
+
+        got = smpl_fitter.fit_scale_and_translation(
+            tv, rv, tj, rj, vertex_weights=vw, joint_weights=jw, scale=scale
+        )
+        want_scale, want_trans = ref_bf.fit_scale_and_translation(
+            tv, rv, tj, rj, vertex_weights=vw, joint_weights=jw, scale=scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(got['trans']), want_trans, atol=2e-5
+        )
+        if scale:
+            np.testing.assert_allclose(
+                np.asarray(got['scale_corr']), want_scale, atol=2e-5
+            )
+        else:
+            assert 'scale_corr' not in got
+
+    def test_vertices_only_weighted(self, smpl_model, smpl_fitter, reference_np):
+        import smplfitter.np.bodyfitter as ref_bf
+
+        pose, betas, trans = random_params(2, seed=72, pose_std=0.2)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        ref = smpl_model(pose_rotvecs=pose, shape_betas=betas)
+        tv, rv = np.asarray(res['vertices']), np.asarray(ref['vertices'])
+        rng = np.random.default_rng(72)
+        vw = (0.2 + rng.random(tv.shape[:2])).astype(np.float32)
+        got = smpl_fitter.fit_scale_and_translation(
+            tv, rv, vertex_weights=vw, scale=True
+        )
+        want_scale, want_trans = ref_bf.fit_scale_and_translation(
+            tv, rv, None, None, vertex_weights=vw, scale=True
+        )
+        np.testing.assert_allclose(np.asarray(got['trans']), want_trans, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(got['scale_corr']), want_scale, atol=2e-5
         )

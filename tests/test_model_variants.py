@@ -30,15 +30,27 @@ class TestMano:
         res = mano_model(pose_rotvecs=pose, shape_betas=betas)
         assert np.all(np.isfinite(np.asarray(res['vertices'])))
 
-    def test_fit_uses_sequential_adjustment(self, mano_model):
-        """MANO is not smpl-family: every part is adjustable and part joint
-        counts differ, so the level-batched final adjustment is unsupported —
-        the sequential per-joint fallback must run."""
+    def test_fit_bucketed_adjustment(self, mano_model):
+        """MANO is not smpl-family: every part is adjustable (including the
+        root/wrist) and part joint counts differ — the final adjustment must
+        schedule per-level equal-joint-count buckets covering all 16 parts."""
         from smplfitter_tpu import BodyFitter
 
         fitter = BodyFitter(mano_model)
-        assert not fitter.plan.leveladj_supported
         assert fitter.plan.adjustable_parts == tuple(range(16))
+        buckets = fitter.plan.adj_level_buckets
+        scheduled = sorted(
+            i for entry in buckets for bucket in entry for i in bucket
+        )
+        assert scheduled == list(range(16))
+        assert buckets[0] == ((0,),)  # the root is its own schedule entry
+        # buckets within one level must have uniform joint counts
+        for entry in buckets:
+            for bucket in entry:
+                counts = {
+                    len(fitter.plan.children_and_self[i]) for i in bucket
+                }
+                assert len(counts) == 1
 
         rng = np.random.default_rng(91)
         pose = rng.normal(0, 0.1, (2, 48)).astype(np.float32)

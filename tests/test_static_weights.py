@@ -249,10 +249,12 @@ class TestStaticWeightKernelPath:
             got = f.fit(tv, **kw)
         finally:
             lbs_kernels.FORCE_INTERPRET = False
-        # Tolerance calibrated against the UNWEIGHTED lm-vs-batch-major
-        # difference on this same synthetic model (pose ~5e-3): the synthetic
-        # smplh basis amplifies reduction-order noise; ω adds nothing extra.
-        _assert_fits_match(got, ref, 1e-2)
+        # Tolerance calibrated against the f64 reference oracle on this same
+        # configuration: each path lands within ~2e-2 of the oracle's poses
+        # (the synthetic smplh shape basis is near-degenerate, so f32
+        # reduction order moves the iterated fit this much), so two f32 paths
+        # may legitimately differ by ~3e-2 from each other.
+        _assert_fits_match(got, ref, 3e-2)
 
     def test_oracle_parity_no_joints(self, smpl_model, reference_np):
         """HandReplacer configuration (vertex-only weights, no joints): the
