@@ -1,16 +1,21 @@
 """TPU cost of differentiating THROUGH the fit (grad w.r.t. target vertices).
 
 The reference flagship backpropagates through the whole fit
-(/root/reference/tests/pt/test_fitter_grad.py:1-60). Here, under autodiff
-traces the fit follows ``lbs_kernels.autodiff_policy``: the default
-('fallback') runs the pure-XLA formulation, whose backward graph the remote
-AOT compiler handles at production batch sizes — grad-of-fit WITH backward
-kernels exceeds this environment's compile budget (see STATUS.md "Known
-gaps"). This measures the adopted fallback's real cost: compile time and
-steady-state ms/batch for value+grad of a fit loss, at small and production
-batch sizes.
+(/root/reference/tests/pt/test_fitter_grad.py:1-60; num_iter 1 and 3, no
+final adjustment). This measures value+grad of a fit loss on the real TPU at
+small and production batch sizes, via the documented recipe:
+
+ - ``smplfitter_tpu.hoist_constants`` turns the ~50 MB of closed-over model
+   constants into jit parameters (inlined MLIR constants OOM AOT compilers
+   on grad programs; measured 99 MB -> 4 MB of MLIR at batch 32);
+ - hoisting records the fit at trace time WITHOUT a JVP tracer, so the
+   KERNEL path (fused Pallas forward + custom-VJP backward kernels) is what
+   gets differentiated — the backward kernels themselves run on the TPU.
+   (A direct ``jax.grad`` without hoisting triggers the Python-level
+   autodiff detection and follows ``lbs_kernels.autodiff_policy`` instead.)
 
 Usage: python benchmark/bench_grad.py [--batches 32,4096] [--reps 4]
+                                      [--final-adjust] [--num-iter 3]
 Writes one JSON line per batch size.
 """
 
@@ -32,6 +37,12 @@ def main():
     parser.add_argument('--batches', type=str, default='32,4096')
     parser.add_argument('--reps', type=int, default=4)
     parser.add_argument('--num-iter', type=int, default=3)
+    parser.add_argument(
+        '--final-adjust', action='store_true',
+        help='include the final rotation adjustment in the differentiated fit '
+             '(the reference grad tests do not; its backward adds the '
+             'level-sequential tree walk to the program)',
+    )
     args = parser.parse_args()
 
     import jax
@@ -53,7 +64,7 @@ def main():
         # final adjustment.
         res = fitter.fit(
             tv, tj, num_iter=args.num_iter, beta_regularizer=1.0,
-            final_adjust_rots=True,
+            final_adjust_rots=args.final_adjust,
             requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
         )
         return (
@@ -62,12 +73,18 @@ def main():
             + jnp.sum(res['pose_rotvecs'] ** 2)
         )
 
-    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
-
     rng = np.random.default_rng(0)
     fwd = jax.jit(lambda p, b, t: bm(pose_rotvecs=p, shape_betas=b, trans=t))
 
     for B in [int(x) for x in args.batches.split(',')]:
+        # Hoist the ~50 MB of model constants into jit parameters: inlined
+        # MLIR constants OOM AOT compilers on the grad program (see
+        # smplfitter_tpu.api.hoist_constants). One hoist per batch size.
+        ex_v = jnp.zeros((B, bm.num_vertices, 3), jnp.float32)
+        ex_j = jnp.zeros((B, bm.num_joints, 3), jnp.float32)
+        loss_h, consts = smplfitter_tpu.hoist_constants(loss, ex_v, ex_j)
+        vg_h = jax.jit(jax.value_and_grad(loss_h, argnums=(1, 2)))
+        vg = lambda tv, tj: vg_h(consts, tv, tj)
         targets = []
         for _ in range(args.reps):
             pose = rng.normal(0, 0.3, (B, 72)).astype(np.float32)
@@ -93,10 +110,11 @@ def main():
         nonzero = bool(np.abs(g0).max() > 0)
         print(json.dumps(dict(
             metric='grad_of_fit', batch=B, num_iter=args.num_iter,
+            final_adjust=args.final_adjust,
             compile_s=round(compile_s, 1), ms_per_batch=round(ms, 2),
             fits_per_s=round(B / ms * 1e3),
             grad_finite=finite, grad_nonzero=nonzero,
-            policy='fallback (pure-XLA backward)',
+            path='hoisted kernel path (custom-VJP backward kernels)',
             device=jax.devices()[0].device_kind,
         )), flush=True)
 

@@ -18,6 +18,47 @@ from .models.bodymodel import BodyModel
 from .models.bodyfitter import BodyFitter
 
 
+def hoist_constants(fn, *example_args):
+    """Trace ``fn`` once and return ``(wrapped, consts)`` with the closed-over
+    arrays turned into explicit arguments: ``wrapped(consts, *args)`` computes
+    ``fn(*args)`` for any ``args`` shaped like ``example_args``.
+
+    A fit closure closes over ~50 MB of model data (shape/pose blendshape
+    matrices, moment tensors). Under plain ``jax.jit`` those ride into the
+    program as inlined MLIR constants, which an AOT compiler must parse,
+    dedupe, fold and (for gradients) transpose — grad-of-fit programs blow
+    past compile memory budgets on exactly this (measured: 99 MB of MLIR for
+    grad-of-fit at batch 32, vs 4 MB with the constants hoisted). Hoisting
+    makes them compile-time *parameters*: pass ``consts`` through ``jit`` as a
+    regular pytree argument.
+
+        loss_h, consts = hoist_constants(loss, tv, tj)
+        vg = jax.jit(jax.value_and_grad(loss_h, argnums=(1, 2)))
+        value, grads = vg(consts, tv, tj)
+
+    The trace is shape-specialized: ``wrapped`` only accepts arguments with
+    the same shapes/dtypes as ``example_args`` (one hoist per batch size, like
+    one jit cache entry per shape). ``fn`` must be trace-transparent (the fit
+    entry points are); differentiating ``wrapped`` differentiates through the
+    recorded computation.
+    """
+    flat_ex, in_tree = jax.tree.flatten(example_args)
+
+    def flat_fn(*flat):
+        args = jax.tree.unflatten(in_tree, flat)
+        return fn(*args)
+
+    jaxpr, out_shape = jax.make_jaxpr(flat_fn, return_shape=True)(*flat_ex)
+    out_tree = jax.tree.structure(out_shape)
+
+    def wrapped(consts, *args):
+        flat = jax.tree.leaves(args)
+        outs = jax.core.eval_jaxpr(jaxpr.jaxpr, consts, *flat)
+        return jax.tree.unflatten(out_tree, outs)
+
+    return wrapped, list(jaxpr.consts)
+
+
 @functools.lru_cache()
 def get_cached_body_model(
     model_name: str = 'smpl', gender: str = 'neutral', model_root: Optional[str] = None

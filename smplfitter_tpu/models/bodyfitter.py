@@ -32,6 +32,7 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import contextlib
+import os
 from typing import Optional
 
 import jax
@@ -1449,7 +1450,7 @@ class BodyFitter:
         # padded instances enter the shared-block sums with weight 0
         # (``batch_mask``; replication keeps their per-instance blocks
         # well-conditioned).
-        pad = (-B) % 8
+        pad = lbs_kernels.kernel_batch_pad(B)
         if pad and lbs_kernels.kernel_mode(B + pad) is not None:
             tv, tj, vw, jw, ipr, isb, ikf = _pad_batch(
                 pad, B, target_vertices, target_joints, vertex_weights,
@@ -1542,7 +1543,7 @@ class BodyFitter:
                 target_vm=tgt_vm,
             )
 
-        for _ in range(num_iter - 1):
+        def _iter_body(glob_rotmats, _):
             result = fit_shape(
                 bm,
                 plan,
@@ -1567,7 +1568,7 @@ class BodyFitter:
                 target_vm=tgt_vm,
                 batch_mask=batch_mask,
             )
-            glob_rotmats = rot_ops.matmul3x3(
+            new_rotmats = rot_ops.matmul3x3(
                 fit_global_rotations(
                     bm,
                     plan,
@@ -1583,6 +1584,28 @@ class BodyFitter:
                 ),
                 glob_rotmats,
             )
+            return new_rotmats, None
+
+        if num_iter > 1:
+            if os.environ.get('SMPLFITTER_TPU_FIT_ITER') == 'scan':
+                # Opt-in alternative: one scanned (and rematerialized) body —
+                # the traced program and its transposed backward are O(1) in
+                # num_iter, and remat caps the backward's saved residuals at
+                # one iteration's footprint. Measured NOT to help this
+                # environment's remote AOT compiler (grad-of-fit SIGKILLs
+                # either way) while making XLA:CPU compiles of plain fits
+                # several times slower, so unrolled is the default; the scan
+                # remains available for very large num_iter or memory-bound
+                # gradient workloads.
+                glob_rotmats, _ = jax.lax.scan(
+                    jax.checkpoint(_iter_body),
+                    glob_rotmats,
+                    None,
+                    length=num_iter - 1,
+                )
+            else:
+                for _ in range(num_iter - 1):
+                    glob_rotmats, _ = _iter_body(glob_rotmats, None)
 
         result = fit_shape(
             bm,
@@ -1997,7 +2020,7 @@ class BodyFitter:
             # no rotation fit for them to affect) — but paired with static
             # vertex weights they would, so that combo falls back.
             B = target_vertices.shape[0]
-            pad = (-B) % 8
+            pad = lbs_kernels.kernel_batch_pad(B)
             scale_kw = dict(
                 scale_target=scale_target, scale_fit=scale_fit,
                 scale_regularizer=scale_regularizer,
@@ -2199,7 +2222,7 @@ class BodyFitter:
             # the shape features). Per-call vertex weights run the runtime-ω
             # rotation fits (no statics to mix with).
             B = target_vertices.shape[0]
-            pad = (-B) % 8
+            pad = lbs_kernels.kernel_batch_pad(B)
             if (
                 self._lm_weights_ok(vertex_weights, joint_weights)
                 and not scale_fit

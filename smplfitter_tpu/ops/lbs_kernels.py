@@ -225,10 +225,29 @@ def under_autodiff(*arrays) -> bool:
 
 
 def pick_batch_tile(B: int) -> int | None:
-    for tb in (256, 128, 64, 32, 16, 8):
-        if B % tb == 0:
-            return tb
+    """Batch (lane) tile for the fused kernels, or None if B is ineligible.
+
+    Mosaic accepts a lane-dim block only when it is a multiple of 128 OR
+    spans the whole array dimension, so the valid tiles are 256/128 for
+    divisible batches and B itself (whole-dim block) for small batches.
+    Sub-128 tiles of a larger batch (e.g. 16 of 48) LOWER-ERROR on real TPU
+    even though interpret mode accepts them — do not reintroduce them.
+    """
+    if B % 256 == 0:
+        return 256
+    if B % 128 == 0:
+        return 128
+    if B <= 256 and B % 8 == 0:
+        return B
     return None
+
+
+def kernel_batch_pad(B: int) -> int:
+    """Padding that makes ``B`` kernel-eligible: up to a multiple of 8 in the
+    whole-block regime (B <= 256), up to a multiple of 128 beyond it."""
+    if B + ((-B) % 8) <= 256:
+        return (-B) % 8
+    return (-B) % 128
 
 
 def kernel_mode(B: int) -> str | None:
@@ -1451,10 +1470,14 @@ def _gram_kernel(has_joints, E, J, r_ref, t_ref, y_ref, p_ref, bj_ref,
 
 
 def _gram_tile(B: int) -> int:
-    for tb in (128, 64, 32, 16, 8):
-        if B % tb == 0:
-            return tb
-    raise ValueError(f'batch {B} not divisible by 8')
+    """Gram-assembly batch tile: capped at 128 (the in-kernel X buffer is
+    (J3², tb)); small batches use the whole-dim block (Mosaic accepts a lane
+    block only when it is a multiple of 128 or spans the array)."""
+    if B % 128 == 0:
+        return 128
+    if B <= 256 and B % 8 == 0:
+        return B
+    raise ValueError(f'batch {B} is not kernel-eligible (pick_batch_tile)')
 
 
 def _gram_assembly_impl(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
@@ -1601,6 +1624,12 @@ def gram_assembly(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
 # ---------------------------------------------------------------------------
 
 
+VC_W = 64  # wgram vertex chunk: the 3·E1 live Jacobian columns bound VMEM
+# (at VC_W=128 the kernel still exceeded the 16M scoped-VMEM limit by ~0.7M
+# at tb=128; 64 rows keep every dot unpadded — M=64 is a whole number of f32
+# sublane tiles, N=tb=128 full lanes — while halving the per-vertex budget).
+
+
 def _wgram_kernel(nchunks, rem, E, scale_mode, *refs):
     refs = list(refs)
     (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref, t4p_ref,
@@ -1620,19 +1649,27 @@ def _wgram_kernel(nchunks, rem, E, scale_mode, *refs):
 
     blend = _lbs_blend(pjp_ref, wtsp_ref)
     pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend)
-    om = _mask_tail_rows(om_ref[:], k, nchunks, rem)  # (VC, TB)
+    om = _mask_tail_rows(om_ref[:], k, nchunks, rem)  # (VC_W, TB)
+    # √ω factorization: the ω-weighted quadratic block is Σ (√ω jac)(√ω jac)ᵀ,
+    # so only ONE weighted copy of the Jacobian is ever live — the 3·E1
+    # (VC_W, TB) columns are the kernel's VMEM budget (an unweighted copy
+    # PLUS an ω-weighted copy, as the naive formulation holds, exceeds
+    # scoped VMEM at production tiles). ω ≥ 0 (fit confidences); (√ω)² ≈ ω
+    # to 1 ulp, far below the solve's f32 envelope.
+    som = jnp.sqrt(om)
     wp = wtsp_ref[:]
     t_vals = [_mask_tail_rows(tgt_ref[a], k, nchunks, rem) for a in range(3)]
     b = [t_vals[a] - pos[a] for a in range(3)]
-    wb = [om * b[a] for a in range(3)]
+    b_w = [som * b[a] for a in range(3)]  # √ω b (pairs with √ω jac for r)
+    wb = [om * b[a] for a in range(3)]  # ω b (Sb)
 
-    # jac[a][e] (VC, TB) = Σ_c R̄[a,c] SD[c,e] + T̄[a,e] − μ[a,e]; T̄ via
-    # K-packed single-pass blends (same 6J contraction as the [R|t] blends).
-    # μ is the exact ω-weighted Jacobian mean: centering removes the
+    # jac_w[a][e] (VC_W, TB) = √ω (Σ_c R̄[a,c] SD[c,e] + T̄[a,e] − μ[a,e]);
+    # T̄ via K-packed single-pass blends (same 6J contraction as the [R|t]
+    # blends). μ is the exact ω-weighted Jacobian mean: centering removes the
     # translation columns' common mode, whose f32 cancellation in the
     # trans-elimination Schur step otherwise costs ~3 digits. Pad rows
     # become −μ, but every reduction below gates them through masked ω.
-    jac = []
+    jac_w = []
     for a in range(3):
         row = []
         for e in range(E):
@@ -1641,10 +1678,10 @@ def _wgram_kernel(nchunks, rem, E, scale_mode, *refs):
                 - mu_ref[a * E + e:a * E + e + 1]
             )
             for c in range(3):
-                sd_col = sd_ref[c][:, e:e + 1]  # (VC, 1)
+                sd_col = sd_ref[c][:, e:e + 1]  # (VC_W, 1)
                 t_ae = t_ae + blend[a * 4 + c] * sd_col
-            row.append(t_ae)
-        jac.append(row)
+            row.append(som * t_ae)
+        jac_w.append(row)
     if scale_mode:
         # One extra column: −tgt (scale_target, mode 1) or pos (scale_fit,
         # mode 2), centered by the caller-supplied per-batch mean μ_s. The
@@ -1653,15 +1690,14 @@ def _wgram_kernel(nchunks, rem, E, scale_mode, *refs):
         # Pad rows become −μ_s, gated through masked ω like jac's −μ.
         for a in range(3):
             col = -t_vals[a] if scale_mode == 1 else pos[a]
-            jac[a].append(col - mu_s_ref[a:a + 1])
+            jac_w[a].append(som * (col - mu_s_ref[a:a + 1]))
     E1 = E + (1 if scale_mode else 0)
-    wjac = [[om * jac[a][e] for e in range(E1)] for a in range(3)]
 
     # Symmetric quadratic block: upper triangle computed once, mirrored.
     vals = {}
     for e in range(E1):
         for f in range(e, E1):
-            s = sum(jac[a][e] * wjac[a][f] for a in range(3))
+            s = sum(jac_w[a][e] * jac_w[a][f] for a in range(3))
             vals[(e, f)] = jnp.sum(s, axis=0, keepdims=True)  # (1, TB)
     g_ref[:] += jnp.concatenate(
         [vals[(min(e, f), max(e, f))] for e in range(E1) for f in range(E1)],
@@ -1669,7 +1705,7 @@ def _wgram_kernel(nchunks, rem, E, scale_mode, *refs):
     )
     sa_ref[:] += jnp.concatenate(
         [
-            jnp.sum(wjac[a][e], axis=0, keepdims=True)
+            jnp.sum(som * jac_w[a][e], axis=0, keepdims=True)
             for a in range(3)
             for e in range(E1)
         ],
@@ -1678,7 +1714,8 @@ def _wgram_kernel(nchunks, rem, E, scale_mode, *refs):
     r_ref[:] += jnp.concatenate(
         [
             jnp.sum(
-                sum(jac[a][e] * wb[a] for a in range(3)), axis=0, keepdims=True
+                sum(jac_w[a][e] * b_w[a] for a in range(3)), axis=0,
+                keepdims=True,
             )
             for e in range(E1)
         ],
@@ -1730,11 +1767,14 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
     E1 = E + (1 if scale_mode else 0)
     F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
-    if tb is not None:
-        tb = min(tb, 128)  # the (3E, 6J, tb) T4 operand bounds VMEM
-    nchunks = v_pad // VC
-    assert tb is not None and v_pad % VC == 0
-    assert nchunks * VC >= v_t > (nchunks - 1) * VC
+    if tb == 256:
+        tb = 128  # the (3E, 6J, tb) T4 operand bounds VMEM
+    # Iterate only chunks that contain REAL vertices: v_pad is a multiple of
+    # the (larger) shared VC, so it may hold whole all-padding VC_W chunks at
+    # the tail — their rows are zero in the static operands and ω-masked
+    # anyway, so they are simply skipped.
+    nchunks = -(-v_t // VC_W)
+    assert tb is not None and v_pad % VC_W == 0 and nchunks * VC_W <= v_pad
     assert omega_vm.shape == (v_t, B), (omega_vm.shape, v_t, B)
     assert (mu_s is not None) == bool(scale_mode)
     grid = (B // tb, nchunks)
@@ -1743,15 +1783,15 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
     t4p = _pack6_rhs(t4_cm, axis=1)
 
     in_specs = [
-        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC_W, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC_W, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, VC_W, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC_W, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * E, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC_W, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
     ]
     operands = [tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm, t4p, mu_cm,
                 omega_vm]
@@ -1762,7 +1802,7 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
         operands.append(mu_s)
 
     return pl.pallas_call(
-        functools.partial(_wgram_kernel, nchunks, v_t % VC, E, scale_mode),
+        functools.partial(_wgram_kernel, nchunks, v_t % VC_W, E, scale_mode),
         grid=grid,
         in_specs=in_specs,
         out_specs=[

@@ -15,6 +15,7 @@ entire "distributed backend" of this workload.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -110,6 +111,7 @@ def cholesky_solve(chol: jax.Array, rhs: jax.Array) -> jax.Array:
     return jax.scipy.linalg.solve_triangular(chol, y, lower=True, trans=1)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def solve_spd_unrolled(G: jax.Array, rhs: jax.Array, eps: float = 1e-30) -> jax.Array:
     """Batched SPD solve for SMALL static n via fully unrolled Cholesky.
 
@@ -118,7 +120,21 @@ def solve_spd_unrolled(G: jax.Array, rhs: jax.Array, eps: float = 1e-30) -> jax.
     batches; this unrolled form is pure fused elementwise VPU code (O(n^3/3)
     scalar ops on (...,) arrays) and runs in microseconds. Intended for
     n <= ~24.
+
+    Carries a closed-form VJP (one more unrolled solve + an outer product)
+    instead of the autodiff transpose of the unrolled factorization: the
+    transposed Cholesky graph is ~4x the forward's op count and was the
+    single largest contributor to grad-of-fit compile size (~31% of all
+    equations), which overflows this environment's AOT compiler at
+    num_iter >= 2. Only the lower triangle of ``G`` is read, so the returned
+    cotangent lives on the lower triangle (off-diagonal entries accumulate
+    both symmetric partners); semantically G is the symmetric matrix it
+    represents.
     """
+    return _solve_spd_unrolled_impl(G, rhs, eps)
+
+
+def _solve_spd_unrolled_impl(G: jax.Array, rhs: jax.Array, eps: float) -> jax.Array:
     n = G.shape[-1]
     vec_rhs = rhs.ndim == G.ndim - 1
     if vec_rhs:
@@ -158,6 +174,35 @@ def solve_spd_unrolled(G: jax.Array, rhs: jax.Array, eps: float = 1e-30) -> jax.
 
     out = jnp.stack(x, axis=-2)
     return out[..., 0] if vec_rhs else out
+
+
+def _solve_spd_fwd(G, rhs, eps):
+    x = _solve_spd_unrolled_impl(G, rhs, eps)
+    return x, (G, x)
+
+
+def _solve_spd_bwd(eps, res, g):
+    # x = A⁻¹ b with A = sym-from-lower(G):  b̄ = A⁻¹ x̄ (A symmetric),
+    # Ā = −b̄ xᵀ (summed over rhs columns). G's upper triangle is never read,
+    # so the full-matrix cotangent folds onto the lower triangle:
+    # Ḡ[i,j] = Ā[i,j] + Ā[j,i] (i > j), Ḡ[j,j] = Ā[j,j].
+    G, x = res
+    vec = x.ndim == G.ndim - 1
+    rhs_bar = _solve_spd_unrolled_impl(G, g, eps)
+    if vec:
+        A_bar = -rhs_bar[..., :, None] * x[..., None, :]
+    else:
+        A_bar = -jnp.einsum('...ik,...jk->...ij', rhs_bar, x, precision=_HI)
+    n = G.shape[-1]
+    lower = jnp.tril(jnp.ones((n, n), dtype=bool), -1)
+    G_bar = (
+        A_bar * jnp.eye(n, dtype=A_bar.dtype)
+        + jnp.where(lower, A_bar + jnp.swapaxes(A_bar, -1, -2), 0.0)
+    )
+    return G_bar, rhs_bar
+
+
+solve_spd_unrolled.defvjp(_solve_spd_fwd, _solve_spd_bwd)
 
 
 def lstsq_partial_share(

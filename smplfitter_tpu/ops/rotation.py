@@ -262,10 +262,32 @@ def proj_SO3_scalar(A: jax.Array) -> jax.Array:
     return R.astype(dtype)
 
 
+@jax.custom_vjp
 def proj_SO3(A: jax.Array) -> jax.Array:
     """Project (..., 3, 3) onto SO(3). Default: branch-free scalarized analytic
-    polar decomposition (one fused VPU kernel on TPU)."""
+    polar decomposition (one fused VPU kernel on TPU). Backward is the
+    closed-form polar differential (see :func:`proj_SO3_lm`), not autodiff of
+    the eigensolver."""
     return proj_SO3_scalar(A)
+
+
+def _proj_SO3_fwd(A):
+    R = proj_SO3_scalar(A)
+    return R, (A, R)
+
+
+def _proj_SO3_bwd(res, G):
+    A, R = res
+
+    def ent(x):
+        f = x.reshape(*x.shape[:-2], 9)
+        return [f[..., i] for i in range(9)]
+
+    out = _proj_SO3_bwd_entries(ent(A), ent(R), ent(G))
+    return (jnp.stack(out, axis=-1).reshape(A.shape),)
+
+
+proj_SO3.defvjp(_proj_SO3_fwd, _proj_SO3_bwd)
 
 
 # Matrix-layout entry point to the same SoA math (kept for API parity with the
@@ -521,9 +543,93 @@ def _proj_SO3_core(ent, dtype):
     ]
 
 
+def _proj_SO3_bwd_entries(A, R, G):
+    """Closed-form VJP of the SO(3) projection, on 9-entry lists.
+
+    The projection is the orthogonal factor of the polar decomposition
+    A = R S (S = sym(RᵀA)). Its differential is the solution of a 3x3
+    symmetric system: dR = R·hat(ω) with (tr(S)·I − S) ω = vee(RᵀdA − dAᵀR);
+    transposing the linear map gives the cotangent pullback
+
+        Ā = R·hat(u),   u = (tr(S)·I − S)⁻¹ vee₂(RᵀG),
+
+    with vee₂(M) = (M₂₁−M₁₂, M₀₂−M₂₀, M₁₀−M₀₁). The 3x3 solve is closed-form
+    (adjugate) with a trace-relative Tikhonov damping: at the projection's
+    genuine non-differentiabilities (coalescing singular values under a
+    reflection, where tr(S)·I − S loses rank) the damped gradient stays
+    finite and bounded instead of exploding — autodiff of the eigensolver
+    NaNs there, and its transposed graph is ~100x this op count.
+    """
+    def rt_m(M):  # (Rᵀ M) entries, row-major
+        return [
+            R[0 * 3 + i] * M[0 * 3 + j]
+            + R[1 * 3 + i] * M[1 * 3 + j]
+            + R[2 * 3 + i] * M[2 * 3 + j]
+            for i in range(3)
+            for j in range(3)
+        ]
+
+    RtA = rt_m(A)
+    s00, s11, s22 = RtA[0], RtA[4], RtA[8]
+    s01 = 0.5 * (RtA[1] + RtA[3])
+    s02 = 0.5 * (RtA[2] + RtA[6])
+    s12 = 0.5 * (RtA[5] + RtA[7])
+    trS = s00 + s11 + s22
+    lam = 1e-6 * jnp.abs(trS) + 1e-20
+    l00 = trS - s00 + lam
+    l11 = trS - s11 + lam
+    l22 = trS - s22 + lam
+    l01, l02, l12 = -s01, -s02, -s12
+
+    M = rt_m(G)
+    r1 = M[7] - M[5]
+    r2 = M[2] - M[6]
+    r3 = M[3] - M[1]
+
+    c00 = l11 * l22 - l12 * l12
+    c01 = l02 * l12 - l01 * l22
+    c02 = l01 * l12 - l02 * l11
+    c11 = l00 * l22 - l02 * l02
+    c12 = l01 * l02 - l00 * l12
+    c22 = l00 * l11 - l01 * l01
+    det = l00 * c00 + l01 * c01 + l02 * c02
+    inv_det = divide_no_nan(jnp.ones_like(det), det)
+    u1 = (c00 * r1 + c01 * r2 + c02 * r3) * inv_det
+    u2 = (c01 * r1 + c11 * r2 + c12 * r3) * inv_det
+    u3 = (c02 * r1 + c12 * r2 + c22 * r3) * inv_det
+
+    # Ā = R hat(u): hat(u) columns (0, u3, −u2), (−u3, 0, u1), (u2, −u1, 0).
+    out = []
+    for i in range(3):
+        ri0, ri1, ri2 = R[i * 3 + 0], R[i * 3 + 1], R[i * 3 + 2]
+        out += [ri1 * u3 - ri2 * u2, ri2 * u1 - ri0 * u3, ri0 * u2 - ri1 * u1]
+    return out
+
+
+@jax.custom_vjp
 def proj_SO3_lm(A9: jax.Array) -> jax.Array:
-    """Analytic SO(3) projection on lane-major (9, ...) entry arrays."""
+    """Analytic SO(3) projection on lane-major (9, ...) entry arrays.
+
+    Carries the closed-form polar-differential VJP
+    (:func:`_proj_SO3_bwd_entries`): backprop through fits costs a 3x3
+    damped symmetric solve per part instead of transposing the scalarized
+    eigensolver (which NaNs at degenerate spectra and multiplies compile
+    size)."""
     return jnp.stack(_proj_SO3_core(_unpack9(A9), A9.dtype), axis=0)
+
+
+def _proj_SO3_lm_fwd(A9):
+    R9 = proj_SO3_lm(A9)
+    return R9, (A9, R9)
+
+
+def _proj_SO3_lm_bwd(res, G9):
+    A9, R9 = res
+    out = _proj_SO3_bwd_entries(_unpack9(A9), _unpack9(R9), _unpack9(G9))
+    return (jnp.stack(out, axis=0),)
+
+
+proj_SO3_lm.defvjp(_proj_SO3_lm_fwd, _proj_SO3_lm_bwd)
 
 
 def matmul3x3_lm(a9, b9, transpose_a: bool = False, transpose_b: bool = False):
@@ -577,10 +683,16 @@ def rotvec2mat_lm(v3: jax.Array) -> jax.Array:
     Exponential map through the half-angle unit quaternion
     q = (cos θ/2, sin(θ/2) v/θ): branch-free, and the zero-angle limit is
     exact (the vector part vanishes with the input, so q -> (1, 0, 0, 0) and
-    the expansion is the identity matrix).
+    the expansion is the identity matrix). The squared norm is clamped BELOW
+    the subnormal range before the sqrt: the clamp's gradient is zero on the
+    clamped branch, so backprop at θ = 0 is exact (∂sqrt at 0 is inf and
+    would otherwise poison the whole fit gradient — identity rotations DO
+    occur bitwise, e.g. copied joints).
     """
-    angle = jnp.sqrt(v3[0] * v3[0] + v3[1] * v3[1] + v3[2] * v3[2])
-    k = divide_no_nan(jnp.sin(0.5 * angle), angle)  # sin(θ/2)/θ
+    angle = jnp.sqrt(
+        jnp.maximum(v3[0] * v3[0] + v3[1] * v3[1] + v3[2] * v3[2], 1e-30)
+    )
+    k = jnp.sin(0.5 * angle) / angle  # sin(θ/2)/θ -> 1/2 at the clamp
     qw = jnp.cos(0.5 * angle)
     return jnp.stack(
         _quat_to_mat9(qw, k * v3[0], k * v3[1], k * v3[2]), axis=0
@@ -625,8 +737,14 @@ def mat2rotvec_lm(R9: jax.Array) -> jax.Array:
     )
 
     # Log map: angle = 2 atan2(|v|, w), axis = v/|v| (zero vector -> zero).
-    s = jnp.sqrt(qx * qx + qy * qy + qz * qz)
-    scale = divide_no_nan(2.0 * jnp.arctan2(s, qw), s)
+    # |v|² is clamped below the subnormal range so the sqrt's gradient is
+    # finite at EXACT identity inputs — which occur bitwise (copied joints
+    # give symmetric relative rotations with qx = qy = qz = 0), where the
+    # unclamped ∂sqrt(0) = inf turns the whole fit gradient NaN. At the
+    # clamp, scale -> 2·atan2(ε, w)/ε ≈ 2/w (finite) and the output is an
+    # exact zero through the qx/qy/qz factors.
+    s = jnp.sqrt(jnp.maximum(qx * qx + qy * qy + qz * qz, 1e-30))
+    scale = 2.0 * jnp.arctan2(s, qw) / s
     return jnp.stack([scale * qx, scale * qy, scale * qz], axis=0)
 
 

@@ -204,3 +204,51 @@ class TestAutodiffPolicy:
         seen.clear()
         jax.vmap(jax.grad(f))(jnp.ones((2, 3)))
         assert seen[-1] is True
+
+
+class TestHoistConstants:
+    """smplfitter_tpu.hoist_constants: closed-over model constants become
+    explicit jit parameters (the grad-of-fit compile-size fix; see api.py)."""
+
+    def test_matches_direct_and_differentiates(self, smpl_model):
+        import smplfitter_tpu
+        from smplfitter_tpu import BodyFitter
+
+        fitter = BodyFitter(smpl_model)
+        pose, betas, trans = random_params(2, seed=103, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv, tj = jnp.asarray(res['vertices']), jnp.asarray(res['joints'])
+
+        def loss(tv, tj):
+            fit = fitter.fit(
+                tv, tj, num_iter=2, beta_regularizer=1.0, use_kernels=False,
+                requested_keys=['shape_betas', 'trans'],
+            )
+            return jnp.sum(fit['shape_betas'] ** 2) + jnp.sum(fit['trans'] ** 2)
+
+        loss_h, consts = smplfitter_tpu.hoist_constants(loss, tv, tj)
+        # Values match the direct call.
+        np.testing.assert_allclose(
+            float(loss_h(consts, tv, tj)), float(loss(tv, tj)), rtol=1e-6
+        )
+        # Gradients of the hoisted form match direct gradients.
+        g_h = jax.grad(lambda v: loss_h(consts, v, tj))(tv)
+        g_d = jax.grad(lambda v: loss(v, tj))(tv)
+        np.testing.assert_allclose(
+            np.asarray(g_h), np.asarray(g_d), rtol=1e-4, atol=1e-6
+        )
+
+    def test_shape_specialized(self, smpl_model):
+        import smplfitter_tpu
+
+        def f(x):
+            return jnp.sum(x * smpl_model.data.v_template)
+
+        ex = jnp.zeros((smpl_model.num_vertices, 3))
+        f_h, consts = smplfitter_tpu.hoist_constants(f, ex)
+        assert len(consts) >= 1
+        np.testing.assert_allclose(
+            float(f_h(consts, jnp.ones((smpl_model.num_vertices, 3)))),
+            float(np.sum(np.asarray(smpl_model.data.v_template))),
+            rtol=1e-5,
+        )

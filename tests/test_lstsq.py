@@ -107,3 +107,30 @@ class TestSolveSpdUnrolled:
         x = np.asarray(jax.jit(L.solve_spd_unrolled)(G, rhs))
         x_ref = np.linalg.solve(G, rhs[..., None])[..., 0]
         np.testing.assert_allclose(x, x_ref, atol=2e-4)
+
+    def test_custom_vjp_matches_autodiff(self):
+        """The closed-form VJP (one extra solve + outer product; added to keep
+        grad-of-fit inside AOT compile budgets) must equal the autodiff
+        transpose of the unrolled factorization."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        n = 9
+        A = rng.normal(size=(3, n, n + 4)).astype(np.float32)
+        G = jnp.asarray(A @ np.swapaxes(A, -1, -2) + np.eye(n, dtype=np.float32))
+        for rhs_shape in ((3, n), (3, n, 2)):
+            rhs = jnp.asarray(rng.normal(size=rhs_shape).astype(np.float32))
+
+            def loss(G, rhs):
+                return jnp.sum(jnp.sin(L.solve_spd_unrolled(G, rhs)))
+
+            def loss_ref(G, rhs):
+                return jnp.sum(jnp.sin(L._solve_spd_unrolled_impl(G, rhs, 1e-30)))
+
+            for argnum in (0, 1):
+                g = jax.grad(loss, argnums=argnum)(G, rhs)
+                g_ref = jax.grad(loss_ref, argnums=argnum)(G, rhs)
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(g_ref), atol=2e-6
+                )
