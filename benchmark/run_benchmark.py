@@ -16,10 +16,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import os.path as osp
 import sqlite3
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def init_db(path: str):
