@@ -14,8 +14,20 @@ small and production batch sizes, via the documented recipe:
    (A direct ``jax.grad`` without hoisting triggers the Python-level
    autodiff detection and follows ``lbs_kernels.autodiff_policy`` instead.)
 
+Large batches: the monolithic b4096 grad program exceeds this environment's
+chipless AOT compiler (subprocess exit 1). Two working recipes, both
+measured here:
+
+ - ``--chunk N``: `lax.scan` the fit over batch chunks of size N inside the
+   loss. Fits are per-instance independent (no share_beta), so the grad of
+   the summed loss decomposes exactly; the compiled program is ONE chunk's
+   forward+backward (kernel path, custom-VJP backward kernels) iterated
+   B/N times — compile cost is that of the chunk-sized program.
+ - ``--xla``: `use_kernels=False` pure-XLA fallback (monolithic batch).
+
 Usage: python benchmark/bench_grad.py [--batches 32,4096] [--reps 4]
                                       [--final-adjust] [--num-iter 3]
+                                      [--chunk 512] [--xla]
 Writes one JSON line per batch size.
 """
 
@@ -43,6 +55,16 @@ def main():
              '(the reference grad tests do not; its backward adds the '
              'level-sequential tree walk to the program)',
     )
+    parser.add_argument(
+        '--chunk', type=int, default=0,
+        help='lax.scan the fit over batch chunks of this size inside the '
+             'loss (0 = monolithic batch). Makes production-batch grads '
+             'compile: the program is one chunk-sized fit fwd+bwd.',
+    )
+    parser.add_argument(
+        '--xla', action='store_true',
+        help='use_kernels=False pure-XLA fallback path',
+    )
     args = parser.parse_args()
 
     import jax
@@ -58,13 +80,14 @@ def main():
     bm = smplfitter_tpu.BodyModel('smpl', 'neutral', model_root=models_dir + '/smpl')
     fitter = smplfitter_tpu.BodyFitter(bm)
 
-    def loss(tv, tj):
+    def fit_loss(tv, tj):
         # Scalar loss over everything the fit publishes on its main path:
         # forces the full backward graph through rotations + shape solve +
         # final adjustment.
         res = fitter.fit(
             tv, tj, num_iter=args.num_iter, beta_regularizer=1.0,
             final_adjust_rots=args.final_adjust,
+            use_kernels=not args.xla,
             requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
         )
         return (
@@ -72,6 +95,24 @@ def main():
             + jnp.sum(res['trans'] ** 2)
             + jnp.sum(res['pose_rotvecs'] ** 2)
         )
+
+    if args.chunk:
+        def loss(tv, tj):
+            # Per-instance fits are independent: the summed loss (and so its
+            # grad) decomposes exactly over batch chunks. The scan body is
+            # one chunk-sized fit; its backward is the scan of the chunk's
+            # backward — compile cost stays at the chunk size.
+            n = tv.shape[0] // args.chunk
+            tvc = tv.reshape(n, args.chunk, *tv.shape[1:])
+            tjc = tj.reshape(n, args.chunk, *tj.shape[1:])
+
+            def body(acc, xs):
+                return acc + fit_loss(*xs), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), (tvc, tjc))
+            return acc
+    else:
+        loss = fit_loss
 
     rng = np.random.default_rng(0)
     fwd = jax.jit(lambda p, b, t: bm(pose_rotvecs=p, shape_betas=b, trans=t))
@@ -108,13 +149,19 @@ def main():
         g0 = np.asarray(outs[0][1][0])
         finite = bool(np.isfinite(g0).all())
         nonzero = bool(np.abs(g0).max() > 0)
+        if args.xla:
+            path = 'hoisted XLA fallback (use_kernels=False)'
+        else:
+            path = 'hoisted kernel path (custom-VJP backward kernels)'
+        if args.chunk:
+            path += f', lax.scan-chunked at {args.chunk}'
         print(json.dumps(dict(
             metric='grad_of_fit', batch=B, num_iter=args.num_iter,
             final_adjust=args.final_adjust,
             compile_s=round(compile_s, 1), ms_per_batch=round(ms, 2),
             fits_per_s=round(B / ms * 1e3),
             grad_finite=finite, grad_nonzero=nonzero,
-            path='hoisted kernel path (custom-VJP backward kernels)',
+            path=path,
             device=jax.devices()[0].device_kind,
         )), flush=True)
 

@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -160,6 +161,112 @@ def _mm3(a, b):
 
 
 VC = 256  # vertex chunk (sublane dim of per-vertex tiles)
+
+
+# --- j-major 6-term K-packing + per-chunk joint-subset layout --------------
+# The LBS blends contract a K-packed joint axis. In the J-MAJOR packing the 6
+# precision terms of each joint are CONTIGUOUS, so a contiguous (DFS-ordered)
+# joint range [s, s+jr) is the contiguous K range [6s, 6s+6jr) — kernels can
+# slice the (12, 6J, B) operand at a per-chunk sublane offset and contract
+# against per-chunk packed weight columns: K = 6·jr (one MXU K-tile for
+# SMPL's jr=16 vs two for the full 6·24) instead of 6·J. See
+# ops/chunk_layout.py for the host-side reordering that makes the ranges
+# short, and BlendLayout below for the operand bundle.
+
+_LHS_TERMS = (0, 0, 1, 0, 1, 2)
+_RHS_TERMS = (0, 1, 0, 2, 1, 0)
+
+
+def _pack6_lhs_j(a, axis):
+    """j-major twin of :func:`_pack6_lhs`: per-joint term blocks
+    [a0,a0,a1,a0,a1,a2] are contiguous along the (6x expanded) ``axis``."""
+    s = _split3_bf16(a)
+    stacked = jnp.stack([s[t] for t in _LHS_TERMS], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] *= 6
+    return stacked.reshape(shape)
+
+
+def _pack6_rhs_j(b, axis):
+    """j-major twin of :func:`_pack6_rhs` (terms [b0,b1,b0,b2,b1,b0])."""
+    s = _split3_bf16(b)
+    stacked = jnp.stack([s[t] for t in _RHS_TERMS], axis=axis + 1)
+    shape = list(b.shape)
+    shape[axis] *= 6
+    return stacked.reshape(shape)
+
+
+from flax import struct as _struct
+
+
+@_struct.dataclass
+class BlendLayout:
+    """Static per-chunk joint-subset operands for the LBS blend dots.
+
+    ``wtsp_sub`` row-block k holds chunk k's vertices' K-packed weights for
+    its DFS joint range; ``w_sub`` the plain (unpacked) columns; ``starts``
+    the per-chunk DFS range starts (multiples of 4 → K offsets 6·s are
+    sublane-aligned). ``jperm`` is the DFS joint order the packed operands
+    use (kernel outputs over the subset axis come back in DFS positions and
+    are un-permuted by the public wrappers). A degenerate layout
+    (jr == J, identity jperm, zero starts) reproduces the full-width kernels
+    exactly — it is what :func:`default_layout` builds when no precomputed
+    layout is supplied (e.g. in unit tests).
+    """
+
+    wtsp_sub: jax.Array  # (V_pad, 6*jr)
+    w_sub: jax.Array  # (V_pad, jr)
+    starts: jax.Array  # (1, nchunks) int32
+    jr: int = _struct.field(pytree_node=False)
+    jp: int = _struct.field(pytree_node=False)  # padded joint-axis length
+    jperm: tuple = _struct.field(pytree_node=False)
+
+    @property
+    def full(self) -> bool:
+        """Full-width layout: every chunk uses the whole joint axis (starts
+        all zero by construction), so kernels take static offsets."""
+        return self.jr == self.jp
+
+    @property
+    def identity_j(self) -> bool:
+        return self.jperm == tuple(range(len(self.jperm)))
+
+
+def default_layout(weights_pad, chunk: int = VC) -> BlendLayout:
+    """Trace-time degenerate layout: full joint width, no reordering."""
+    v_pad, J = weights_pad.shape
+    return BlendLayout(
+        wtsp_sub=_pack6_lhs_j(weights_pad, axis=1),
+        w_sub=weights_pad,
+        starts=jnp.zeros((1, v_pad // chunk), jnp.int32),
+        jr=J,
+        jp=J,
+        jperm=tuple(range(J)),
+    )
+
+
+def pack_pj(pj_cm, layout: BlendLayout):
+    """K-pack a per-joint operand (e.g. (12, J, B) [R|t] entries) along its
+    joint axis 1: DFS order, zero-padded to jp, j-major 6-term packed."""
+    if not layout.identity_j:
+        pj_cm = jnp.take(pj_cm, jnp.asarray(np.asarray(layout.jperm)), axis=1)
+    J = pj_cm.shape[1]
+    if layout.jp > J:
+        pad = [(0, 0)] * pj_cm.ndim
+        pad[1] = (0, layout.jp - J)
+        pj_cm = jnp.pad(pj_cm, pad)
+    return _pack6_rhs_j(pj_cm, axis=1)
+
+
+def unpermute_joints(x, layout: BlendLayout, axis: int = 1):
+    """Map a kernel output whose joint axis is in (jp-padded) DFS positions
+    back to canonical joint order (inverse of the layout's jperm)."""
+    if layout.identity_j and layout.jp == len(layout.jperm):
+        return x
+    jperm = np.asarray(layout.jperm)
+    jpos = np.empty(len(jperm), np.int64)
+    jpos[jperm] = np.arange(len(jperm))
+    return jnp.take(x, jnp.asarray(jpos), axis=axis)
 
 _C0_0 = (((0,), (0,)), ((), ()))  # contract dim0 x dim0
 
@@ -309,23 +416,27 @@ def from_vertex_major(x_vm: jax.Array, num_vertices: int) -> jax.Array:
     return jnp.transpose(x_vm[:, :num_vertices], (2, 1, 0))
 
 
-def _lbs_blend(pjp_ref, wtsp_ref):
+def _blend_s6(starts_ref, k):
+    """Per-chunk K offset into the j-major packed joint operands: 6 x the
+    chunk's DFS range start. ``starts_ref`` is None in the degenerate
+    (full-width) layout — the offset is then the static 0."""
+    if starts_ref is None:
+        return 0
+    return pl.multiple_of(starts_ref[0, k] * 6, 48)
+
+
+def _lbs_blend(pjp_ref, wtsp_ref, s6):
     """12 blended [R|t] entries, each (VC, TB): blend[a*4+c] = w @ pj[a*4+c].
 
-    Operands are K-packed (see :func:`_pack6_lhs`): wtsp (VC, 6J) pairs with
-    pjp (12, 6J, TB) so each blend is ONE MXU pass at K=6J (f32-emulation
-    accuracy) instead of six passes at K=J each padded to a full K tile."""
+    Operands are K-packed j-major (see :func:`_pack6_lhs_j`): the per-chunk
+    packed weight columns wtsp (VC, 6·jr) pair with the rows
+    [s6, s6 + 6·jr) of pjp (12, 6J, TB), so each blend is ONE MXU pass at
+    K = 6·jr (a single K-tile when jr <= 21) at f32-emulation accuracy —
+    instead of six passes at K=J each padded to a full K tile, or one pass
+    at K = 6J spanning two tiles."""
     wp = wtsp_ref[:]
-    return [_dot1(wp, pjp_ref[x], _MM) for x in range(12)]
-
-
-def _plain_weights(wtsp_ref):
-    """Recover the f32 skinning-weight chunk (VC, J) from the K-packed
-    (VC, 6J) operand: w0 + w1 + w2 == w to within 2^-25 relative (the 3-way
-    bf16 split covers the full f32 mantissa; see :func:`_split3_bf16`)."""
-    wp = wtsp_ref[:]
-    J = wp.shape[1] // 6
-    return wp[:, :J] + wp[:, 2 * J:3 * J] + wp[:, 5 * J:6 * J]
+    k6 = wp.shape[1]
+    return [_dot1(wp, pjp_ref[x, pl.ds(s6, k6), :], _MM) for x in range(12)]
 
 
 def _lbs_homog(feat_ref, consts_ref):
@@ -337,16 +448,18 @@ def _lbs_homog(feat_ref, consts_ref):
     return [_mm3(consts_ref[c], feat_ref[:]) for c in range(3)]
 
 
-def _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend=None, homog=None):
+def _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6, blend=None,
+             homog=None):
     """Shared extended-LBS chunk, all-2D: blended [R|t] applied to the
     homogeneous feature-projected template chunk.
 
     pjp_ref: (12, 6J, TB) K-packed per-joint [R|t], leading index = a*4 + c4.
-    feat_ref: (F, TB). wtsp_ref: (VC, 6J) K-packed. consts_ref: (4, VC, F).
+    feat_ref: (F, TB). wtsp_ref: (VC, 6·jr) per-chunk K-packed weights.
+    consts_ref: (4, VC, F). s6: chunk's K offset (see :func:`_blend_s6`).
     Returns [pos_x, pos_y, pos_z], each (VC, TB).
     """
     if blend is None:
-        blend = _lbs_blend(pjp_ref, wtsp_ref)
+        blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
     if homog is None:
         homog = _lbs_homog(feat_ref, consts_ref)
     return [
@@ -355,14 +468,18 @@ def _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend=None, homog=None):
     ]
 
 
-def _rhs_kernel(nchunks, rem, weighted, scale, *refs):
+def _rhs_kernel(nchunks, rem, weighted, scale, subset, *refs):
     refs = list(refs)
-    tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref = refs[:6]
-    refs = refs[6:]
+    starts_ref = refs.pop(0) if subset else None
+    tgt_ref, pjp_ref, feat_ref, wtsp_ref, wsub_ref, consts_ref, sd_ref = refs[:7]
+    refs = refs[7:]
     om_ref = refs.pop(0) if weighted else None
     r_ref, y_small_ref = refs[:2]
     rt_ref, yt_ref, sc_ref = refs[2:] if scale else (None, None, None)
     k = pl.program_id(1)
+    s6 = _blend_s6(starts_ref, k)
+    st = 0 if starts_ref is None else pl.multiple_of(starts_ref[0, k], 8)
+    jr = wsub_ref.shape[1]
 
     @pl.when(k == 0)
     def _():
@@ -373,9 +490,9 @@ def _rhs_kernel(nchunks, rem, weighted, scale, *refs):
             yt_ref[:] = jnp.zeros_like(yt_ref)
             sc_ref[:] = jnp.zeros_like(sc_ref)
 
-    blend = _lbs_blend(pjp_ref, wtsp_ref)
-    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend)
-    w = _plain_weights(wtsp_ref)
+    blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
+    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6, blend)
+    w = wsub_ref[:]  # (VC, jr) plain per-chunk weight columns
     t_vals = [_mask_tail_rows(tgt_ref[a], k, nchunks, rem) for a in range(3)]
     b = [t_vals[a] - pos[a] for a in range(3)]  # (VC, TB) residuals
     if weighted:
@@ -387,8 +504,10 @@ def _rhs_kernel(nchunks, rem, weighted, scale, *refs):
         om = _mask_tail_rows(om_ref[:], k, nchunks, rem)
         b = [x * om for x in b]
     for a in range(3):
-        # Parts-major (J, TB): J=24 on output lanes would pad 24 -> 128.
-        y_small_ref[a] += _dot3(w, b[a], _C0_0)  # (J, TB)
+        # Parts-major (jr, TB) accumulated into the chunk's joint range of
+        # the (jp, TB) output: jr rows instead of J on the MXU's output
+        # sublanes, and J=24 on output LANES would have padded 24 -> 128.
+        y_small_ref[a, pl.ds(st, jr), :] += _dot3(w, b[a], _C0_0)
 
     # The shape-Jacobian contraction folded in-kernel: r_e = Σ_v Σ_c
     # SD_v[c,e] (R̄_vᵀ b_v)_c, reusing the blends as R̄ columns. The joint-pair
@@ -413,7 +532,7 @@ def _rhs_kernel(nchunks, rem, weighted, scale, *refs):
         mul = (lambda x: x * om) if weighted else (lambda x: x)
         tw = [mul(t_vals[a]) for a in range(3)]
         for a in range(3):
-            yt_ref[a] += _dot3(w, tw[a], _C0_0)
+            yt_ref[a, pl.ds(st, jr), :] += _dot3(w, tw[a], _C0_0)
         jac_proj(tw, rt_ref)
         s_tt = mul(sum(t_vals[a] * t_vals[a] for a in range(3)))
         s_tp = mul(sum(t_vals[a] * pos[a] for a in range(3)))
@@ -430,7 +549,7 @@ def _rhs_kernel(nchunks, rem, weighted, scale, *refs):
 
 def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
                       omega=None, scale: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, layout: BlendLayout | None = None):
     """Fused residual projection of the shape solve.
 
     Args:
@@ -444,108 +563,145 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
         omega: optional per-vertex fit weights — (V_pad, 1) static (zero rows
             in padding) or (V, B) runtime (edge chunk masked in-kernel); when
             given every vertex sum below is ω-weighted.
+        layout: per-chunk joint-subset blend layout (see :class:`BlendLayout`);
+            None builds the degenerate full-width layout. With a real layout
+            every per-vertex operand (targets, consts, sd, ω) must be in the
+            layout's vertex order.
 
     Returns:
         r (E, B) = Σ_v [ω_v] (R̄_v SD_v)ᵀ b_v (the rotation part of Σ jacᵀb)
-        and y (3, J, B) = Σ_v [ω_v] w_vj b_v. With ``scale=True``, also the
-        target-side scale-column moments rt (E, B) = Σ [ω] (R̄SD)ᵀ tgt,
-        yt (3, J, B) = Σ [ω] w_vj tgt, and sc (3, B) = [Σ ω|tgt|², Σ ω tgt·pos,
-        Σ ω|pos|²] (pos-side first moments follow by linearity: pos = tgt − b).
+        and y (3, J, B) = Σ_v [ω_v] w_vj b_v in CANONICAL joint order. With
+        ``scale=True``, also the target-side scale-column moments
+        rt (E, B) = Σ [ω] (R̄SD)ᵀ tgt, yt (3, J, B) = Σ [ω] w_vj tgt, and
+        sc (3, B) = [Σ ω|tgt|², Σ ω tgt·pos, Σ ω|pos|²] (pos-side first
+        moments follow by linearity: pos = tgt − b).
     """
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
-    J = weights_pad.shape[1]
     E = sd_cm.shape[2]
     F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
     nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0 and nchunks * VC >= v_t > (nchunks - 1) * VC
     grid = (B // tb, nchunks)
-    wtsp = _pack6_lhs(weights_pad, axis=1)  # (V_pad, 6J)
-    pjp = _pack6_rhs(pj_cm, axis=1)  # (12, 6J, B)
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    jp, jr = layout.jp, layout.jr
+    pjp = pack_pj(pj_cm, layout)  # (12, 6*jp, B)
     weighted = omega is not None
+    subset = not layout.full
 
     in_specs = [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, 6 * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm]
+    operands = [tgt_vm, pjp, feat_cols, layout.wtsp_sub, layout.w_sub,
+                consts_pad, sd_cm]
+    if subset:
+        in_specs.insert(0, pl.BlockSpec(
+            (1, nchunks), lambda i, k: (0, 0), memory_space=pltpu.SMEM))
+        operands.insert(0, layout.starts)
     if weighted:
         in_specs.append(_omega_spec(omega, tb))
         operands.append(omega)
 
     out_specs = [
         pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((E, B), jnp.float32),
-        jax.ShapeDtypeStruct((3, J, B), jnp.float32),
+        jax.ShapeDtypeStruct((3, jp, B), jnp.float32),
     ]
     if scale:
         out_specs += [
             pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         ]
         out_shape += [
             jax.ShapeDtypeStruct((E, B), jnp.float32),
-            jax.ShapeDtypeStruct((3, J, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, jp, B), jnp.float32),
             jax.ShapeDtypeStruct((3, B), jnp.float32),
         ]
 
-    return pl.pallas_call(
-        functools.partial(_rhs_kernel, nchunks, v_t % VC, weighted, scale),
+    outs = pl.pallas_call(
+        functools.partial(_rhs_kernel, nchunks, v_t % VC, weighted, scale,
+                          subset),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(*operands)
+    if scale:
+        r, y, rt, yt, sc = outs
+        return (r, unpermute_joints(y, layout), rt,
+                unpermute_joints(yt, layout), sc)
+    r, y = outs
+    return r, unpermute_joints(y, layout)
 
 
-def _lbs_points_kernel(pjp_ref, feat_ref, wtsp_ref, consts_ref, out_ref):
-    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref)
+def _lbs_points_kernel(subset, *refs):
+    refs = list(refs)
+    starts_ref = refs.pop(0) if subset else None
+    pjp_ref, feat_ref, wtsp_ref, consts_ref, out_ref = refs
+    s6 = _blend_s6(starts_ref, pl.program_id(1))
+    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6)
     for a in range(3):
         out_ref[a] = pos[a]
 
 
 def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     layout: BlendLayout | None = None):
     """Extended LBS -> per-vertex points, component-major (3, V_pad, B).
 
     With feat = [pose_feature; 1] this is the posed zero-beta mesh; appending
     the solved betas (and consts channels [shapedirs]) yields the reconstructed
-    mesh pos + jac·x in the same single pass.
+    mesh pos + jac·x in the same single pass. With a real ``layout`` the
+    output rows are in the layout's vertex order.
     """
     _, J, B = pj_cm.shape
     F = feat_cols.shape[0]
     v_pad = weights_pad.shape[0]
     tb = pick_batch_tile(B)
     assert tb is not None and v_pad % VC == 0
-    grid = (B // tb, v_pad // VC)
-    wtsp = _pack6_lhs(weights_pad, axis=1)
-    pjp = _pack6_rhs(pj_cm, axis=1)
+    nchunks = v_pad // VC
+    grid = (B // tb, nchunks)
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    jp, jr = layout.jp, layout.jr
+    pjp = pack_pj(pj_cm, layout)
+    subset = not layout.full
+
+    in_specs = [
+        pl.BlockSpec((12, 6 * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [pjp, feat_cols, layout.wtsp_sub, consts_pad]
+    if subset:
+        in_specs.insert(0, pl.BlockSpec(
+            (1, nchunks), lambda i, k: (0, 0), memory_space=pltpu.SMEM))
+        operands.insert(0, layout.starts)
 
     return pl.pallas_call(
-        _lbs_points_kernel,
+        functools.partial(_lbs_points_kernel, subset),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32),
         interpret=interpret,
-    )(pjp, feat_cols, wtsp, consts_pad)
+    )(*operands)
 
 
 def _part_sums_kernel(nchunks, rem_t, rem_a, weighted, *refs):
@@ -702,10 +858,13 @@ def _part_sums_impl(t_vm, a_vm, pm, omega=None, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _lbs_grads_chunk(g, pjp_ref, feat_ref, wtsp_ref, consts_ref, dpj_ref, dfeat_ref, k):
+def _lbs_grads_chunk(g, pjp_ref, feat_ref, wtsp_ref, wfull_ref, consts_ref,
+                     dpj_ref, dfeat_ref, k, s6):
     """Shared backward chunk: given per-vertex cotangent g (list of 3 (VC, TB)),
-    accumulate dpj (12, tb, J) and dfeat (F, tb)."""
-    w = _plain_weights(wtsp_ref)
+    accumulate dpj (12, tb, J) and dfeat (F, tb). The dpj dots use the full
+    plain weights (their J axis lands on output LANES, which cannot take
+    per-chunk dynamic offsets); the blends use the subset operands."""
+    w = wfull_ref[:]  # (VC, J) plain full-width weights
     homog = _lbs_homog(feat_ref, consts_ref)
 
     @pl.when(k == 0)
@@ -719,43 +878,71 @@ def _lbs_grads_chunk(g, pjp_ref, feat_ref, wtsp_ref, consts_ref, dpj_ref, dfeat_
             dpj_ref[a * 4 + c] += _dot3(
                 prod, w, _C0_0
             )  # (TB, J)
+    blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
     for c in range(4):
         u_c = None
         for a in range(3):
-            blend_ac = _dot1(wtsp_ref[:], pjp_ref[a * 4 + c], _MM)
-            term = blend_ac * g[a]
+            term = blend[a * 4 + c] * g[a]
             u_c = term if u_c is None else u_c + term
         dfeat_ref[:] += _dot3(
             consts_ref[c], u_c, _C0_0
         )  # (F, TB)
 
 
-def _lbs_points_bwd_kernel(g_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref,
-                           dpj_ref, dfeat_ref):
+def _lbs_points_bwd_kernel(subset, *refs):
+    refs = list(refs)
+    starts_ref = refs.pop(0) if subset else None
+    (g_ref, pjp_ref, feat_ref, wtsp_ref, wfull_ref, consts_ref,
+     dpj_ref, dfeat_ref) = refs
     k = pl.program_id(1)
+    s6 = _blend_s6(starts_ref, k)
     g = [g_ref[a] for a in range(3)]
-    _lbs_grads_chunk(g, pjp_ref, feat_ref, wtsp_ref, consts_ref, dpj_ref, dfeat_ref, k)
+    _lbs_grads_chunk(g, pjp_ref, feat_ref, wtsp_ref, wfull_ref, consts_ref,
+                     dpj_ref, dfeat_ref, k, s6)
 
 
-def _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad, g, interpret):
+def _starts_spec(nchunks):
+    return pl.BlockSpec((1, nchunks), lambda i, k: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+
+def _bwd_common_specs(layout, tb, F):
+    """The (pjp, feat, wtsp_sub, weights_pad, consts) spec block shared by
+    the backward kernels."""
+    jp_l, jr = layout.jp, layout.jr
+    J = len(layout.jperm)
+    return [
+        pl.BlockSpec((12, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad, g, interpret,
+                    layout=None):
     _, J, B = pj_cm.shape
     F = feat_cols.shape[0]
     v_pad = weights_pad.shape[0]
     tb = pick_batch_tile(B)
-    grid = (B // tb, v_pad // VC)
-    wtsp = _pack6_lhs(weights_pad, axis=1)
-    pjp = _pack6_rhs(pj_cm, axis=1)
+    nchunks = v_pad // VC
+    grid = (B // tb, nchunks)
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    pjp = pack_pj(pj_cm, layout)
+    subset = not layout.full
+
+    in_specs = ([_starts_spec(nchunks)] if subset else []) + [
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+    ] + _bwd_common_specs(layout, tb, F)
+    operands = ([layout.starts] if subset else []) + [
+        g, pjp, feat_cols, layout.wtsp_sub, weights_pad, consts_pad]
 
     dpj, dfeat = pl.pallas_call(
-        _lbs_points_bwd_kernel,
+        functools.partial(_lbs_points_bwd_kernel, subset),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((12, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
@@ -765,41 +952,50 @@ def _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad, g, interpret):
             jax.ShapeDtypeStruct((F, B), jnp.float32),
         ],
         interpret=interpret,
-    )(g, pjp, feat_cols, wtsp, consts_pad)
+    )(*operands)
     return jnp.transpose(dpj, (0, 2, 1)), dfeat
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _lbs_points_diff(pj_cm, feat_cols, weights_pad, consts_pad, interpret):
-    return _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad, interpret)
+def _lbs_points_diff(pj_cm, feat_cols, weights_pad, consts_pad, interpret,
+                     layout):
+    return _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
+                            interpret, layout=layout)
 
 
-def _lbs_points_fwd(pj_cm, feat_cols, weights_pad, consts_pad, interpret):
-    out = _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad, interpret)
-    return out, (pj_cm, feat_cols, weights_pad, consts_pad)
+def _lbs_points_fwd(pj_cm, feat_cols, weights_pad, consts_pad, interpret,
+                    layout):
+    out = _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
+                           interpret, layout=layout)
+    return out, (pj_cm, feat_cols, weights_pad, consts_pad, layout)
 
 
 def _lbs_points_bwd_rule(interpret, res, g):
-    pj_cm, feat_cols, weights_pad, consts_pad = res
+    pj_cm, feat_cols, weights_pad, consts_pad, layout = res
     dpj, dfeat = _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad,
-                                 g, interpret)
-    return dpj, dfeat, jnp.zeros_like(weights_pad), jnp.zeros_like(consts_pad)
+                                 g, interpret, layout=layout)
+    return (dpj, dfeat, jnp.zeros_like(weights_pad),
+            jnp.zeros_like(consts_pad),
+            jax.tree.map(jnp.zeros_like, layout))
 
 
 _lbs_points_diff.defvjp(_lbs_points_fwd, _lbs_points_bwd_rule)
 
 
-def _rhs_bwd_kernel(nchunks, rem, weighted, *refs):
+def _rhs_bwd_kernel(nchunks, rem, weighted, subset, *refs):
+    refs = list(refs)
+    starts_ref = refs.pop(0) if subset else None
     if weighted:
-        (gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref,
-         sd_ref, om_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
+        (gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref, wtsp_ref, wfull_ref,
+         consts_ref, sd_ref, om_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
     else:
-        (gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref,
-         sd_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
+        (gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref, wtsp_ref, wfull_ref,
+         consts_ref, sd_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
     k = pl.program_id(1)
-    w = _plain_weights(wtsp_ref)
+    s6 = _blend_s6(starts_ref, k)
+    w = wfull_ref[:]  # (VC, J) plain full-width weights
     homog = _lbs_homog(feat_ref, consts_ref)
-    blend = _lbs_blend(pjp_ref, wtsp_ref)
+    blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
     pos = [
         sum(blend[a * 4 + c] * homog[c] for c in range(3)) + blend[a * 4 + 3]
         for a in range(3)
@@ -843,7 +1039,7 @@ def _rhs_bwd_kernel(nchunks, rem, weighted, *refs):
 
 
 def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
-                     gr, gy, omega=None, interpret=False):
+                     gr, gy, omega=None, interpret=False, layout=None):
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
     J = weights_pad.shape[1]
@@ -852,21 +1048,22 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     tb = pick_batch_tile(B)
     nchunks = v_pad // VC
     grid = (B // tb, nchunks)
-    wtsp = _pack6_lhs(weights_pad, axis=1)
-    pjp = _pack6_rhs(pj_cm, axis=1)
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
+    subset = not layout.full
 
-    in_specs = [
+    in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+    ] + _bwd_common_specs(layout, tb, F) + [
         pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [gr, gy, tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm]
+    operands = ([layout.starts] if subset else []) + [
+        gr, gy, tgt_vm, pjp, feat_cols, layout.wtsp_sub, weights_pad,
+        consts_pad, sd_cm]
     if weighted:
         in_specs.append(
             pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
@@ -874,7 +1071,7 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
         operands.append(omega)
 
     dtgt, dpj, dfeat = pl.pallas_call(
-        functools.partial(_rhs_bwd_kernel, nchunks, v_t % VC, weighted),
+        functools.partial(_rhs_bwd_kernel, nchunks, v_t % VC, weighted, subset),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -894,27 +1091,29 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
-                      interpret):
+                      interpret, layout):
     return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                             sd_cm, interpret=interpret)
+                             sd_cm, interpret=interpret, layout=layout)
 
 
 def _rhs_moments_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
-                     interpret):
+                     interpret, layout):
     out = _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                            sd_cm, interpret=interpret)
-    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm)
+                            sd_cm, interpret=interpret, layout=layout)
+    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
+                 layout)
 
 
 def _rhs_moments_bwd_rule(interpret, res, g):
-    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm = res
+    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, layout = res
     gr, gy = g
     dtgt, dpj, dfeat = _rhs_moments_bwd(
         tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, gr, gy,
-        interpret=interpret,
+        interpret=interpret, layout=layout,
     )
     return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
-            jnp.zeros_like(consts_pad), jnp.zeros_like(sd_cm))
+            jnp.zeros_like(consts_pad), jnp.zeros_like(sd_cm),
+            jax.tree.map(jnp.zeros_like, layout))
 
 
 _rhs_moments_diff.defvjp(_rhs_moments_fwd, _rhs_moments_bwd_rule)
@@ -922,28 +1121,32 @@ _rhs_moments_diff.defvjp(_rhs_moments_fwd, _rhs_moments_bwd_rule)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _rhs_moments_w_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                        sd_cm, omega, interpret):
+                        sd_cm, omega, interpret, layout):
     return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                             sd_cm, omega=omega, interpret=interpret)
+                             sd_cm, omega=omega, interpret=interpret,
+                             layout=layout)
 
 
 def _rhs_moments_w_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                       sd_cm, omega, interpret):
+                       sd_cm, omega, interpret, layout):
     out = _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                            sd_cm, omega=omega, interpret=interpret)
-    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, omega)
+                            sd_cm, omega=omega, interpret=interpret,
+                            layout=layout)
+    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
+                 omega, layout)
 
 
 def _rhs_moments_w_bwd_rule(interpret, res, g):
-    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, omega = res
+    (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, omega,
+     layout) = res
     gr, gy = g
     dtgt, dpj, dfeat = _rhs_moments_bwd(
         tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, gr, gy,
-        omega=omega, interpret=interpret,
+        omega=omega, interpret=interpret, layout=layout,
     )
     return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
             jnp.zeros_like(consts_pad), jnp.zeros_like(sd_cm),
-            jnp.zeros_like(omega))
+            jnp.zeros_like(omega), jax.tree.map(jnp.zeros_like, layout))
 
 
 _rhs_moments_w_diff.defvjp(_rhs_moments_w_fwd, _rhs_moments_w_bwd_rule)
@@ -951,34 +1154,44 @@ _rhs_moments_w_diff.defvjp(_rhs_moments_w_fwd, _rhs_moments_w_bwd_rule)
 
 @functools.partial(jax.jit, static_argnames=('scale', 'interpret'))
 def rhs_moments(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
-                omega=None, scale: bool = False, interpret: bool = False):
+                omega=None, scale: bool = False, interpret: bool = False,
+                layout: BlendLayout | None = None):
     """Differentiable fused residual projection (see _rhs_moments_impl).
 
     ``scale=True`` additionally returns the scale-column moments
     (rt, yt, sc) — that variant carries no custom VJP (scale solves follow
     ``autodiff_policy`` onto the XLA formulation under gradient traces)."""
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
     if scale:
         return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad,
                                  consts_pad, sd_cm, omega=omega, scale=True,
-                                 interpret=interpret)
+                                 interpret=interpret, layout=layout)
     if omega is None:
         return _rhs_moments_diff(tgt_vm, pj_cm, feat_cols, weights_pad,
-                                 consts_pad, sd_cm, interpret)
+                                 consts_pad, sd_cm, interpret, layout)
     if _runtime_omega(omega):
         return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad,
                                  consts_pad, sd_cm, omega=omega,
-                                 interpret=interpret)
+                                 interpret=interpret, layout=layout)
     return _rhs_moments_w_diff(tgt_vm, pj_cm, feat_cols, weights_pad,
-                               consts_pad, sd_cm, omega, interpret)
+                               consts_pad, sd_cm, omega, interpret, layout)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def lbs_points(pj_cm, feat_cols, weights_pad, consts_pad, interpret: bool = False):
-    """Differentiable extended LBS -> per-vertex points (see _lbs_points_impl)."""
-    return _lbs_points_diff(pj_cm, feat_cols, weights_pad, consts_pad, interpret)
+def lbs_points(pj_cm, feat_cols, weights_pad, consts_pad,
+               interpret: bool = False, layout: BlendLayout | None = None):
+    """Differentiable extended LBS -> per-vertex points (see _lbs_points_impl).
+    With a real ``layout`` the output vertex rows are in the layout's order."""
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    return _lbs_points_diff(pj_cm, feat_cols, weights_pad, consts_pad,
+                            interpret, layout)
 
 
-def _recon_part_sums_kernel(nchunks, rem, weighted, *refs):
+def _recon_part_sums_kernel(nchunks, rem, weighted, subset, *refs):
+    refs = list(refs)
+    starts_ref = refs.pop(0) if subset else None
     if weighted:
         (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, pm_ref, om_ref,
          raw_ref, st_ref, sa_ref) = refs
@@ -986,6 +1199,7 @@ def _recon_part_sums_kernel(nchunks, rem, weighted, *refs):
         (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, pm_ref,
          raw_ref, st_ref, sa_ref) = refs
     k = pl.program_id(1)
+    s6 = _blend_s6(starts_ref, k)
 
     @pl.when(k == 0)
     def _():
@@ -997,7 +1211,7 @@ def _recon_part_sums_kernel(nchunks, rem, weighted, *refs):
     # lives only in VMEM: the part sums consume it chunk by chunk, so the
     # (3, V_pad, B) recon never exists in HBM between the shape solve and the
     # rotation fit.
-    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref)
+    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6)
     pm = pm_ref[:]  # (J, VC)
     contract = (((1,), (0,)), ((), ()))  # pm dim1 (VC) with points dim0 (VC)
     if weighted:
@@ -1014,10 +1228,10 @@ def _recon_part_sums_kernel(nchunks, rem, weighted, *refs):
 
 
 def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-                          omega=None, interpret: bool = False):
+                          omega=None, interpret: bool = False,
+                          layout: BlendLayout | None = None):
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
-    J_lbs = weights_pad.shape[1]
     J = pm.shape[0]
     F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
@@ -1025,25 +1239,33 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     assert tb is not None and v_pad % VC == 0
     assert nchunks * VC >= v_t > (nchunks - 1) * VC
     grid = (B // tb, nchunks)
-    wtsp = _pack6_lhs(weights_pad, axis=1)
-    pjp = _pack6_rhs(pj_cm, axis=1)
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    jp_l, jr = layout.jp, layout.jr
+    pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
+    subset = not layout.full
 
     in_specs = [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, 6 * J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, 6 * J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
     ]
-    operands = [tgt_vm, pjp, feat_cols, wtsp, consts_pad, pm]
+    operands = [tgt_vm, pjp, feat_cols, layout.wtsp_sub, consts_pad, pm]
+    if subset:
+        in_specs.insert(0, pl.BlockSpec(
+            (1, nchunks), lambda i, k: (0, 0), memory_space=pltpu.SMEM))
+        operands.insert(0, layout.starts)
     if weighted:
         in_specs.append(_omega_spec(omega, tb))
         operands.append(omega)
 
     return pl.pallas_call(
-        functools.partial(_recon_part_sums_kernel, nchunks, v_t % VC, weighted),
+        functools.partial(_recon_part_sums_kernel, nchunks, v_t % VC, weighted,
+                          subset),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -1060,17 +1282,21 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     )(*operands)
 
 
-def _recon_part_sums_bwd_kernel(nchunks, rem, weighted, *refs):
+def _recon_part_sums_bwd_kernel(nchunks, rem, weighted, subset, *refs):
+    refs = list(refs)
+    starts_ref = refs.pop(0) if subset else None
     if weighted:
-        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, pm_ref, om_ref,
-         graw_ref, gst_ref, gsa_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
+        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, wfull_ref, consts_ref, pm_ref,
+         om_ref, graw_ref, gst_ref, gsa_ref, dtgt_ref, dpj_ref,
+         dfeat_ref) = refs
     else:
-        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, pm_ref,
+        (tgt_ref, pjp_ref, feat_ref, wtsp_ref, wfull_ref, consts_ref, pm_ref,
          graw_ref, gst_ref, gsa_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
     k = pl.program_id(1)
+    s6 = _blend_s6(starts_ref, k)
     pm = pm_ref[:]  # (J, VC)
     contract_j = (((0,), (0,)), ((), ()))  # pm dim0 (J) with grad dim0 (J)
-    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref)
+    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6)
     W = [_dot2_exact_a(pm, graw_ref[x], contract_j) for x in range(9)]  # (VC, TB)
     om = om_ref[:] if weighted else None  # (VC, 1)
     for c in range(3):
@@ -1087,33 +1313,33 @@ def _recon_part_sums_bwd_kernel(nchunks, rem, weighted, *refs):
         for c in range(3):
             acc += W[c * 3 + d] * tgt[c]
         dpos.append(acc * om if weighted else acc)
-    _lbs_grads_chunk(dpos, pjp_ref, feat_ref, wtsp_ref, consts_ref,
-                     dpj_ref, dfeat_ref, k)
+    _lbs_grads_chunk(dpos, pjp_ref, feat_ref, wtsp_ref, wfull_ref, consts_ref,
+                     dpj_ref, dfeat_ref, k, s6)
 
 
 def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-                         graw, gst, gsa, omega=None, interpret=False):
+                         graw, gst, gsa, omega=None, interpret=False,
+                         layout=None):
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
-    J_lbs = weights_pad.shape[1]
     J = pm.shape[0]
     F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
     nchunks = v_pad // VC
     grid = (B // tb, nchunks)
-    wtsp = _pack6_lhs(weights_pad, axis=1)
-    pjp = _pack6_rhs(pj_cm, axis=1)
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
+    subset = not layout.full
 
-    in_specs = [
+    in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, 6 * J_lbs, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, 6 * J_lbs), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+    ] + _bwd_common_specs(layout, tb, F) + [
         pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
     ]
-    operands = [tgt_vm, pjp, feat_cols, wtsp, consts_pad, pm]
+    operands = ([layout.starts] if subset else []) + [
+        tgt_vm, pjp, feat_cols, layout.wtsp_sub, weights_pad, consts_pad, pm]
     if weighted:
         in_specs.append(
             pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
@@ -1127,17 +1353,18 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     operands += [graw, gst, gsa]
 
     dtgt, dpj, dfeat = pl.pallas_call(
-        functools.partial(_recon_part_sums_bwd_kernel, nchunks, v_t % VC, weighted),
+        functools.partial(_recon_part_sums_bwd_kernel, nchunks, v_t % VC,
+                          weighted, subset),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, tb, J_lbs), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tb, weights_pad.shape[1]), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((3, v_t, B), jnp.float32),
-            jax.ShapeDtypeStruct((12, B, J_lbs), jnp.float32),
+            jax.ShapeDtypeStruct((12, B, weights_pad.shape[1]), jnp.float32),
             jax.ShapeDtypeStruct((F, B), jnp.float32),
         ],
         interpret=interpret,
@@ -1147,27 +1374,28 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _recon_part_sums_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-                          interpret):
+                          interpret, layout):
     return _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                                 pm, interpret=interpret)
+                                 pm, interpret=interpret, layout=layout)
 
 
 def _recon_part_sums_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-                         interpret):
+                         interpret, layout):
     out = _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                                pm, interpret=interpret)
-    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm)
+                                pm, interpret=interpret, layout=layout)
+    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, layout)
 
 
 def _recon_part_sums_bwd_rule(interpret, res, g):
-    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm = res
+    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, layout = res
     graw, gst, gsa = g
     dtgt, dpj, dfeat = _recon_part_sums_bwd(
         tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, graw, gst, gsa,
-        interpret=interpret,
+        interpret=interpret, layout=layout,
     )
     return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
-            jnp.zeros_like(consts_pad), jnp.zeros_like(pm))
+            jnp.zeros_like(consts_pad), jnp.zeros_like(pm),
+            jax.tree.map(jnp.zeros_like, layout))
 
 
 _recon_part_sums_diff.defvjp(_recon_part_sums_fwd, _recon_part_sums_bwd_rule)
@@ -1175,28 +1403,32 @@ _recon_part_sums_diff.defvjp(_recon_part_sums_fwd, _recon_part_sums_bwd_rule)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _recon_part_sums_w_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                            pm, omega, interpret):
+                            pm, omega, interpret, layout):
     return _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad,
-                                 consts_pad, pm, omega=omega, interpret=interpret)
+                                 consts_pad, pm, omega=omega,
+                                 interpret=interpret, layout=layout)
 
 
 def _recon_part_sums_w_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
-                           pm, omega, interpret):
+                           pm, omega, interpret, layout):
     out = _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad,
-                                consts_pad, pm, omega=omega, interpret=interpret)
-    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega)
+                                consts_pad, pm, omega=omega,
+                                interpret=interpret, layout=layout)
+    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega,
+                 layout)
 
 
 def _recon_part_sums_w_bwd_rule(interpret, res, g):
-    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega = res
+    (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega,
+     layout) = res
     graw, gst, gsa = g
     dtgt, dpj, dfeat = _recon_part_sums_bwd(
         tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, graw, gst, gsa,
-        omega=omega, interpret=interpret,
+        omega=omega, interpret=interpret, layout=layout,
     )
     return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
             jnp.zeros_like(consts_pad), jnp.zeros_like(pm),
-            jnp.zeros_like(omega))
+            jnp.zeros_like(omega), jax.tree.map(jnp.zeros_like, layout))
 
 
 _recon_part_sums_w_diff.defvjp(_recon_part_sums_w_fwd, _recon_part_sums_w_bwd_rule)
@@ -1204,25 +1436,16 @@ _recon_part_sums_w_diff.defvjp(_recon_part_sums_w_fwd, _recon_part_sums_w_bwd_ru
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def recon_part_sums(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-                    omega=None, interpret: bool = False):
+                    omega=None, interpret: bool = False,
+                    layout: BlendLayout | None = None):
     """Fused reconstruction + per-part sums: extended LBS of the solved betas
     feeds the part-sum reductions in VMEM, so the reference mesh never reaches
     HBM. Returns raw (B, J, 3, 3), s_t (B, J, 3), s_a (B, J, 3) exactly like
     :func:`part_sums_vm` with a batched reference."""
-    if omega is None:
-        raw, st, sa = _recon_part_sums_diff(
-            tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, interpret
-        )
-    elif _runtime_omega(omega):
-        raw, st, sa = _recon_part_sums_impl(
-            tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-            omega=omega, interpret=interpret,
-        )
-    else:
-        raw, st, sa = _recon_part_sums_w_diff(
-            tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega,
-            interpret,
-        )
+    raw, st, sa = recon_part_sums_lm(
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega=omega,
+        interpret=interpret, layout=layout,
+    )
     B = tgt_vm.shape[2]
     J = pm.shape[0]
     raw_b = jnp.transpose(raw, (2, 1, 0)).reshape(B, J, 3, 3)
@@ -1233,20 +1456,25 @@ def recon_part_sums(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def recon_part_sums_lm(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-                       omega=None, interpret: bool = False):
+                       omega=None, interpret: bool = False,
+                       layout: BlendLayout | None = None):
     """Lane-major :func:`recon_part_sums`: kernel-native raw (9, J, B) rows
     (c, d), s_t (3, J, B), s_a (3, J, B)."""
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
     if omega is None:
         return _recon_part_sums_diff(
-            tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, interpret
+            tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, interpret,
+            layout,
         )
     if _runtime_omega(omega):
         return _recon_part_sums_impl(
             tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
-            omega=omega, interpret=interpret,
+            omega=omega, interpret=interpret, layout=layout,
         )
     return _recon_part_sums_w_diff(
-        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega, interpret
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm, omega,
+        interpret, layout,
     )
 
 
@@ -1630,14 +1858,16 @@ VC_W = 64  # wgram vertex chunk: the 3·E1 live Jacobian columns bound VMEM
 # sublane tiles, N=tb=128 full lanes — while halving the per-vertex budget).
 
 
-def _wgram_kernel(nchunks, rem, E, scale_mode, *refs):
+def _wgram_kernel(nchunks, rem, E, scale_mode, subset, *refs):
     refs = list(refs)
+    starts_ref = refs.pop(0) if subset else None
     (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref, t4p_ref,
      mu_ref, om_ref) = refs[:9]
     refs = refs[9:]
     mu_s_ref = refs.pop(0) if scale_mode else None
     g_ref, sa_ref, r_ref, sb_ref, w_ref = refs
     k = pl.program_id(1)
+    s6 = _blend_s6(starts_ref, k)
 
     @pl.when(k == 0)
     def _():
@@ -1647,8 +1877,8 @@ def _wgram_kernel(nchunks, rem, E, scale_mode, *refs):
         sb_ref[:] = jnp.zeros_like(sb_ref)
         w_ref[:] = jnp.zeros_like(w_ref)
 
-    blend = _lbs_blend(pjp_ref, wtsp_ref)
-    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, blend)
+    blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
+    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6, blend)
     om = _mask_tail_rows(om_ref[:], k, nchunks, rem)  # (VC_W, TB)
     # √ω factorization: the ω-weighted quadratic block is Σ (√ω jac)(√ω jac)ᵀ,
     # so only ONE weighted copy of the Jacobian is ever live — the 3·E1
@@ -1674,7 +1904,7 @@ def _wgram_kernel(nchunks, rem, E, scale_mode, *refs):
         row = []
         for e in range(E):
             t_ae = (
-                _dot1(wp, t4p_ref[a * E + e], _MM)
+                _dot1(wp, t4p_ref[a * E + e, pl.ds(s6, wp.shape[1]), :], _MM)
                 - mu_ref[a * E + e:a * E + e + 1]
             )
             for c in range(3):
@@ -1730,7 +1960,8 @@ def _wgram_kernel(nchunks, rem, E, scale_mode, *refs):
 @functools.partial(jax.jit, static_argnames=('scale_mode', 'interpret'))
 def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
                   sd_cm, mu_cm, omega_vm, mu_s=None, scale_mode: int = 0,
-                  interpret: bool = False):
+                  interpret: bool = False,
+                  layout: BlendLayout | None = None):
     """Runtime-ω shape-solve normal equations (see the section comment).
 
     Args:
@@ -1778,23 +2009,27 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
     assert omega_vm.shape == (v_t, B), (omega_vm.shape, v_t, B)
     assert (mu_s is not None) == bool(scale_mode)
     grid = (B // tb, nchunks)
-    wtsp = _pack6_lhs(weights_pad, axis=1)
-    pjp = _pack6_rhs(pj_cm, axis=1)
-    t4p = _pack6_rhs(t4_cm, axis=1)
+    if layout is None:
+        layout = default_layout(weights_pad, VC_W)
+    jp_l, jr = layout.jp, layout.jr
+    subset = not layout.full
+    pjp = pack_pj(pj_cm, layout)
+    t4p = pack_pj(t4_cm, layout)
 
-    in_specs = [
+    in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((3, VC_W, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC_W, 6 * J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC_W, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, VC_W, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC_W, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * E, 6 * J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * E, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((VC_W, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
     ]
-    operands = [tgt_vm, pjp, feat_cols, wtsp, consts_pad, sd_cm, t4p, mu_cm,
-                omega_vm]
+    operands = ([layout.starts] if subset else []) + [
+        tgt_vm, pjp, feat_cols, layout.wtsp_sub, consts_pad, sd_cm, t4p,
+        mu_cm, omega_vm]
     if scale_mode:
         in_specs.append(
             pl.BlockSpec((3, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM)
@@ -1802,7 +2037,8 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
         operands.append(mu_s)
 
     return pl.pallas_call(
-        functools.partial(_wgram_kernel, nchunks, v_t % VC_W, E, scale_mode),
+        functools.partial(_wgram_kernel, nchunks, v_t % VC_W, E, scale_mode,
+                          subset),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
