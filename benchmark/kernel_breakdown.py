@@ -86,16 +86,30 @@ def main():
     tr = jax.jit(lambda t: lbs_kernels.to_vertex_major(t))
     timed('to_vertex_major', tr, tgt_bm)
 
-    # --- rhs_moments ---
+    print(f'blend layout: jr={getattr(gram.blend_layout, "jr", None)} '
+          f'jp={getattr(gram.blend_layout, "jp", None)}')
+
+    # --- rhs_moments: subset layout vs degenerate full-width ---
     f_rhs = jax.jit(lambda t, p, f: lbs_kernels.rhs_moments(
-        t, p, f, gram.weights_pad, gram.consts_pose, gram.sd_cm))
-    timed('rhs_moments', lambda x: f_rhs(*x), list(zip(tgts, pjs, feats)))
+        t, p, f, gram.weights_pad, gram.consts_pose, gram.sd_cm,
+        layout=gram.blend_layout))
+    timed('rhs_moments (subset)', lambda x: f_rhs(*x), list(zip(tgts, pjs, feats)))
+    f_rhs0 = jax.jit(lambda t, p, f: lbs_kernels.rhs_moments(
+        t, p, f, gram.weights_pad, gram.consts_pose, gram.sd_cm, layout=None))
+    timed('rhs_moments (full)', lambda x: f_rhs0(*x), list(zip(tgts, pjs, feats)))
 
     # --- recon_part_sums (consts_full: F + E channels) ---
     featsE = mk_inputs(N_CALLS, lambda i: feat(i, F + E))
     f_rec = jax.jit(lambda t, p, f: lbs_kernels.recon_part_sums_lm(
-        t, p, f, gram.weights_pad, gram.consts_full, plan.pm_t_pad))
-    timed('recon_part_sums_lm', lambda x: f_rec(*x), list(zip(tgts, pjs, featsE)))
+        t, p, f, gram.weights_pad, gram.consts_full, plan.pm_t_pad,
+        layout=gram.blend_layout))
+    timed('recon_part_sums_lm (subset)', lambda x: f_rec(*x),
+          list(zip(tgts, pjs, featsE)))
+    f_rec0 = jax.jit(lambda t, p, f: lbs_kernels.recon_part_sums_lm(
+        t, p, f, gram.weights_pad, gram.consts_full, plan.pm_t_pad,
+        layout=None))
+    timed('recon_part_sums_lm (full)', lambda x: f_rec0(*x),
+          list(zip(tgts, pjs, featsE)))
 
     # --- part_sums_vm ---
     ref_vm = jnp.asarray(rng.normal(0, 0.5, (3, gram.weights_pad.shape[0], 1))

@@ -107,6 +107,11 @@ class FitterPlan:
     omega_pad: Optional[jax.Array] = None  # (V_pad, 1) or None
     part_counts_w: Optional[jax.Array] = None  # (1, J, 1) Σ ω per part
     omega_row: Optional[jax.Array] = None  # (1, V): XLA part-sum fallback form
+    # Chunk-layout vertex order of the kernel operands (pm_t_pad,
+    # default_mesh_vm, omega_pad) — None = canonical. Matches GramData.vperm;
+    # targets are permuted during their component-major relayout
+    # (ops/chunk_layout.py).
+    vperm: Optional[tuple] = struct.field(pytree_node=False, default=None)
 
 
 def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = None,
@@ -169,9 +174,16 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
     # kernel: zero rows for unused vertices and padding make their
     # contributions vanish, so no used-vertex gather is needed at runtime.
     # (Statistics of joints-only parts come out zero — they are never read.)
+    # Columns follow the chunk layout's vertex order (ops/chunk_layout.py),
+    # matching every other per-vertex kernel operand.
+    from ..ops import chunk_layout as _cl
+
+    cl_main = _cl.build_chunk_layout(weights, bm.kintree_parents, lbs_kernels.VC)
+    vperm = np.arange(V) if cl_main.degenerate else cl_main.vperm
     v_pad = -(-V // lbs_kernels.VC) * lbs_kernels.VC
     pm_t_pad = np.zeros((J, v_pad), dtype=np.float32)
     pm_t_pad[:, used_vertex_indices] = part_matrix
+    pm_t_pad[:, :V] = pm_t_pad[:, vperm]
 
     center_matrix = np.zeros((J, J), dtype=np.float32)
     for i in range(J):
@@ -244,7 +256,8 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
         default_mesh=jnp.asarray(default_mesh, dtype),
         pm_t_pad=jnp.asarray(pm_t_pad, dtype),
         default_mesh_vm=jnp.asarray(
-            np.pad(default_mesh.T[:, :, None], ((0, 0), (0, v_pad - V), (0, 0))),
+            np.pad(default_mesh[vperm].T[:, :, None],
+                   ((0, 0), (0, v_pad - V), (0, 0))),
             dtype,
         ),
         used_vertex_indices=tuple(int(i) for i in used_vertex_indices),
@@ -262,19 +275,31 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
         omega_pad=(
             None if omega is None
             else jnp.asarray(
-                np.pad(omega.reshape(V, 1), ((0, v_pad - V), (0, 0))), dtype
+                np.pad(omega[vperm].reshape(V, 1), ((0, v_pad - V), (0, 0))),
+                dtype,
             )
         ),
         part_counts_w=(
             None if omega is None
             else jnp.asarray(
-                (pm_t_pad[:, :V] @ omega).reshape(1, J, 1), dtype
+                (pm_t_pad[:, :V] @ omega[vperm]).reshape(1, J, 1), dtype
             )
         ),
         omega_row=(
             None if omega is None else jnp.asarray(omega.reshape(1, V), dtype)
         ),
+        vperm=(
+            None if cl_main.degenerate else tuple(int(x) for x in vperm)
+        ),
     )
+
+
+def _permute_omega(omega_vm, vperm):
+    """Reorder a (V, B) per-call weight array into the chunk layout's vertex
+    order (no-op for canonical plans)."""
+    if vperm is None:
+        return omega_vm
+    return jnp.take(omega_vm, jnp.asarray(np.asarray(vperm)), axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -299,12 +324,15 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
     v_pad = plan.pm_t_pad.shape[1]
     if reference_spec is not None:
         if target_vm is None:
-            target_vm = lbs_kernels.to_vertex_major(target_vertices)
+            target_vm = lbs_kernels.to_vertex_major(
+                target_vertices, perm=plan.vperm
+            )
         raw, s_t, s_a = lbs_kernels.recon_part_sums(
             target_vm, reference_spec['pj_cm'], reference_spec['feat_cols'],
             reference_spec['weights_pad'], reference_spec['consts_pad'],
             plan.pm_t_pad, omega=plan.omega_pad,
             interpret=reference_spec['interpret'],
+            layout=reference_spec.get('layout'),
         )
         s_w = plan.part_counts if plan.omega_pad is None else plan.part_counts_w
         return raw, s_t, s_a, s_w
@@ -318,9 +346,13 @@ def part_sums(plan: FitterPlan, target_vertices, reference_vertices, vertex_weig
         # outer products formed in VMEM and contracted on the MXU. Unused
         # vertices have zero membership, so no gather is needed.
         if target_vm is None:
-            target_vm = lbs_kernels.to_vertex_major(target_vertices)
+            target_vm = lbs_kernels.to_vertex_major(
+                target_vertices, perm=plan.vperm
+            )
         if reference_vm is None:
-            reference_vm = lbs_kernels.to_vertex_major(reference_vertices)
+            reference_vm = lbs_kernels.to_vertex_major(
+                reference_vertices, perm=plan.vperm
+            )
         raw, s_t, s_a = lbs_kernels.part_sums_vm(
             target_vm, reference_vm, plan.pm_t_pad, omega=plan.omega_pad,
             interpret=k_mode == 'interpret',
@@ -1231,11 +1263,14 @@ class BodyFitter:
             np.asarray(src.v_template),
             np.asarray(src.posedirs),
         )
-        self.gram = build_gram_data(*gram_args)
+        parents = tuple(int(x) for x in body_model.data.kintree_parents)
+        self.gram = build_gram_data(*gram_args, kintree_parents=parents)
+        assert self.gram.vperm == self.plan.vperm, 'layout mismatch plan/gram'
         if self.static_vw is None:
             self.gram_w = None
         else:
-            gw = build_gram_data(*gram_args, vertex_weights=self.static_vw)
+            gw = build_gram_data(*gram_args, vertex_weights=self.static_vw,
+                                 kintree_parents=parents)
             # The big per-vertex operands are identical in the weighted gram —
             # share the unweighted device buffers instead of duplicating HBM.
             self.gram_w = gw.replace(
@@ -1244,6 +1279,9 @@ class BodyFitter:
                 weights_pad=self.gram.weights_pad,
                 consts_pose=self.gram.consts_pose,
                 consts_full=self.gram.consts_full, sd_cm=self.gram.sd_cm,
+                blend_layout=self.gram.blend_layout,
+                blend_layout_w=self.gram.blend_layout_w,
+                Msd_vm=self.gram.Msd_vm,
             )
 
     def _lm_weights_ok(self, vertex_weights, joint_weights) -> bool:
@@ -1503,7 +1541,9 @@ class BodyFitter:
             # consumer receives this array, instead of re-deriving it (XLA
             # fusion otherwise duplicates the (B, V, 3) -> (3, V_pad, B)
             # relayout into each consumer).
-            tgt_vm = lbs_kernels.to_vertex_major(target_vertices)
+            tgt_vm = lbs_kernels.to_vertex_major(
+                target_vertices, perm=self.plan.vperm
+            )
         else:
             recon_key = 'vertices'
             tgt_vm = None
@@ -1751,13 +1791,17 @@ class BodyFitter:
         target_vertices, target_joints, target_mean = _center_targets(
             target_vertices, target_joints, full_mean=scale_any
         )
-        tgt_vm = lbs_kernels.to_vertex_major(target_vertices)
+        tgt_vm = lbs_kernels.to_vertex_major(
+            target_vertices, perm=plan.vperm
+        )
         tj_lm = (
             None if target_joints is None
             else jnp.transpose(target_joints, (2, 1, 0))
         )
         jw_lm = None if joint_weights is None else joint_weights.T
-        omega_vm = None if vertex_weights is None else vertex_weights.T
+        omega_vm = None if vertex_weights is None else _permute_omega(
+            vertex_weights.T, plan.vperm
+        )
         interp = lbs_kernels.kernel_mode(target_vertices.shape[0]) == 'interpret'
         has_joints = tj_lm is not None
         batch = target_vertices.shape[0]
@@ -1827,6 +1871,7 @@ class BodyFitter:
                 recon0 = lbs_kernels.lbs_points(
                     spec0['pj_cm'], spec0['feat_cols'], spec0['weights_pad'],
                     spec0['consts_pad'], interpret=interp,
+                    layout=spec0.get('layout'),
                 )
                 rot0 = fit_global_rotations_lm(
                     bm, plan, tgt_vm, None, recon0, None, jw_lm,
@@ -2140,7 +2185,9 @@ class BodyFitter:
         glob9 = jnp.transpose(
             glob_rotmats.reshape(batch, bm.num_joints, 9), (2, 1, 0)
         )
-        tgt_vm = lbs_kernels.to_vertex_major(target_vertices)
+        tgt_vm = lbs_kernels.to_vertex_major(
+            target_vertices, perm=self.plan.vperm
+        )
         tj_lm = (
             None if target_joints is None
             else jnp.transpose(target_joints, (2, 1, 0))
@@ -2164,7 +2211,9 @@ class BodyFitter:
         if wgram:
             res = fit_shape_wgram_lm(
                 bm, self.plan, self.gram, glob9, tgt_vm, tj_lm,
-                jnp.asarray(vertex_weights).T,
+                _permute_omega(
+                    jnp.asarray(vertex_weights).T, self.plan.vperm
+                ),
                 jnp.asarray(joint_weights).T if has_joints else None,
                 **solve_args,
             )
@@ -2361,7 +2410,9 @@ class BodyFitter:
         target_vertices, target_joints, target_mean = _center_targets(
             target_vertices, target_joints
         )
-        tgt_vm = lbs_kernels.to_vertex_major(target_vertices)
+        tgt_vm = lbs_kernels.to_vertex_major(
+            target_vertices, perm=self.plan.vperm
+        )
         tj_lm = (
             None if target_joints is None
             else jnp.transpose(target_joints, (2, 1, 0))
@@ -2369,7 +2420,8 @@ class BodyFitter:
         has_joints = tj_lm is not None
         jw_lm = None if joint_weights is None else jnp.asarray(joint_weights).T
         omega_vm = (
-            None if vertex_weights is None else jnp.asarray(vertex_weights).T
+            None if vertex_weights is None
+            else _permute_omega(jnp.asarray(vertex_weights).T, self.plan.vperm)
         )
         if jw_lm is None and self.static_jw is not None:
             jw_lm = jnp.broadcast_to(
@@ -2417,6 +2469,7 @@ class BodyFitter:
                 recon_vm = lbs_kernels.lbs_points(
                     spec['pj_cm'], spec['feat_cols'], spec['weights_pad'],
                     spec['consts_pad'], interpret=interp,
+                    layout=spec.get('layout'),
                 )
                 rot = fit_global_rotations_lm(
                     bm, plan, tgt_vm, None, recon_vm, None, jw_lm,
@@ -2443,12 +2496,15 @@ class BodyFitter:
             recon_f = lbs_kernels.lbs_points(
                 spec_f['pj_cm'], spec_f['feat_cols'], spec_f['weights_pad'],
                 spec_f['consts_pad'], interpret=interp,
+                layout=spec_f.get('layout'),
             )
             rec_sum = jnp.einsum('vb,cvb->cb', omega_vm, recon_f[:, :V])
             tgt_sum = jnp.einsum('vb,cvb->cb', omega_vm, tgt_vm[:, :V])
             w_tot = jnp.sum(omega_vm, axis=0)  # (B,)
         elif w_static:
-            tgt_sum = jnp.einsum('v,cvb->cb', gram_t.omega, tgt_vm[:, :V])
+            tgt_sum = jnp.einsum(
+                'v,cvb->cb', gram_t.omega_pad[:V, 0], tgt_vm[:, :V]
+            )
             w_tot = gram_t.w_total
         else:
             tgt_sum = jnp.sum(tgt_vm[:, :V], axis=1)
@@ -2492,7 +2548,7 @@ class BodyFitter:
                     else lbs_kernels.lbs_points(
                         spec_f['pj_cm'], spec_f['feat_cols'],
                         spec_f['weights_pad'], spec_f['consts_pad'],
-                        interpret=interp,
+                        interpret=interp, layout=spec_f.get('layout'),
                     )
                 )
                 glob9 = fit_global_rotations_dependent_lm(
@@ -2581,9 +2637,15 @@ class BodyFitter:
 # general/differentiable fallback path.
 
 
-def _regress_joints_lm(bm: BodyModelData, vertices_vm):
+def _regress_joints_lm(bm: BodyModelData, vertices_vm, vperm=None):
+    reg = bm.J_regressor_post_lbs
+    if vperm is not None:
+        # vertices_vm rows are in the chunk layout's vertex order; gather the
+        # regressor columns to match (trace-time constant when bm is closed
+        # over).
+        reg = jnp.take(reg, jnp.asarray(np.asarray(vperm)), axis=1)
     return jnp.einsum(
-        'jv,cvb->cjb', bm.J_regressor_post_lbs, vertices_vm[:, : bm.num_vertices]
+        'jv,cvb->cjb', reg, vertices_vm[:, : bm.num_vertices]
     )
 
 
@@ -2642,6 +2704,7 @@ def part_sums_lm(plan: FitterPlan, target_vm, reference_vm=None, reference_spec=
             reference_spec['weights_pad'], reference_spec['consts_pad'],
             plan.pm_t_pad, omega=om,
             interpret=reference_spec['interpret'],
+            layout=reference_spec.get('layout'),
         )
     else:
         k_mode = lbs_kernels.kernel_mode(target_vm.shape[2])
@@ -2675,8 +2738,8 @@ def fit_global_rotations_lm(
     (regressed from the meshes). ``omega`` (V, B) = runtime per-call vertex
     weights (see :func:`part_sums_lm`)."""
     if tj_lm is None or rj_lm is None:
-        tj_lm = _regress_joints_lm(bm, tgt_vm)
-        rj_lm = _regress_joints_lm(bm, reference_vm)
+        tj_lm = _regress_joints_lm(bm, tgt_vm, plan.vperm)
+        rj_lm = _regress_joints_lm(bm, reference_vm, plan.vperm)
 
     raw, s_t, s_a, s_w = part_sums_lm(
         plan, tgt_vm, reference_vm, reference_spec, omega=omega
@@ -2808,8 +2871,8 @@ def fit_global_rotations_dependent_lm(
     # reference semantics, np/bodyfitter.py:966-1052.
     true_rj_lm = rj_lm
     if tj_lm is None or rj_lm is None:
-        tj_lm = _regress_joints_lm(bm, tgt_vm)
-        rj_lm = _regress_joints_lm(bm, reference_vm)
+        tj_lm = _regress_joints_lm(bm, tgt_vm, plan.vperm)
+        rj_lm = _regress_joints_lm(bm, reference_vm, plan.vperm)
     if true_rj_lm is None:
         true_rj_lm = rj_lm
 

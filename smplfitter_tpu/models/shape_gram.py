@@ -77,13 +77,22 @@ class GramData:
     omega_pad: Optional[jax.Array] = None  # (V_pad, 1) or None
     omega: Optional[jax.Array] = None  # (V,) or None
     w_total: float = struct.field(pytree_node=False, default=0.0)  # Σ_v ω_v
+    # Joint-subset blend layouts (ops/chunk_layout.py): when set, ALL the
+    # padded kernel operand fields above are in the layout's VERTEX order and
+    # kernels slice the j-major K-packed joint operands per chunk. None =
+    # canonical order, full-width packing (the degenerate path).
+    blend_layout: Optional[lbs_kernels.BlendLayout] = None  # VC-chunk kernels
+    blend_layout_w: Optional[lbs_kernels.BlendLayout] = None  # VC_W (wgram)
+    vperm: Optional[tuple] = struct.field(pytree_node=False, default=None)
+    Msd_vm: Optional[jax.Array] = None  # (V, J*3*E) Msd in vperm order
 
 
 def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
                     kid_shapedir: Optional[np.ndarray], n_betas: int,
                     v_template: np.ndarray, posedirs: np.ndarray,
                     vertex_weights: Optional[np.ndarray] = None,
-                    dtype=jnp.float32) -> GramData:
+                    dtype=jnp.float32,
+                    kintree_parents=None) -> GramData:
     """Host-side (f64) moment precompute. ``weights`` (V, J), ``shapedirs``
     (V, 3, S); kid column appended when ``kid_shapedir`` is given.
     ``vertex_weights`` (V,) bakes static per-vertex fit weights into the
@@ -114,12 +123,44 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
     sd4 = np.concatenate([SD, np.zeros((V, 1, E))], axis=1)
 
     # Vertex-major padded kernel operands (pad rows are zero => padding
-    # vertices contribute nothing anywhere).
+    # vertices contribute nothing anywhere). When the kinematic tree is
+    # available, they are built in the chunk layout's vertex order and carry
+    # joint-subset blend layouts (see ops/chunk_layout.py) — vertex sums are
+    # order-invariant, and the fitter permutes targets during their one
+    # component-major relayout.
+    from ..ops import chunk_layout as _cl
+
     vc = lbs_kernels.VC
     v_pad = -(-V // vc) * vc
     n_pose = posedirs4.shape[2]
 
+    if kintree_parents is not None:
+        cl_main = _cl.build_chunk_layout(w, kintree_parents, vc)
+        cl_w = _cl.build_chunk_layout(w, kintree_parents, lbs_kernels.VC_W)
+    else:
+        cl_main = _cl.identity_layout(V, J, vc)
+        cl_w = _cl.identity_layout(V, J, lbs_kernels.VC_W)
+    vperm = cl_main.vperm
+
+    def make_layout(cl):
+        if cl.degenerate and cl_main.degenerate:
+            return None
+        wtsp_sub, w_sub, starts = _cl.build_blend_operands(w, cl, v_pad)
+        return lbs_kernels.BlendLayout(
+            wtsp_sub=jnp.asarray(wtsp_sub, dtype),
+            w_sub=jnp.asarray(w_sub, dtype),
+            starts=jnp.asarray(starts),
+            jr=cl.jr, jp=cl.jp, jperm=tuple(int(x) for x in cl.jperm),
+        )
+
+    blend_layout = make_layout(cl_main)
+    permuted = blend_layout is not None
+    if not permuted:
+        vperm = np.arange(V)
+    blend_layout_w = make_layout(cl_w) if permuted else None
+
     def pad_rows(x):
+        x = x[vperm]
         return np.concatenate([x, np.zeros((v_pad - V,) + x.shape[1:])], axis=0)
 
     weights_pad = pad_rows(w)
@@ -180,6 +221,10 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
         ),
         omega=None if omega is None else jnp.asarray(omega, dtype),
         w_total=w_total,
+        blend_layout=blend_layout,
+        blend_layout_w=blend_layout_w,
+        vperm=tuple(int(x) for x in vperm) if permuted else None,
+        Msd_vm=jnp.asarray(Msd[vperm], dtype) if permuted else None,
     )
 
 
@@ -275,7 +320,7 @@ def fit_shape_gram(
         tgt_vm = (
             target_vm
             if target_vm is not None
-            else lbs_kernels.to_vertex_major(target_vertices)
+            else lbs_kernels.to_vertex_major(target_vertices, perm=gram.vperm)
         )
         # (B, J, 3, 4) -> (12=(a,c4), J, B)
         pj_cm = jnp.transpose(
@@ -288,11 +333,12 @@ def fit_shape_gram(
             rk, yk, rtk, ytk, sck = lbs_kernels.rhs_moments(
                 tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
                 gram.sd_cm, scale=True, interpret=interp,
+                layout=gram.blend_layout,
             )
         else:
             rk, yk = lbs_kernels.rhs_moments(
                 tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
-                gram.sd_cm, interpret=interp,
+                gram.sd_cm, interpret=interp, layout=gram.blend_layout,
             )
     else:
         # Per-vertex position at beta=0: LBS in homogeneous form. The posed
@@ -574,18 +620,18 @@ def fit_shape_gram(
                 result['recon_spec'] = dict(
                     pj_cm=pj2_cm, feat_cols=f2_cols,
                     weights_pad=gram.weights_pad, consts_pad=gram.consts_full,
-                    interpret=interp,
+                    interpret=interp, layout=gram.blend_layout,
                 )
             if 'vertices_vm' in requested_keys or 'vertices' in requested_keys:
                 recon_vm = lbs_kernels.lbs_points(
                     pj2_cm, f2_cols, gram.weights_pad, gram.consts_full,
-                    interpret=interp,
+                    interpret=interp, layout=gram.blend_layout,
                 )
                 if 'vertices_vm' in requested_keys:
                     result['vertices_vm'] = recon_vm
                 if 'vertices' in requested_keys:
                     result['vertices'] = lbs_kernels.from_vertex_major(
-                        recon_vm, bm.num_vertices
+                        recon_vm, bm.num_vertices, perm=gram.vperm
                     )
         else:
             # vertices = pos + jac·x + trans, jac·x = R̄ (SD x) + skin(T x).
@@ -701,11 +747,13 @@ def fit_shape_gram_lm(
         rk, yk, rtk, ytk, sck = lbs_kernels.rhs_moments(
             tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
             gram.sd_cm, omega=gram.omega_pad, scale=True, interpret=interpret,
+            layout=gram.blend_layout,
         )
     else:
         rk, yk = lbs_kernels.rhs_moments(
             tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
             gram.sd_cm, omega=gram.omega_pad, interpret=interpret,
+            layout=gram.blend_layout,
         )
 
     T_cm = T4.reshape(3, E * J, batch)
@@ -1029,18 +1077,18 @@ def _solve_tail(
             result['recon_spec'] = dict(
                 pj_cm=pj2_cm, feat_cols=f2_cols,
                 weights_pad=gram.weights_pad, consts_pad=gram.consts_full,
-                interpret=interpret,
+                interpret=interpret, layout=gram.blend_layout,
             )
         if 'vertices_vm' in requested_keys or 'vertices' in requested_keys:
             recon_vm = lbs_kernels.lbs_points(
                 pj2_cm, f2_cols, gram.weights_pad, gram.consts_full,
-                interpret=interpret,
+                interpret=interpret, layout=gram.blend_layout,
             )
             if 'vertices_vm' in requested_keys:
                 result['vertices_vm'] = recon_vm
             if 'vertices' in requested_keys:
                 result['vertices'] = lbs_kernels.from_vertex_major(
-                    recon_vm, bm.num_vertices
+                    recon_vm, bm.num_vertices, perm=gram.vperm
                 )
     return result
 
@@ -1060,10 +1108,15 @@ def weighted_jac_mean_lm(bm, gram: GramData, glob_lm, T4, omega_vm):
     J = bm.num_joints
     E = gram.n_ext
     B = glob_lm.shape[2]
-    Lm = jnp.einsum('vp,vb->pb', gram.Msd, omega_vm, precision=_HI).reshape(
+    V = omega_vm.shape[0]
+    # ``omega_vm`` arrives in the chunk layout's vertex order; contract it
+    # against the matching permuted statics (vertex sums are order-free).
+    Msd = gram.Msd_vm if gram.Msd_vm is not None else gram.Msd
+    Lm = jnp.einsum('vp,vb->pb', Msd, omega_vm, precision=_HI).reshape(
         J, 3, E, B
     )
-    m_j = jnp.einsum('vj,vb->jb', bm.weights, omega_vm, precision=_HI)
+    m_j = jnp.einsum('vj,vb->jb', gram.weights_pad[:V], omega_vm,
+                     precision=_HI)
     w_tot = jnp.sum(omega_vm, axis=0)  # (B,)
     mu = jnp.stack(
         [
@@ -1151,7 +1204,7 @@ def fit_shape_wgram_lm(
         gram.weights_pad, gram.consts_pose, gram.sd_cm,
         mu.reshape(3 * E, batch), omega_vm,
         mu_s=mu_s, scale_mode=scale_mode,
-        interpret=interpret,
+        interpret=interpret, layout=gram.blend_layout_w,
     )
     G = Gk.T.reshape(batch, E1, E1)
     SA = SAk.T.reshape(batch, 3, E1)
@@ -1228,7 +1281,7 @@ def lbs_recon_spec_lm(
     spec = dict(
         pj_cm=pj_cm, feat_cols=feat_cols,
         weights_pad=gram.weights_pad, consts_pad=gram.consts_full,
-        interpret=interpret,
+        interpret=interpret, layout=gram.blend_layout,
     )
 
     # Σ_v ω_v rec_v[a] = Σ_j R_j[a,:]·(Kc_j @ feat) + W1_j t2[a,j]

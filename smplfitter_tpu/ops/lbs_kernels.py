@@ -366,13 +366,19 @@ def kernel_mode(B: int) -> str | None:
     return 'tpu' if jax.default_backend() == 'tpu' else None
 
 
-def to_vertex_major(x: jax.Array, v_pad: int | None = None) -> jax.Array:
+def to_vertex_major(x: jax.Array, v_pad: int | None = None,
+                    perm=None) -> jax.Array:
     """(B, V, 3) -> (3, V[_pad], B) component-major relayout.
 
     By default NO lane padding is materialized: the kernels accept a
     non-VC-divisible vertex dim and mask the edge chunk in-VMEM, saving a
     full extra HBM pass over the (3, V, B) array. Pass ``v_pad`` to get the
-    old zero-padded layout (static constants are still built padded)."""
+    old zero-padded layout (static constants are still built padded).
+    ``perm`` (a static index tuple/array) reorders the vertex axis during the
+    same relayout — the chunk layout's vertex sort rides the one transpose
+    the fit already pays (see ops/chunk_layout.py)."""
+    if perm is not None:
+        x = jnp.take(x, jnp.asarray(np.asarray(perm)), axis=1)
     xt = jnp.transpose(x, (2, 1, 0))
     if v_pad is None or v_pad == xt.shape[1]:
         return xt
@@ -411,9 +417,16 @@ def _mask_tail_rows(x, k, nchunks: int, rem: int):
     return jnp.where(rows < lim, x, 0.0)
 
 
-def from_vertex_major(x_vm: jax.Array, num_vertices: int) -> jax.Array:
-    """(3, V_pad, B) -> (B, V, 3)."""
-    return jnp.transpose(x_vm[:, :num_vertices], (2, 1, 0))
+def from_vertex_major(x_vm: jax.Array, num_vertices: int,
+                      perm=None) -> jax.Array:
+    """(3, V_pad, B) -> (B, V, 3). ``perm`` = the vertex order of ``x_vm``'s
+    rows (the chunk layout's vperm); the output is returned in CANONICAL
+    vertex order by applying its inverse."""
+    out = jnp.transpose(x_vm[:, :num_vertices], (2, 1, 0))
+    if perm is not None:
+        inv = np.argsort(np.asarray(perm))
+        out = jnp.take(out, jnp.asarray(inv), axis=1)
+    return out
 
 
 def _blend_s6(starts_ref, k):

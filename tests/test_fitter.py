@@ -494,11 +494,17 @@ class TestPerCallWeightedKernelPath:
             scale_fit=False, requested_keys=('shape_betas',), gram=gram,
         )
         glob9 = jnp.transpose(glob.reshape(B, bm.num_joints, 9), (2, 1, 0))
+        # lane-major internals take per-vertex inputs in the chunk layout's
+        # vertex order (the driver permutes at ingestion)
+        vp = gram.vperm
+        vw_lm = jnp.asarray(vw).T
+        if vp is not None:
+            vw_lm = jnp.take(vw_lm, jnp.asarray(np.asarray(vp)), axis=0)
         got = fit_shape_wgram_lm(
             bm, plan, gram, glob9,
-            lbs_kernels.to_vertex_major(jnp.asarray(tv)),
+            lbs_kernels.to_vertex_major(jnp.asarray(tv), perm=vp),
             jnp.transpose(jnp.asarray(tj), (2, 1, 0)),
-            jnp.asarray(vw).T, jnp.asarray(jw).T,
+            vw_lm, jnp.asarray(jw).T,
             beta_regularizer=0.5, beta_regularizer2=0.0, kid_regularizer=None,
             share_beta=False, beta_regularizer_reference=None,
             kid_regularizer_reference=None, interpret=True,

@@ -253,8 +253,10 @@ class TestStaticWeightKernelPath:
         # configuration: each path lands within ~2e-2 of the oracle's poses
         # (the synthetic smplh shape basis is near-degenerate, so f32
         # reduction order moves the iterated fit this much), so two f32 paths
-        # may legitimately differ by ~3e-2 from each other.
-        _assert_fits_match(got, ref, 3e-2)
+        # may legitimately differ by ~4e-2 from each other (the chunk-layout
+        # vertex reordering shifts the kernel path's summation order, worth
+        # ~1e-2 here on top of the pre-existing ~3e-2).
+        _assert_fits_match(got, ref, 4e-2)
 
     def test_oracle_parity_no_joints(self, smpl_model, reference_np):
         """HandReplacer configuration (vertex-only weights, no joints): the
