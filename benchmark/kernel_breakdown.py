@@ -23,7 +23,7 @@ import numpy as np
 jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_compilation_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-N_CALLS = 16
+N_CALLS = 32
 
 
 def timed(name, fn, inputs):
@@ -74,17 +74,21 @@ def main():
     def feat(i, f=F):
         return jnp.asarray(rng.normal(0, 1, (f, B)).astype(np.float32))
 
-    tgts = mk_inputs(N_CALLS, tgt)
+    # Few big target buffers (HBM!), many distinct small operands — the
+    # runtime memoizes on the full input tuple, so varying pj/feat alone
+    # defeats memoization without 32 copies of the 339 MB targets.
+    N_BIG = 6
+    tgts = (mk_inputs(N_BIG, tgt) * N_CALLS)[:N_CALLS]
     pjs = mk_inputs(N_CALLS, pj)
     feats = mk_inputs(N_CALLS, feat)
-    tgt_bm = [jnp.transpose(t, (2, 1, 0)) for t in tgts]
-    jax.block_until_ready([tgts, pjs, feats, tgt_bm])
+    tgt_bm = [jnp.transpose(t, (2, 1, 0)) for t in tgts[:N_BIG]]
+    jax.block_until_ready([tgts[:N_BIG], pjs, feats, tgt_bm])
 
     print(f'B={B} V={V} J={J} E={E} F={F}')
 
     # --- transpose ---
-    tr = jax.jit(lambda t: lbs_kernels.to_vertex_major(t))
-    timed('to_vertex_major', tr, tgt_bm)
+    tr = jax.jit(lambda t: lbs_kernels.to_vertex_major(t) * 1.0000001)
+    timed('to_vertex_major (+eps mul)', tr, tgt_bm)
 
     print(f'blend layout: jr={getattr(gram.blend_layout, "jr", None)} '
           f'jp={getattr(gram.blend_layout, "jp", None)}')
@@ -116,7 +120,7 @@ def main():
                          .astype(np.float32))
     f_ps = jax.jit(lambda t: lbs_kernels.part_sums_vm_lm(
         t, ref_vm, plan.pm_t_pad))
-    timed('part_sums_vm_lm', f_ps, tgts)
+    timed('part_sums_vm_lm', f_ps, tgts[:N_BIG])
 
     # --- lbs_points ---
     f_lbs = jax.jit(lambda p, f: lbs_kernels.lbs_points(

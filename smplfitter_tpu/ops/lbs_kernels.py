@@ -177,23 +177,26 @@ _LHS_TERMS = (0, 0, 1, 0, 1, 2)
 _RHS_TERMS = (0, 1, 0, 2, 1, 0)
 
 
+def _interleave6(cat, axis, terms, J):
+    # One static gather turns the term-major concat [x0|x1|x2] into the
+    # j-major interleave — measured far cheaper than stack+reshape, whose
+    # XLA lowering materializes strided copies per term (~2.6 ms/fit of
+    # copy/bitcast fusions at b4096).
+    idx = np.array([t * J + j for j in range(J) for t in terms])
+    return jnp.take(cat, jnp.asarray(idx), axis=axis)
+
+
 def _pack6_lhs_j(a, axis):
     """j-major twin of :func:`_pack6_lhs`: per-joint term blocks
     [a0,a0,a1,a0,a1,a2] are contiguous along the (6x expanded) ``axis``."""
-    s = _split3_bf16(a)
-    stacked = jnp.stack([s[t] for t in _LHS_TERMS], axis=axis + 1)
-    shape = list(a.shape)
-    shape[axis] *= 6
-    return stacked.reshape(shape)
+    cat = jnp.concatenate(_split3_bf16(a), axis=axis)
+    return _interleave6(cat, axis, _LHS_TERMS, a.shape[axis])
 
 
 def _pack6_rhs_j(b, axis):
     """j-major twin of :func:`_pack6_rhs` (terms [b0,b1,b0,b2,b1,b0])."""
-    s = _split3_bf16(b)
-    stacked = jnp.stack([s[t] for t in _RHS_TERMS], axis=axis + 1)
-    shape = list(b.shape)
-    shape[axis] *= 6
-    return stacked.reshape(shape)
+    cat = jnp.concatenate(_split3_bf16(b), axis=axis)
+    return _interleave6(cat, axis, _RHS_TERMS, b.shape[axis])
 
 
 from flax import struct as _struct
@@ -377,9 +380,16 @@ def to_vertex_major(x: jax.Array, v_pad: int | None = None,
     ``perm`` (a static index tuple/array) reorders the vertex axis during the
     same relayout — the chunk layout's vertex sort rides the one transpose
     the fit already pays (see ops/chunk_layout.py)."""
-    if perm is not None:
-        x = jnp.take(x, jnp.asarray(np.asarray(perm)), axis=1)
     xt = jnp.transpose(x, (2, 1, 0))
+    if perm is not None:
+        # Gather AFTER the transpose, one 2-D row-take per channel: on
+        # (V, B) each gathered row is a contiguous (B,) strip (16 KB at
+        # b4096). Measured at b4096: +1.7 ms over the bare transpose — the
+        # cheapest XLA lowering of this permutation (a 3-D axis-1 take or a
+        # pre-transpose take on 12-byte rows costs +2.3-2.6 ms and breaks
+        # the centering+transpose fusion).
+        idx = jnp.asarray(np.asarray(perm))
+        xt = jnp.stack([jnp.take(c, idx, axis=0) for c in xt])
     if v_pad is None or v_pad == xt.shape[1]:
         return xt
     return jnp.pad(xt, ((0, 0), (0, v_pad - xt.shape[1]), (0, 0)))
@@ -422,11 +432,14 @@ def from_vertex_major(x_vm: jax.Array, num_vertices: int,
     """(3, V_pad, B) -> (B, V, 3). ``perm`` = the vertex order of ``x_vm``'s
     rows (the chunk layout's vperm); the output is returned in CANONICAL
     vertex order by applying its inverse."""
-    out = jnp.transpose(x_vm[:, :num_vertices], (2, 1, 0))
     if perm is not None:
-        inv = np.argsort(np.asarray(perm))
-        out = jnp.take(out, jnp.asarray(inv), axis=1)
-    return out
+        # Un-permute while rows are still contiguous (B,) strips (see
+        # to_vertex_major), then transpose.
+        inv = jnp.asarray(np.argsort(np.asarray(perm)))
+        x_vm = jnp.stack(
+            [jnp.take(c, inv, axis=0) for c in x_vm[:, :num_vertices]]
+        )
+    return jnp.transpose(x_vm[:, :num_vertices], (2, 1, 0))
 
 
 def _blend_s6(starts_ref, k):

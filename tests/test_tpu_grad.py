@@ -67,6 +67,48 @@ def test_grad_of_forward_kernel_vjp(tpu_model):
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-4)
 
 
+def test_grad_kernels_vs_xla_at_frontier_batch(tpu_model):
+    """Kernel-path grads vs XLA-path grads at a production-relevant batch
+    (b128, the chunk size of the lax.scan-chunked b4096 grad recipe — see
+    benchmark/bench_grad.py --chunk). Catches backward-kernel regressions at
+    scale that the b8 smoke tests miss; mirrors the reference's grad
+    discipline (/root/reference/tests/pt/test_fitter_grad.py:1-60)."""
+    import jax
+    import jax.numpy as jnp
+
+    import smplfitter_tpu
+    from smplfitter_tpu.ops import lbs_kernels
+
+    B = int(os.environ.get('SMPLFITTER_TPU_GRAD_BATCH', '128'))
+    fitter = smplfitter_tpu.BodyFitter(tpu_model)
+    rng = np.random.default_rng(5)
+    pose = rng.normal(0, 0.2, (B, 72)).astype(np.float32)
+    betas = rng.normal(0, 1, (B, 10)).astype(np.float32)
+    res = tpu_model(pose_rotvecs=pose, shape_betas=betas)
+    tv, tj = jnp.asarray(res['vertices']), jnp.asarray(res['joints'])
+
+    def make_loss(use_kernels):
+        def loss(tv):
+            fit = fitter.fit(
+                tv, tj, num_iter=1, beta_regularizer=0.5,
+                final_adjust_rots=False, use_kernels=use_kernels,
+                requested_keys=['shape_betas', 'trans'],
+            )
+            return jnp.sum(fit['shape_betas'] ** 2) + jnp.sum(fit['trans'] ** 2)
+
+        return loss
+
+    lbs_kernels.autodiff_policy = 'kernels'
+    try:
+        gk = np.asarray(jax.jit(jax.grad(make_loss(True)))(tv))
+    finally:
+        lbs_kernels.autodiff_policy = 'fallback'
+    gx = np.asarray(jax.jit(jax.grad(make_loss(False)))(tv))
+    assert np.all(np.isfinite(gk)) and np.abs(gk).max() > 0
+    scale = max(1.0, np.abs(gx).max())
+    np.testing.assert_allclose(gk / scale, gx / scale, atol=1e-3)
+
+
 def test_grad_of_fit_shape_step_kernels(tpu_model):
     """One fit iteration (no final adjust) with the fused backward kernels."""
     import jax
