@@ -29,7 +29,10 @@ import numpy as np
 BASELINE_FITS_PER_SEC = 9481.0  # reference PT backend, RTX 3090, README.md:15
 BATCH = int(os.getenv('BENCH_BATCH', '4096'))
 NUM_ITER = 3
-REPS = int(os.getenv('BENCH_REPS', '8'))
+# 16 distinct in-flight reps: the tunnel's fixed pipeline overhead (~29 ms
+# per run, measured by sweeping the pipeline depth) amortizes to <2 ms/batch;
+# deeper would double the distinct-target HBM footprint (16 x 339 MB).
+REPS = int(os.getenv('BENCH_REPS', '16'))
 
 
 def main() -> None:

@@ -289,7 +289,10 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
             None if omega is None else jnp.asarray(omega.reshape(1, V), dtype)
         ),
         vperm=(
-            None if cl_main.degenerate else tuple(int(x) for x in vperm)
+            tuple(int(x) for x in vperm)
+            if not cl_main.degenerate
+            and not np.array_equal(vperm, np.arange(V))
+            else None
         ),
     )
 
@@ -2699,13 +2702,27 @@ def part_sums_lm(plan: FitterPlan, target_vm, reference_vm=None, reference_spec=
     (V, B) overrides it (per-call vertex weights), making s_w batch-varying."""
     om = plan.omega_pad if omega is None else omega
     if reference_spec is not None:
-        raw, s_t, s_a = lbs_kernels.recon_part_sums_lm(
-            target_vm, reference_spec['pj_cm'], reference_spec['feat_cols'],
-            reference_spec['weights_pad'], reference_spec['consts_pad'],
-            plan.pm_t_pad, omega=om,
-            interpret=reference_spec['interpret'],
-            layout=reference_spec.get('layout'),
-        )
+        if (
+            reference_spec.get('homog_vm') is not None
+            and (om is None or not lbs_kernels._runtime_omega(om))
+        ):
+            # Homog-cache fast path: the shape solve's rhs kernel already
+            # computed the posed template for these rotations.
+            raw, s_t, s_a = lbs_kernels.recon_part_sums_cached_lm(
+                target_vm, reference_spec['pj_cm'], reference_spec['x_cols'],
+                reference_spec['sd_cm'], reference_spec['homog_vm'],
+                plan.pm_t_pad, reference_spec['weights_pad'], omega=om,
+                interpret=reference_spec['interpret'],
+                layout=reference_spec.get('layout'),
+            )
+        else:
+            raw, s_t, s_a = lbs_kernels.recon_part_sums_lm(
+                target_vm, reference_spec['pj_cm'], reference_spec['feat_cols'],
+                reference_spec['weights_pad'], reference_spec['consts_pad'],
+                plan.pm_t_pad, omega=om,
+                interpret=reference_spec['interpret'],
+                layout=reference_spec.get('layout'),
+            )
     else:
         k_mode = lbs_kernels.kernel_mode(target_vm.shape[2])
         raw, s_t, s_a = lbs_kernels.part_sums_vm_lm(

@@ -158,6 +158,7 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
     if not permuted:
         vperm = np.arange(V)
     blend_layout_w = make_layout(cl_w) if permuted else None
+    nontrivial_vperm = permuted and not np.array_equal(vperm, np.arange(V))
 
     def pad_rows(x):
         x = x[vperm]
@@ -223,8 +224,10 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
         w_total=w_total,
         blend_layout=blend_layout,
         blend_layout_w=blend_layout_w,
-        vperm=tuple(int(x) for x in vperm) if permuted else None,
-        Msd_vm=jnp.asarray(Msd[vperm], dtype) if permuted else None,
+        # None when the layout keeps canonical vertex order (the default):
+        # ingestion then skips the permutation gathers entirely.
+        vperm=tuple(int(x) for x in vperm) if nontrivial_vperm else None,
+        Msd_vm=jnp.asarray(Msd[vperm], dtype) if nontrivial_vperm else None,
     )
 
 
@@ -743,10 +746,22 @@ def fit_shape_gram_lm(
     rel9, rot_params_cols = pre['rel9'], pre['rot_params_cols']
     p_j, P4, t_lm, T4 = pre['p_j'], pre['P4'], pre['t_lm'], pre['T4']
     pj_cm, feat_cols = pre['pj_cm'], pre['feat_cols']
+    # The deferred-recon consumers reuse the posed template computed here
+    # (the homog cache — see lbs_kernels.rhs_moments_h): worth it whenever a
+    # recon spec is requested (scale solves keep the plain kernel; their
+    # extra outputs already crowd VMEM).
+    homog_vm = None
+    want_recon = 'recon_spec' in requested_keys
     if scale_col:
         rk, yk, rtk, ytk, sck = lbs_kernels.rhs_moments(
             tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
             gram.sd_cm, omega=gram.omega_pad, scale=True, interpret=interpret,
+            layout=gram.blend_layout,
+        )
+    elif want_recon:
+        rk, yk, homog_vm = lbs_kernels.rhs_moments_h(
+            tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
+            gram.sd_cm, omega=gram.omega_pad, interpret=interpret,
             layout=gram.blend_layout,
         )
     else:
@@ -878,6 +893,7 @@ def fit_shape_gram_lm(
         batch_mask=batch_mask,
         scale_target=scale_target, scale_fit=scale_fit,
         scale_regularizer=scale_regularizer,
+        homog_vm=homog_vm,
     )
 
 
@@ -947,6 +963,7 @@ def _solve_tail(
     scale_target: bool = False,
     scale_fit: bool = False,
     scale_regularizer: float = 0.0,
+    homog_vm=None,
 ) -> dict:
     """Regularize, solve the augmented [betas(,kid)(,scale), trans] system and
     build the lane-major result dict (shared by the moment-assembled and the
@@ -1078,6 +1095,9 @@ def _solve_tail(
                 pj_cm=pj2_cm, feat_cols=f2_cols,
                 weights_pad=gram.weights_pad, consts_pad=gram.consts_full,
                 interpret=interpret, layout=gram.blend_layout,
+                # Homog-cache fields (None when the solve ran the scale or
+                # streamed kernels): consumers run the cached recon kernel.
+                homog_vm=homog_vm, x_cols=x_T, sd_cm=gram.sd_cm,
             )
         if 'vertices_vm' in requested_keys or 'vertices' in requested_keys:
             recon_vm = lbs_kernels.lbs_points(

@@ -27,6 +27,13 @@ All reordering is HOST-side precompute (NumPy): the per-vertex static kernel
 operands are built permuted once, targets are permuted during their one
 component-major relayout, and all kernel outputs are either vertex sums
 (permutation-invariant) or carry a cheap J-sized un-permute in the glue.
+
+Default policy: the vertex sort is OPT-IN (see build_chunk_layout) — on this
+hardware the target permutation gather (~2.4 ms/fit at b4096) costs more
+than the saved blend K-tile, so subsetting activates only when the model's
+CANONICAL vertex order already yields compact ranges (free — no gather).
+Spatially coherent real meshes qualify; scattered orders fall back to the
+full-width kernels with zero overhead.
 """
 
 from __future__ import annotations
@@ -83,7 +90,8 @@ class ChunkLayout:
 
 
 def build_chunk_layout(weights: np.ndarray, kintree_parents, chunk: int,
-                       start_align: int = 8) -> ChunkLayout:
+                       start_align: int = 8,
+                       sort_vertices: bool = False) -> ChunkLayout:
     """Compute the reordering + per-chunk ranges for ``chunk``-row kernels.
 
     ``weights``: (V, J) skinning weights in canonical (model-file) order.
@@ -91,6 +99,15 @@ def build_chunk_layout(weights: np.ndarray, kintree_parents, chunk: int,
     6·start and the subset-output sublane store offsets are 8-aligned).
     Ranges may then extend past J; ``jp`` is the zero-padded joint-axis
     length that contains every range (packed operands pad to it).
+
+    ``sort_vertices=False`` (the default) keeps the CANONICAL vertex order:
+    real SMPL-family meshes are spatially coherent, so canonical chunks
+    already have compact DFS joint ranges and the subsetting is free. The
+    explicit part-sort (True) guarantees compact ranges for ANY ordering but
+    requires permuting the targets at ingestion — measured at b4096/SMPL the
+    XLA gather costs ~2.4 ms/fit, MORE than the one saved blend K-tile
+    (~0.9 ms), so it is opt-in. Incoherent orders under the default simply
+    come out degenerate (full-width kernels, zero overhead).
     """
     w = np.asarray(weights)
     V, J = w.shape
@@ -99,8 +116,11 @@ def build_chunk_layout(weights: np.ndarray, kintree_parents, chunk: int,
     jpos = np.empty(J, np.int64)
     jpos[jperm] = np.arange(J)
 
-    assign = np.argmax(w, axis=1)
-    vperm = np.argsort(jpos[assign], kind='stable')
+    if sort_vertices:
+        assign = np.argmax(w, axis=1)
+        vperm = np.argsort(jpos[assign], kind='stable')
+    else:
+        vperm = np.arange(V)
     vperm_inv = np.empty(V, np.int64)
     vperm_inv[vperm] = np.arange(V)
 

@@ -389,7 +389,10 @@ def to_vertex_major(x: jax.Array, v_pad: int | None = None,
         # pre-transpose take on 12-byte rows costs +2.3-2.6 ms and breaks
         # the centering+transpose fusion).
         idx = jnp.asarray(np.asarray(perm))
-        xt = jnp.stack([jnp.take(c, idx, axis=0) for c in xt])
+        xt = jnp.stack([
+            c.at[idx].get(mode='promise_in_bounds', unique_indices=True)
+            for c in xt
+        ])
     if v_pad is None or v_pad == xt.shape[1]:
         return xt
     return jnp.pad(xt, ((0, 0), (0, v_pad - xt.shape[1]), (0, 0)))
@@ -494,12 +497,13 @@ def _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6, blend=None,
     ]
 
 
-def _rhs_kernel(nchunks, rem, weighted, scale, subset, *refs):
+def _rhs_kernel(nchunks, rem, weighted, scale, subset, emit_homog, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
     tgt_ref, pjp_ref, feat_ref, wtsp_ref, wsub_ref, consts_ref, sd_ref = refs[:7]
     refs = refs[7:]
     om_ref = refs.pop(0) if weighted else None
+    h_ref = refs.pop() if emit_homog else None
     r_ref, y_small_ref = refs[:2]
     rt_ref, yt_ref, sc_ref = refs[2:] if scale else (None, None, None)
     k = pl.program_id(1)
@@ -517,7 +521,14 @@ def _rhs_kernel(nchunks, rem, weighted, scale, subset, *refs):
             sc_ref[:] = jnp.zeros_like(sc_ref)
 
     blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
-    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6, blend)
+    homog = _lbs_homog(feat_ref, consts_ref)
+    if emit_homog:
+        # Cache the posed template for this iteration's recon kernel: it
+        # reuses these channels (plus the solved-beta step) instead of
+        # re-running the K=F homog dots (see recon_part_sums's cached path).
+        for c in range(3):
+            h_ref[c] = homog[c]
+    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6, blend, homog)
     w = wsub_ref[:]  # (VC, jr) plain per-chunk weight columns
     t_vals = [_mask_tail_rows(tgt_ref[a], k, nchunks, rem) for a in range(3)]
     b = [t_vals[a] - pos[a] for a in range(3)]  # (VC, TB) residuals
@@ -575,7 +586,8 @@ def _rhs_kernel(nchunks, rem, weighted, scale, subset, *refs):
 
 def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
                       omega=None, scale: bool = False,
-                      interpret: bool = False, layout: BlendLayout | None = None):
+                      interpret: bool = False, layout: BlendLayout | None = None,
+                      emit_homog: bool = False):
     """Fused residual projection of the shape solve.
 
     Args:
@@ -655,22 +667,32 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             jax.ShapeDtypeStruct((3, jp, B), jnp.float32),
             jax.ShapeDtypeStruct((3, B), jnp.float32),
         ]
+    if emit_homog:
+        out_specs.append(pl.BlockSpec(
+            (3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32))
 
     outs = pl.pallas_call(
         functools.partial(_rhs_kernel, nchunks, v_t % VC, weighted, scale,
-                          subset),
+                          subset, emit_homog),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(*operands)
+    outs = list(outs) if isinstance(outs, (list, tuple)) else [outs]
+    homog_out = outs.pop() if emit_homog else None
     if scale:
         r, y, rt, yt, sc = outs
-        return (r, unpermute_joints(y, layout), rt,
-                unpermute_joints(yt, layout), sc)
-    r, y = outs
-    return r, unpermute_joints(y, layout)
+        res = (r, unpermute_joints(y, layout), rt,
+               unpermute_joints(yt, layout), sc)
+    else:
+        r, y = outs
+        res = (r, unpermute_joints(y, layout))
+    if emit_homog:
+        return res + (homog_out,)
+    return res
 
 
 def _lbs_points_kernel(subset, *refs):
@@ -1008,9 +1030,10 @@ def _lbs_points_bwd_rule(interpret, res, g):
 _lbs_points_diff.defvjp(_lbs_points_fwd, _lbs_points_bwd_rule)
 
 
-def _rhs_bwd_kernel(nchunks, rem, weighted, subset, *refs):
+def _rhs_bwd_kernel(nchunks, rem, weighted, subset, with_gh, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
+    gh_ref = refs.pop(-4) if with_gh else None  # before the 3 outputs
     if weighted:
         (gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref, wtsp_ref, wfull_ref,
          consts_ref, sd_ref, om_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
@@ -1061,11 +1084,16 @@ def _rhs_bwd_kernel(nchunks, rem, weighted, subset, *refs):
             dpj_ref[a * 4 + c] += _dot3(dblend, w, _C0_0)  # (TB, J)
     for c in range(4):
         dh_c = -sum(blend[a * 4 + c] * db[a] for a in range(3))
+        if with_gh and c < 3:
+            # The emitted homog cache is an extra primal output (independent
+            # of tgt/pj): its cotangent lands on feat through the same
+            # consts contraction.
+            dh_c = dh_c + gh_ref[c]
         dfeat_ref[:] += _dot3(consts_ref[c], dh_c, _C0_0)  # (F, TB)
 
 
 def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
-                     gr, gy, omega=None, interpret=False, layout=None):
+                     gr, gy, gh=None, omega=None, interpret=False, layout=None):
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
     J = weights_pad.shape[1]
@@ -1095,9 +1123,15 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
         )
         operands.append(omega)
+    with_gh = gh is not None
+    if with_gh:
+        in_specs.append(pl.BlockSpec(
+            (3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM))
+        operands.append(gh)
 
     dtgt, dpj, dfeat = pl.pallas_call(
-        functools.partial(_rhs_bwd_kernel, nchunks, v_t % VC, weighted, subset),
+        functools.partial(_rhs_bwd_kernel, nchunks, v_t % VC, weighted, subset,
+                          with_gh),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -2083,3 +2117,398 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
         ],
         interpret=interpret,
     )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Homog-cache fast path: within one fit iteration the rhs kernel and the
+# recon+part-sums kernel run with the SAME rotations, so the posed template
+# (the K=F homog dots — the largest single dot group of both kernels) is
+# computed once by rhs_moments and handed to the recon kernel, which only
+# adds the solved-beta step sd·x (a cheap rank-E update on the VPU).
+# Measured at b4096/SMPL: recon drops ~0.5 ms/call; the rhs homog write is
+# hidden under its MXU time.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _rhs_h_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
+                interpret, layout):
+    return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                             sd_cm, interpret=interpret, layout=layout,
+                             emit_homog=True)
+
+
+def _rhs_h_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
+               interpret, layout):
+    out = _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                            sd_cm, interpret=interpret, layout=layout,
+                            emit_homog=True)
+    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
+                 layout)
+
+
+def _rhs_h_bwd_rule(interpret, res, g):
+    tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, layout = res
+    gr, gy, gh = g
+    dtgt, dpj, dfeat = _rhs_moments_bwd(
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, gr, gy,
+        gh=gh, interpret=interpret, layout=layout,
+    )
+    return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
+            jnp.zeros_like(consts_pad), jnp.zeros_like(sd_cm),
+            jax.tree.map(jnp.zeros_like, layout))
+
+
+_rhs_h_diff.defvjp(_rhs_h_fwd, _rhs_h_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _rhs_h_w_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
+                  omega, interpret, layout):
+    return _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                             sd_cm, omega=omega, interpret=interpret,
+                             layout=layout, emit_homog=True)
+
+
+def _rhs_h_w_fwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
+                 omega, interpret, layout):
+    out = _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                            sd_cm, omega=omega, interpret=interpret,
+                            layout=layout, emit_homog=True)
+    return out, (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
+                 omega, layout)
+
+
+def _rhs_h_w_bwd_rule(interpret, res, g):
+    (tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, omega,
+     layout) = res
+    gr, gy, gh = g
+    dtgt, dpj, dfeat = _rhs_moments_bwd(
+        tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm, gr, gy,
+        gh=gh, omega=omega, interpret=interpret, layout=layout,
+    )
+    return (dtgt, dpj, dfeat, jnp.zeros_like(weights_pad),
+            jnp.zeros_like(consts_pad), jnp.zeros_like(sd_cm),
+            jnp.zeros_like(omega), jax.tree.map(jnp.zeros_like, layout))
+
+
+_rhs_h_w_diff.defvjp(_rhs_h_w_fwd, _rhs_h_w_bwd_rule)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def rhs_moments_h(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
+                  omega=None, interpret: bool = False,
+                  layout: BlendLayout | None = None):
+    """:func:`rhs_moments` that additionally returns the posed-template homog
+    channels (3, V_pad, B) for this iteration's cached-recon kernel. ``omega``
+    must be None or a static (V_pad, 1) column (runtime-ω callers use the
+    uncached kernels)."""
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    if omega is None:
+        return _rhs_h_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                           sd_cm, interpret, layout)
+    assert not _runtime_omega(omega)
+    return _rhs_h_w_diff(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad,
+                         sd_cm, omega, interpret, layout)
+
+
+def _sdx_chunk(sd_ref, x_ref, E):
+    """sd·x per chunk on the VPU: E rank-1 broadcast updates per channel
+    (the MXU form would pad K=E to a full 128 lane tile)."""
+    out = []
+    for c in range(3):
+        acc = None
+        for e in range(E):
+            term = sd_ref[c][:, e:e + 1] * x_ref[e:e + 1, :]
+            acc = term if acc is None else acc + term
+        out.append(acc)
+    return out
+
+
+def _recon_cached_kernel(nchunks, rem, E, weighted, subset, *refs):
+    refs = list(refs)
+    starts_ref = refs.pop(0) if subset else None
+    if weighted:
+        (tgt_ref, pjp_ref, x_ref, wtsp_ref, sd_ref, h_ref, pm_ref, om_ref,
+         raw_ref, st_ref, sa_ref) = refs
+    else:
+        (tgt_ref, pjp_ref, x_ref, wtsp_ref, sd_ref, h_ref, pm_ref,
+         raw_ref, st_ref, sa_ref) = refs
+    k = pl.program_id(1)
+    s6 = _blend_s6(starts_ref, k)
+
+    @pl.when(k == 0)
+    def _():
+        raw_ref[:] = jnp.zeros_like(raw_ref)
+        st_ref[:] = jnp.zeros_like(st_ref)
+        sa_ref[:] = jnp.zeros_like(sa_ref)
+
+    blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
+    sdx = _sdx_chunk(sd_ref, x_ref, E)
+    hfull = [h_ref[c] + sdx[c] for c in range(3)]
+    pos = [
+        sum(blend[a * 4 + c] * hfull[c] for c in range(3)) + blend[a * 4 + 3]
+        for a in range(3)
+    ]
+    pm = pm_ref[:]  # (J, VC)
+    contract = (((1,), (0,)), ((), ()))
+    if weighted:
+        om = _mask_tail_rows(om_ref[:], k, nchunks, rem)
+        pos = [p * om for p in pos]
+    for c in range(3):
+        t_c = _mask_tail_rows(tgt_ref[c], k, nchunks, rem)
+        st_in = t_c * om if weighted else t_c
+        st_ref[c] += _dot2_exact_a(pm, st_in, contract)
+        for d in range(3):
+            raw_ref[c * 3 + d] += _dot2_exact_a(pm, t_c * pos[d], contract)
+    for d in range(3):
+        sa_ref[d] += _dot2_exact_a(pm, pos[d], contract)
+
+
+def _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
+                       layout: BlendLayout, omega=None,
+                       interpret: bool = False):
+    _, v_t, B = tgt_vm.shape
+    v_pad = sd_cm.shape[1]
+    J = pm.shape[0]
+    E = x_cols.shape[0]
+    tb = pick_batch_tile(B)
+    nchunks = v_pad // VC
+    assert tb is not None and v_pad % VC == 0
+    grid = (B // tb, nchunks)
+    jp_l, jr = layout.jp, layout.jr
+    pjp = pack_pj(pj_cm, layout)
+    weighted = omega is not None
+    subset = not layout.full
+
+    in_specs = ([_starts_spec(nchunks)] if subset else []) + [
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+    ]
+    operands = ([layout.starts] if subset else []) + [
+        tgt_vm, pjp, x_cols, layout.wtsp_sub, sd_cm, homog_vm, pm]
+    if weighted:
+        in_specs.append(
+            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(omega)
+
+    return pl.pallas_call(
+        functools.partial(_recon_cached_kernel, nchunks, v_t % VC, E,
+                          weighted, subset),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((9, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, J, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, J, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, J, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+
+def _recon_cached_bwd_kernel(nchunks, rem, E, weighted, subset, *refs):
+    refs = list(refs)
+    starts_ref = refs.pop(0) if subset else None
+    if weighted:
+        (tgt_ref, pjp_ref, x_ref, wtsp_ref, wfull_ref, sd_ref, h_ref, pm_ref,
+         om_ref, graw_ref, gst_ref, gsa_ref,
+         dtgt_ref, dpj_ref, dx_ref, dh_ref) = refs
+    else:
+        (tgt_ref, pjp_ref, x_ref, wtsp_ref, wfull_ref, sd_ref, h_ref, pm_ref,
+         graw_ref, gst_ref, gsa_ref,
+         dtgt_ref, dpj_ref, dx_ref, dh_ref) = refs
+    k = pl.program_id(1)
+    s6 = _blend_s6(starts_ref, k)
+    pm = pm_ref[:]
+    contract_j = (((0,), (0,)), ((), ()))
+    blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
+    sdx = _sdx_chunk(sd_ref, x_ref, E)
+    hfull = [h_ref[c] + sdx[c] for c in range(3)]
+    pos = [
+        sum(blend[a * 4 + c] * hfull[c] for c in range(3)) + blend[a * 4 + 3]
+        for a in range(3)
+    ]
+    om = om_ref[:] if weighted else None
+    W = [_dot2_exact_a(pm, graw_ref[x], contract_j) for x in range(9)]
+    for c in range(3):
+        acc = _dot2_exact_a(pm, gst_ref[c], contract_j)
+        for d in range(3):
+            # pos here is the UNWEIGHTED reconstruction: the forward's single
+            # ω factor lands once via the trailing multiply.
+            acc += W[c * 3 + d] * pos[d]
+        dtgt_ref[c] = acc * om if weighted else acc
+    tgt = [_mask_tail_rows(tgt_ref[c], k, nchunks, rem) for c in range(3)]
+    dpos = []
+    for d in range(3):
+        acc = _dot2_exact_a(pm, gsa_ref[d], contract_j)
+        for c in range(3):
+            acc += W[c * 3 + d] * tgt[c]
+        dpos.append(acc * om if weighted else acc)
+
+    @pl.when(k == 0)
+    def _():
+        dpj_ref[:] = jnp.zeros_like(dpj_ref)
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    w = wfull_ref[:]
+    dh = []
+    for c in range(3):
+        dh_c = sum(blend[a * 4 + c] * dpos[a] for a in range(3))
+        dh_ref[c] = dh_c
+        dh.append(dh_c)
+        dx_ref[:] += _dot3(sd_ref[c], dh_c, _C0_0)  # (E, TB)
+    for a in range(3):
+        for c in range(4):
+            dblend = dpos[a] * hfull[c] if c < 3 else dpos[a]
+            dpj_ref[a * 4 + c] += _dot3(dblend, w, _C0_0)  # (TB, J)
+
+
+def _recon_cached_bwd(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
+                      layout, graw, gst, gsa, omega=None, interpret=False):
+    _, v_t, B = tgt_vm.shape
+    v_pad = sd_cm.shape[1]
+    J = pm.shape[0]
+    Jw = weights_pad.shape[1]
+    E = x_cols.shape[0]
+    tb = pick_batch_tile(B)
+    nchunks = v_pad // VC
+    grid = (B // tb, nchunks)
+    jp_l, jr = layout.jp, layout.jr
+    pjp = pack_pj(pj_cm, layout)
+    weighted = omega is not None
+    subset = not layout.full
+
+    in_specs = ([_starts_spec(nchunks)] if subset else []) + [
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, Jw), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+    ]
+    operands = ([layout.starts] if subset else []) + [
+        tgt_vm, pjp, x_cols, layout.wtsp_sub, weights_pad, sd_cm, homog_vm, pm]
+    if weighted:
+        in_specs.append(
+            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(omega)
+    in_specs += [
+        pl.BlockSpec((9, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+    ]
+    operands += [graw, gst, gsa]
+
+    dtgt, dpj, dx, dh = pl.pallas_call(
+        functools.partial(_recon_cached_bwd_kernel, nchunks, v_t % VC, E,
+                          weighted, subset),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tb, Jw), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, v_t, B), jnp.float32),
+            jax.ShapeDtypeStruct((12, B, Jw), jnp.float32),
+            jax.ShapeDtypeStruct((E, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return dtgt, jnp.transpose(dpj, (0, 2, 1)), dx, dh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _recon_cached_diff(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
+                       layout, interpret):
+    return _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
+                              layout, interpret=interpret)
+
+
+def _recon_cached_fwd(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
+                      layout, interpret):
+    out = _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
+                             layout, interpret=interpret)
+    return out, (tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
+                 layout)
+
+
+def _recon_cached_bwd_rule(interpret, res, g):
+    tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad, layout = res
+    graw, gst, gsa = g
+    dtgt, dpj, dx, dh = _recon_cached_bwd(
+        tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad, layout,
+        graw, gst, gsa, interpret=interpret,
+    )
+    return (dtgt, dpj, dx, jnp.zeros_like(sd_cm), dh, jnp.zeros_like(pm),
+            jnp.zeros_like(weights_pad), jax.tree.map(jnp.zeros_like, layout))
+
+
+_recon_cached_diff.defvjp(_recon_cached_fwd, _recon_cached_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _recon_cached_w_diff(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
+                         weights_pad, layout, omega, interpret):
+    return _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
+                              layout, omega=omega, interpret=interpret)
+
+
+def _recon_cached_w_fwd(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
+                        weights_pad, layout, omega, interpret):
+    out = _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
+                             layout, omega=omega, interpret=interpret)
+    return out, (tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
+                 layout, omega)
+
+
+def _recon_cached_w_bwd_rule(interpret, res, g):
+    (tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad, layout,
+     omega) = res
+    graw, gst, gsa = g
+    dtgt, dpj, dx, dh = _recon_cached_bwd(
+        tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad, layout,
+        graw, gst, gsa, omega=omega, interpret=interpret,
+    )
+    return (dtgt, dpj, dx, jnp.zeros_like(sd_cm), dh, jnp.zeros_like(pm),
+            jnp.zeros_like(weights_pad), jax.tree.map(jnp.zeros_like, layout),
+            jnp.zeros_like(omega))
+
+
+_recon_cached_w_diff.defvjp(_recon_cached_w_fwd, _recon_cached_w_bwd_rule)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def recon_part_sums_cached_lm(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
+                              weights_pad, omega=None, interpret: bool = False,
+                              layout: BlendLayout | None = None):
+    """Lane-major recon+part-sums from a CACHED posed template (see the
+    section comment): same outputs as :func:`recon_part_sums_lm`. ``x_cols``
+    (E, B) is the solved beta step; ``homog_vm`` the rhs kernel's emitted
+    channels. ``omega`` must be None or the static (V_pad, 1) column."""
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    if omega is None:
+        return _recon_cached_diff(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
+                                  weights_pad, layout, interpret)
+    assert not _runtime_omega(omega)
+    return _recon_cached_w_diff(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
+                                weights_pad, layout, omega, interpret)

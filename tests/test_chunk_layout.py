@@ -36,7 +36,11 @@ class TestChunkLayout:
         # a chain tree: DFS ranges are short, so the layout is non-degenerate
         parents = [0] + list(range(J - 1))
         w = _make_tree_weights(rng, V, J, parents)
-        layout_host = CL.build_chunk_layout(w, parents, chunk=K.VC)
+        # sort_vertices=True: exercise the fully-permuted machinery (vperm
+        # gathers included); the production default only subsets when the
+        # canonical order is already coherent.
+        layout_host = CL.build_chunk_layout(w, parents, chunk=K.VC,
+                                            sort_vertices=True)
         assert not layout_host.degenerate, 'test needs a real subset layout'
 
         F = 20
@@ -155,3 +159,111 @@ class TestChunkLayout:
             s = max(np.max(np.abs(np.asarray(b))), 1e-6)
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=3e-4 * s)
+
+
+class TestHomogCache:
+    """rhs_moments_h + recon_part_sums_cached_lm == the uncached kernels."""
+
+    def _case(self, seed=7):
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        rng = np.random.default_rng(seed)
+        B, V, J, E = 16, 512, 24, 11
+        F = 20
+        tgt = rng.normal(size=(B, V, 3)).astype(np.float32)
+        pj = rng.normal(size=(12, J, B)).astype(np.float32)
+        feat = rng.normal(size=(F, B)).astype(np.float32)
+        wts = rng.uniform(0, 1, size=(V, J)).astype(np.float32)
+        consts = rng.normal(size=(4, V, F)).astype(np.float32)
+        feat[-1] = 1.0
+        consts[3] = 0.0
+        consts[3, :, -1] = 1.0
+        sd = rng.normal(size=(3, V, E)).astype(np.float32)
+        x = rng.normal(size=(E, B)).astype(np.float32)
+        pm = np.zeros((J, V), np.float32)
+        pm[rng.integers(0, J, V), np.arange(V)] = 1.0
+        return K, jnp, dict(B=B, V=V, J=J, E=E, F=F, tgt=tgt, pj=pj,
+                            feat=feat, wts=wts, consts=consts, sd=sd, x=x,
+                            pm=pm)
+
+    def test_matches_uncached(self):
+        K, jnp, d = self._case()
+        tgt_vm = K.to_vertex_major(jnp.asarray(d['tgt']), d['V'])
+        r0, y0 = K.rhs_moments(
+            tgt_vm, jnp.asarray(d['pj']), jnp.asarray(d['feat']),
+            jnp.asarray(d['wts']), jnp.asarray(d['consts']),
+            jnp.asarray(d['sd']), interpret=True)
+        r1, y1, homog = K.rhs_moments_h(
+            tgt_vm, jnp.asarray(d['pj']), jnp.asarray(d['feat']),
+            jnp.asarray(d['wts']), jnp.asarray(d['consts']),
+            jnp.asarray(d['sd']), interpret=True)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-6)
+        homog_ref = np.einsum('cvf,fb->cvb', d['consts'][:3], d['feat'])
+        np.testing.assert_allclose(np.asarray(homog), homog_ref, rtol=2e-4,
+                                   atol=2e-4 * np.abs(homog_ref).max())
+
+        # cached recon (pj2 with x-shifted translations) vs uncached recon
+        # with the equivalent full feature/consts
+        consts_full = np.concatenate(
+            [d['consts'], np.concatenate(
+                [d['sd'], np.zeros((1, d['V'], d['E']), np.float32)],
+                axis=0)], axis=2)
+        feat_full = np.concatenate([d['feat'], d['x']], axis=0)
+        out0 = K.recon_part_sums_lm(
+            tgt_vm, jnp.asarray(d['pj']), jnp.asarray(feat_full),
+            jnp.asarray(d['wts']), jnp.asarray(consts_full),
+            jnp.asarray(d['pm']), interpret=True)
+        out1 = K.recon_part_sums_cached_lm(
+            tgt_vm, jnp.asarray(d['pj']), jnp.asarray(d['x']),
+            jnp.asarray(d['sd']), homog, jnp.asarray(d['pm']),
+            jnp.asarray(d['wts']), interpret=True)
+        for a, b in zip(out1, out0):
+            sc = max(np.abs(np.asarray(b)).max(), 1e-6)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-4, atol=3e-4 * sc)
+
+    def test_vjp_matches_uncached(self):
+        import jax
+
+        K, jnp, d = self._case(seed=8)
+        tgt_vm = K.to_vertex_major(jnp.asarray(d['tgt']), d['V'])
+        consts_full = np.concatenate(
+            [d['consts'], np.concatenate(
+                [d['sd'], np.zeros((1, d['V'], d['E']), np.float32)],
+                axis=0)], axis=2)
+
+        def loss_cached(pj, feat, x):
+            r, y, homog = K.rhs_moments_h(
+                tgt_vm, pj, feat, jnp.asarray(d['wts']),
+                jnp.asarray(d['consts']), jnp.asarray(d['sd']), interpret=True)
+            raw, st, sa = K.recon_part_sums_cached_lm(
+                tgt_vm, pj, x, jnp.asarray(d['sd']), homog,
+                jnp.asarray(d['pm']), jnp.asarray(d['wts']), interpret=True)
+            return (jnp.sum(r ** 2) + jnp.sum(y ** 2) + jnp.sum(raw ** 2)
+                    + jnp.sum(st ** 2) + jnp.sum(sa ** 2))
+
+        def loss_uncached(pj, feat, x):
+            r, y = K.rhs_moments(
+                tgt_vm, pj, feat, jnp.asarray(d['wts']),
+                jnp.asarray(d['consts']), jnp.asarray(d['sd']), interpret=True)
+            raw, st, sa = K.recon_part_sums_lm(
+                tgt_vm, pj, jnp.concatenate([feat, x], axis=0),
+                jnp.asarray(d['wts']), jnp.asarray(consts_full),
+                jnp.asarray(d['pm']), interpret=True)
+            return (jnp.sum(r ** 2) + jnp.sum(y ** 2) + jnp.sum(raw ** 2)
+                    + jnp.sum(st ** 2) + jnp.sum(sa ** 2))
+
+        args = (jnp.asarray(d['pj']), jnp.asarray(d['feat']),
+                jnp.asarray(d['x']))
+        g1 = jax.grad(loss_cached, argnums=(0, 1, 2))(*args)
+        g0 = jax.grad(loss_uncached, argnums=(0, 1, 2))(*args)
+        for a, b in zip(g1, g0):
+            sc = max(np.abs(np.asarray(b)).max(), 1e-6)
+            # Both paths run 2-3-pass bf16 f32-emulated dots in different
+            # association orders; per-element noise up to ~2e-3 of the
+            # gradient scale is the emulation floor, not a VJP defect.
+            np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(b) / sc,
+                                       rtol=2e-3, atol=2e-3)
