@@ -172,8 +172,11 @@ def identity_layout(V: int, J: int, chunk: int) -> ChunkLayout:
 # [b0,b1,b0,b2,b1,b0] (all cross terms of the 3-way bf16 splits down to
 # 2^-16, accumulating a0b0 + (a0b1+a1b0) + (a0b2+a1b1+a2b0) in f32).
 
-_LHS_TERMS = (0, 0, 1, 0, 1, 2)
-_RHS_TERMS = (0, 1, 0, 2, 1, 0)
+def _lhs_terms():
+    # stay in sync with the kernels' packing (lbs_kernels.BLEND_TERMS)
+    from . import lbs_kernels
+
+    return lbs_kernels._terms()[0]
 
 
 def _trunc_bf16_np(x: np.ndarray) -> np.ndarray:
@@ -193,9 +196,9 @@ def split3_np(x: np.ndarray):
 
 
 def pack6_lhs_j_np(w_cols: np.ndarray) -> np.ndarray:
-    """(V, Jr) weight columns -> (V, 6·Jr) j-major K-packed LHS."""
+    """(V, Jr) weight columns -> (V, T·Jr) j-major K-packed LHS."""
     s = split3_np(w_cols)
-    stacked = np.stack([s[t] for t in _LHS_TERMS], axis=2)  # (V, Jr, 6)
+    stacked = np.stack([s[t] for t in _lhs_terms()], axis=2)  # (V, Jr, T)
     return stacked.reshape(w_cols.shape[0], -1)
 
 
@@ -217,7 +220,8 @@ def build_blend_operands(weights: np.ndarray, layout: ChunkLayout,
     assert v_pad >= V and v_pad % chunk == 0 and nchunks == v_pad // chunk or (
         nchunks == -(-V // chunk)), (v_pad, V, nchunks, chunk)
     jr = layout.jr
-    wtsp_sub = np.zeros((v_pad, 6 * jr), np.float32)
+    nt = len(_lhs_terms())
+    wtsp_sub = np.zeros((v_pad, nt * jr), np.float32)
     w_sub = np.zeros((v_pad, jr), np.float32)
     for k in range(nchunks):
         lo = k * chunk

@@ -103,32 +103,6 @@ def _split3_bf16(x):
     return x0, x1, x2
 
 
-def _pack6_lhs(a, axis):
-    """``[a0, a0, a1, a0, a1, a2]`` concatenated along the contraction axis.
-
-    Together with :func:`_pack6_rhs`'s ``[b0, b1, b0, b2, b1, b0]`` this folds
-    the six MXU passes of a ``Precision.HIGHEST`` f32 dot (all cross products
-    of 3-way bf16 splits down to 2^-16 relative) into the contraction dim of a
-    SINGLE ``Precision.DEFAULT`` dot: aligned K-blocks multiply as a0b0 +
-    (a0b1 + a1b0) + (a0b2 + a1b1 + a2b0), accumulated in f32 by the MXU.
-    For K = J = 24 this turns six dots each padded to K=128 into one dot at
-    K=144 (two K tiles): a 3x cut in padded MXU work for the LBS blends at
-    f32-emulation accuracy. (A cheaper hi/lo 3-term packing was measured to
-    save another ~2 ms/batch, but its ~1e-5 per-dot noise is chaotically
-    amplified by the iterative fit to ~3e-2 in betas/pose vs the oracle —
-    outside the parity gate — so the blends stay at full f32 emulation.)
-    """
-    a0, a1, a2 = _split3_bf16(a)
-    return jnp.concatenate([a0, a0, a1, a0, a1, a2], axis=axis)
-
-
-def _pack6_rhs(b, axis):
-    """``[b0, b1, b0, b2, b1, b0]`` along the contraction axis (see
-    :func:`_pack6_lhs`)."""
-    b0, b1, b2 = _split3_bf16(b)
-    return jnp.concatenate([b0, b1, b0, b2, b1, b0], axis=axis)
-
-
 def _dot1(a, b, dimension_numbers):
     """One MXU pass (operands must be bf16-representable, e.g. K-packed)."""
     return jax.lax.dot_general(
@@ -173,8 +147,23 @@ VC = 256  # vertex chunk (sublane dim of per-vertex tiles)
 # ops/chunk_layout.py for the host-side reordering that makes the ranges
 # short, and BlendLayout below for the operand bundle.
 
-_LHS_TERMS = (0, 0, 1, 0, 1, 2)
-_RHS_TERMS = (0, 1, 0, 2, 1, 0)
+# 6-term packing = all split-pair products down to 2^-16 (full f32
+# emulation). BLEND_TERMS=5 drops the single smallest term (a2*b0, the
+# weights' third-order bits against the rotations' leading bits, ~2^-16
+# relative on the blend) so SMPL's K drops from 6*24=144 (two MXU K-tiles)
+# to 120 (one tile). Gated by the oracle parity check — flip back to 6 if a
+# model/config trips it.
+BLEND_TERMS = 5
+_LHS_TERMS6 = (0, 0, 1, 0, 1, 2)
+_RHS_TERMS6 = (0, 1, 0, 2, 1, 0)
+_LHS_TERMS5 = (0, 0, 1, 0, 1)
+_RHS_TERMS5 = (0, 1, 0, 2, 1)
+
+
+def _terms():
+    if BLEND_TERMS == 6:
+        return _LHS_TERMS6, _RHS_TERMS6
+    return _LHS_TERMS5, _RHS_TERMS5
 
 
 def _interleave6(cat, axis, terms, J):
@@ -187,16 +176,16 @@ def _interleave6(cat, axis, terms, J):
 
 
 def _pack6_lhs_j(a, axis):
-    """j-major twin of :func:`_pack6_lhs`: per-joint term blocks
-    [a0,a0,a1,a0,a1,a2] are contiguous along the (6x expanded) ``axis``."""
+    """j-major K-packed LHS: per-joint term blocks (see BLEND_TERMS) are
+    contiguous along the expanded ``axis``."""
     cat = jnp.concatenate(_split3_bf16(a), axis=axis)
-    return _interleave6(cat, axis, _LHS_TERMS, a.shape[axis])
+    return _interleave6(cat, axis, _terms()[0], a.shape[axis])
 
 
 def _pack6_rhs_j(b, axis):
-    """j-major twin of :func:`_pack6_rhs` (terms [b0,b1,b0,b2,b1,b0])."""
+    """j-major K-packed RHS twin of :func:`_pack6_lhs_j`."""
     cat = jnp.concatenate(_split3_bf16(b), axis=axis)
-    return _interleave6(cat, axis, _RHS_TERMS, b.shape[axis])
+    return _interleave6(cat, axis, _terms()[1], b.shape[axis])
 
 
 from flax import struct as _struct
@@ -451,7 +440,7 @@ def _blend_s6(starts_ref, k):
     (full-width) layout — the offset is then the static 0."""
     if starts_ref is None:
         return 0
-    return pl.multiple_of(starts_ref[0, k] * 6, 48)
+    return pl.multiple_of(starts_ref[0, k] * BLEND_TERMS, 8 * BLEND_TERMS)
 
 
 def _lbs_blend(pjp_ref, wtsp_ref, s6):
@@ -631,9 +620,9 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
 
     in_specs = [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, 6 * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, BLEND_TERMS * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((VC, jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
@@ -729,9 +718,9 @@ def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
     subset = not layout.full
 
     in_specs = [
-        pl.BlockSpec((12, 6 * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, BLEND_TERMS * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
     ]
     operands = [pjp, feat_cols, layout.wtsp_sub, consts_pad]
@@ -960,9 +949,9 @@ def _bwd_common_specs(layout, tb, F):
     jp_l, jr = layout.jp, layout.jr
     J = len(layout.jperm)
     return [
-        pl.BlockSpec((12, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
     ]
@@ -1308,9 +1297,9 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
 
     in_specs = [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
     ]
@@ -2078,12 +2067,12 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
 
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((3, VC_W, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC_W, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC_W, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, VC_W, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC_W, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * E, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * E, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((VC_W, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
     ]
@@ -2284,9 +2273,9 @@ def _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
 
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
@@ -2392,9 +2381,9 @@ def _recon_cached_bwd(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
 
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, 6 * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, 6 * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((VC, Jw), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
