@@ -341,6 +341,16 @@ def pick_batch_tile(B: int) -> int | None:
     return None
 
 
+def _shrink_tb(tb, block_floats_fn, limit_bytes: int = 11 * 2 ** 20):
+    """Halve the batch tile while the kernel's VMEM footprint (double-
+    buffered f32 blocks) exceeds the scoped limit. Large-F models (SMPL-X's
+    pose feature is 504 wide) overflow the 16 MB scoped VMEM at tb=256 —
+    measured: lbs_points needs 20.9 MB there."""
+    while tb is not None and tb > 128 and 8 * block_floats_fn(tb) > limit_bytes:
+        tb //= 2
+    return tb
+
+
 def kernel_batch_pad(B: int) -> int:
     """Padding that makes ``B`` kernel-eligible: up to a multiple of 8 in the
     whole-block regime (B <= 256), up to a multiple of 128 beyond it."""
@@ -607,13 +617,21 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     v_pad = weights_pad.shape[0]
     E = sd_cm.shape[2]
     F = feat_cols.shape[0]
-    tb = pick_batch_tile(B)
-    nchunks = v_pad // VC
-    assert tb is not None and v_pad % VC == 0 and nchunks * VC >= v_t > (nchunks - 1) * VC
-    grid = (B // tb, nchunks)
     if layout is None:
         layout = default_layout(weights_pad, VC)
     jp, jr = layout.jp, layout.jr
+    tb = _shrink_tb(
+        pick_batch_tile(B),
+        lambda t: (
+            3 * VC + 12 * BLEND_TERMS * jp + F + E + 3 * jp
+            + (3 * VC if emit_homog else 0)
+            + ((E + 3 * jp + 3) if scale else 0)
+            + (VC if omega is not None else 0)
+        ) * t + VC * (BLEND_TERMS * jr + jr + 4 * F + 3 * E),
+    )
+    nchunks = v_pad // VC
+    assert tb is not None and v_pad % VC == 0 and nchunks * VC >= v_t > (nchunks - 1) * VC
+    grid = (B // tb, nchunks)
     pjp = pack_pj(pj_cm, layout)  # (12, 6*jp, B)
     weighted = omega is not None
     subset = not layout.full
@@ -707,13 +725,17 @@ def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
     _, J, B = pj_cm.shape
     F = feat_cols.shape[0]
     v_pad = weights_pad.shape[0]
-    tb = pick_batch_tile(B)
-    assert tb is not None and v_pad % VC == 0
-    nchunks = v_pad // VC
-    grid = (B // tb, nchunks)
     if layout is None:
         layout = default_layout(weights_pad, VC)
     jp, jr = layout.jp, layout.jr
+    tb = _shrink_tb(
+        pick_batch_tile(B),
+        lambda t: (12 * BLEND_TERMS * jp + F + 3 * VC) * t
+        + VC * (BLEND_TERMS * jr + 4 * F),
+    )
+    assert tb is not None and v_pad % VC == 0
+    nchunks = v_pad // VC
+    grid = (B // tb, nchunks)
     pjp = pack_pj(pj_cm, layout)
     subset = not layout.full
 
@@ -962,11 +984,16 @@ def _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad, g, interpret,
     _, J, B = pj_cm.shape
     F = feat_cols.shape[0]
     v_pad = weights_pad.shape[0]
-    tb = pick_batch_tile(B)
-    nchunks = v_pad // VC
-    grid = (B // tb, nchunks)
     if layout is None:
         layout = default_layout(weights_pad, VC)
+    tb = _shrink_tb(
+        pick_batch_tile(B),
+        lambda t: (
+            6 * VC + 12 * BLEND_TERMS * layout.jp + 2 * F + 12 * J
+        ) * t + VC * (BLEND_TERMS * layout.jr + J + 4 * F),
+    )
+    nchunks = v_pad // VC
+    grid = (B // tb, nchunks)
     pjp = pack_pj(pj_cm, layout)
     subset = not layout.full
 
@@ -1088,11 +1115,16 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     J = weights_pad.shape[1]
     E = sd_cm.shape[2]
     F = feat_cols.shape[0]
-    tb = pick_batch_tile(B)
-    nchunks = v_pad // VC
-    grid = (B // tb, nchunks)
     if layout is None:
         layout = default_layout(weights_pad, VC)
+    tb = _shrink_tb(
+        pick_batch_tile(B),
+        lambda t: (
+            9 * VC + 12 * BLEND_TERMS * layout.jp + 2 * F + E + 3 * J + 12 * J
+        ) * t + VC * (BLEND_TERMS * layout.jr + J + 4 * F + 3 * E),
+    )
+    nchunks = v_pad // VC
+    grid = (B // tb, nchunks)
     pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
     subset = not layout.full
@@ -1283,14 +1315,18 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     v_pad = weights_pad.shape[0]
     J = pm.shape[0]
     F = feat_cols.shape[0]
-    tb = pick_batch_tile(B)
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    jp_l, jr = layout.jp, layout.jr
+    tb = _shrink_tb(
+        pick_batch_tile(B),
+        lambda t: (3 * VC + 12 * BLEND_TERMS * jp_l + F + 15 * J) * t
+        + VC * (BLEND_TERMS * jr + 4 * F + J),
+    )
     nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0
     assert nchunks * VC >= v_t > (nchunks - 1) * VC
     grid = (B // tb, nchunks)
-    if layout is None:
-        layout = default_layout(weights_pad, VC)
-    jp_l, jr = layout.jp, layout.jr
     pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
     subset = not layout.full
@@ -1372,12 +1408,18 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
     J = pm.shape[0]
+    Jw = weights_pad.shape[1]
     F = feat_cols.shape[0]
-    tb = pick_batch_tile(B)
-    nchunks = v_pad // VC
-    grid = (B // tb, nchunks)
     if layout is None:
         layout = default_layout(weights_pad, VC)
+    tb = _shrink_tb(
+        pick_batch_tile(B),
+        lambda t: (
+            6 * VC + 12 * BLEND_TERMS * layout.jp + 2 * F + 15 * J + 12 * Jw
+        ) * t + VC * (BLEND_TERMS * layout.jr + Jw + 4 * F + J),
+    )
+    nchunks = v_pad // VC
+    grid = (B // tb, nchunks)
     pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
     subset = not layout.full
@@ -2262,11 +2304,15 @@ def _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
     v_pad = sd_cm.shape[1]
     J = pm.shape[0]
     E = x_cols.shape[0]
-    tb = pick_batch_tile(B)
+    jp_l, jr = layout.jp, layout.jr
+    tb = _shrink_tb(
+        pick_batch_tile(B),
+        lambda t: (6 * VC + 12 * BLEND_TERMS * jp_l + E + 15 * J) * t
+        + VC * (BLEND_TERMS * jr + 3 * E + J),
+    )
     nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0
     grid = (B // tb, nchunks)
-    jp_l, jr = layout.jp, layout.jr
     pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
     subset = not layout.full
@@ -2371,10 +2417,15 @@ def _recon_cached_bwd(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
     J = pm.shape[0]
     Jw = weights_pad.shape[1]
     E = x_cols.shape[0]
-    tb = pick_batch_tile(B)
+    jp_l, jr = layout.jp, layout.jr
+    tb = _shrink_tb(
+        pick_batch_tile(B),
+        lambda t: (
+            12 * VC + 12 * BLEND_TERMS * jp_l + 2 * E + 15 * J + 12 * Jw
+        ) * t + VC * (BLEND_TERMS * jr + Jw + 3 * E + J),
+    )
     nchunks = v_pad // VC
     grid = (B // tb, nchunks)
-    jp_l, jr = layout.jp, layout.jr
     pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
     subset = not layout.full
