@@ -40,15 +40,26 @@ def timed(name, fn, inputs):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--batch', type=int, default=4096)
+    p.add_argument('--model', default='smpl')
     args = p.parse_args()
     B = args.batch
+
+    import os
 
     import smplfitter_tpu
     from smplfitter_tpu.ops import lbs_kernels
     from smplfitter_tpu.utils import synthetic
 
     models_dir = synthetic.ensure_cached_models()
-    bm = smplfitter_tpu.BodyModel('smpl', 'neutral', model_root=models_dir + '/smpl')
+    model_root = os.path.join(models_dir, args.model)
+    if not os.path.isdir(model_root):
+        # Real tensor shapes for the non-default families (cf. run_benchmark).
+        real_v = dict(mano=778, smplx=10475, smplh16=6890)[args.model]
+        n_betas = dict(mano=10, smplx=16, smplh16=16)[args.model]
+        synthetic.write_model_files(
+            models_dir, args.model, num_vertices=real_v, num_betas=n_betas
+        )
+    bm = smplfitter_tpu.BodyModel(args.model, 'neutral', model_root=model_root)
     fitter = smplfitter_tpu.BodyFitter(bm)
     gram = fitter.gram
     plan = fitter.plan

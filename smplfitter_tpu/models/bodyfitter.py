@@ -116,7 +116,8 @@ class FitterPlan:
 
 def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = None,
                dtype=jnp.float32, host=None,
-               vertex_weights: Optional[np.ndarray] = None) -> FitterPlan:
+               vertex_weights: Optional[np.ndarray] = None,
+               sort_vertices: bool = False) -> FitterPlan:
     """Host-side (NumPy) construction of the static fit plan. ``host`` is an
     optional host-resident ModelData to avoid device->host transfers.
     ``vertex_weights`` (V,) bakes static fit weights into the per-part
@@ -178,7 +179,8 @@ def build_plan(bm: BodyModelData, enable_kid: bool, num_betas: Optional[int] = N
     # matching every other per-vertex kernel operand.
     from ..ops import chunk_layout as _cl
 
-    cl_main = _cl.build_chunk_layout(weights, bm.kintree_parents, lbs_kernels.VC)
+    cl_main = _cl.build_chunk_layout(weights, bm.kintree_parents, lbs_kernels.VC,
+                                     sort_vertices=sort_vertices)
     vperm = np.arange(V) if cl_main.degenerate else cl_main.vperm
     v_pad = -(-V // lbs_kernels.VC) * lbs_kernels.VC
     pm_t_pad = np.zeros((J, v_pad), dtype=np.float32)
@@ -1223,7 +1225,8 @@ class BodyFitter:
 
     def __init__(self, body_model: BodyModel, enable_kid: bool = False,
                  num_betas: Optional[int] = None,
-                 vertex_weights=None, joint_weights=None):
+                 vertex_weights=None, joint_weights=None,
+                 sort_vertices: bool = False):
         """``vertex_weights`` (V,) / ``joint_weights`` (J,) are optional STATIC
         fit weights, baked into the fitter's precomputed moments at
         construction. Semantically identical to passing the same (broadcast)
@@ -1232,6 +1235,14 @@ class BodyFitter:
         solve). This is the TPU-native form of the reference's per-call
         weighted fits for fixed weightings, e.g. the HandReplacer's
         down-weighted hands (/root/reference/src/smplfitter/pt/handreplacer.py:39-40).
+
+        ``sort_vertices=True`` additionally sorts the kernel operands by each
+        vertex's dominant-joint DFS position (ops/chunk_layout.py), which makes
+        the per-chunk joint-subset kernels activate even for models whose
+        canonical vertex order is scattered. The sort costs one extra gather
+        on target ingestion (~1.7 ms/fit at SMPL b4096); it pays off when the
+        saved blend K-tiles outweigh that (large-J models — measure). Outputs
+        are always returned in canonical vertex order.
         """
         from .shape_gram import build_gram_data
 
@@ -1256,7 +1267,8 @@ class BodyFitter:
                 f'static joint_weights must have shape ({body_model.num_joints},)'
             )
         self.plan = build_plan(body_model.data, enable_kid, num_betas, host=host,
-                               vertex_weights=self.static_vw)
+                               vertex_weights=self.static_vw,
+                               sort_vertices=sort_vertices)
         self.n_betas = self.plan.n_betas
         gram_args = (
             np.asarray(src.weights),
@@ -1267,13 +1279,15 @@ class BodyFitter:
             np.asarray(src.posedirs),
         )
         parents = tuple(int(x) for x in body_model.data.kintree_parents)
-        self.gram = build_gram_data(*gram_args, kintree_parents=parents)
+        self.gram = build_gram_data(*gram_args, kintree_parents=parents,
+                                    sort_vertices=sort_vertices)
         assert self.gram.vperm == self.plan.vperm, 'layout mismatch plan/gram'
         if self.static_vw is None:
             self.gram_w = None
         else:
             gw = build_gram_data(*gram_args, vertex_weights=self.static_vw,
-                                 kintree_parents=parents)
+                                 kintree_parents=parents,
+                                 sort_vertices=sort_vertices)
             # The big per-vertex operands are identical in the weighted gram —
             # share the unweighted device buffers instead of duplicating HBM.
             self.gram_w = gw.replace(

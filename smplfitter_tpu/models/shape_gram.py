@@ -92,7 +92,8 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
                     v_template: np.ndarray, posedirs: np.ndarray,
                     vertex_weights: Optional[np.ndarray] = None,
                     dtype=jnp.float32,
-                    kintree_parents=None) -> GramData:
+                    kintree_parents=None,
+                    sort_vertices: bool = False) -> GramData:
     """Host-side (f64) moment precompute. ``weights`` (V, J), ``shapedirs``
     (V, 3, S); kid column appended when ``kid_shapedir`` is given.
     ``vertex_weights`` (V,) bakes static per-vertex fit weights into the
@@ -135,8 +136,10 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
     n_pose = posedirs4.shape[2]
 
     if kintree_parents is not None:
-        cl_main = _cl.build_chunk_layout(w, kintree_parents, vc)
-        cl_w = _cl.build_chunk_layout(w, kintree_parents, lbs_kernels.VC_W)
+        cl_main = _cl.build_chunk_layout(w, kintree_parents, vc,
+                                         sort_vertices=sort_vertices)
+        cl_w = _cl.build_chunk_layout(w, kintree_parents, lbs_kernels.VC_W,
+                                      sort_vertices=sort_vertices)
     else:
         cl_main = _cl.identity_layout(V, J, vc)
         cl_w = _cl.identity_layout(V, J, lbs_kernels.VC_W)

@@ -161,6 +161,80 @@ class TestChunkLayout:
                                        rtol=1e-3, atol=3e-4 * s)
 
 
+class TestSortVerticesEndToEnd:
+    """BodyFitter(sort_vertices=True) — the fully-permuted kernel operands +
+    target-ingestion gather + output un-permute — must match the default
+    fitter on every entry point (interpret-mode kernels; the synthetic
+    models' scattered vertex order makes the sorted layout non-degenerate,
+    so this exercises the real vperm machinery end-to-end)."""
+
+    @pytest.fixture(scope='class')
+    def fitters(self, smpl_model):
+        import smplfitter_tpu
+
+        f0 = smplfitter_tpu.BodyFitter(smpl_model)
+        f1 = smplfitter_tpu.BodyFitter(smpl_model, sort_vertices=True)
+        assert f1.plan.vperm is not None, (
+            'synthetic model should yield a non-degenerate sorted layout'
+        )
+        assert f1.gram.blend_layout is not None
+        assert f1.gram.blend_layout.jr < smpl_model.num_joints
+        return f0, f1
+
+    def _targets(self, smpl_model, seed=21, batch=16):
+        from tests.conftest import random_params
+
+        pose, betas, trans = random_params(batch, seed=seed, pose_std=0.2)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        return pose, betas, res
+
+    def test_fit_matches_default(self, smpl_model, fitters):
+        from smplfitter_tpu.ops import lbs_kernels
+
+        f0, f1 = fitters
+        _, _, res = self._targets(smpl_model)
+        kw = dict(
+            num_iter=2, beta_regularizer=1.0, final_adjust_rots=True,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans', 'vertices'),
+        )
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            o0 = f0.fit(res['vertices'], res['joints'], **kw)
+            o1 = f1.fit(res['vertices'], res['joints'], **kw)
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        for k in kw['requested_keys']:
+            a, b = np.asarray(o0[k]), np.asarray(o1[k])
+            s = max(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(b, a, atol=2e-3 * s, err_msg=k)
+
+    def test_known_pose_and_shape_match_default(self, smpl_model, fitters):
+        from smplfitter_tpu.ops import lbs_kernels
+
+        f0, f1 = fitters
+        pose, betas, res = self._targets(smpl_model, seed=22)
+        lbs_kernels.FORCE_INTERPRET = True
+        try:
+            kp0 = f0.fit_with_known_pose(
+                pose, res['vertices'], res['joints'], beta_regularizer=0.5)
+            kp1 = f1.fit_with_known_pose(
+                pose, res['vertices'], res['joints'], beta_regularizer=0.5)
+            ks0 = f0.fit_with_known_shape(
+                betas, res['vertices'], res['joints'], num_iter=2,
+                requested_keys=('pose_rotvecs', 'trans'))
+            ks1 = f1.fit_with_known_shape(
+                betas, res['vertices'], res['joints'], num_iter=2,
+                requested_keys=('pose_rotvecs', 'trans'))
+        finally:
+            lbs_kernels.FORCE_INTERPRET = False
+        for k in ('shape_betas', 'trans'):
+            np.testing.assert_allclose(
+                np.asarray(kp1[k]), np.asarray(kp0[k]), atol=1e-3, err_msg=k)
+        for k in ('pose_rotvecs', 'trans'):
+            np.testing.assert_allclose(
+                np.asarray(ks1[k]), np.asarray(ks0[k]), atol=2e-3, err_msg=k)
+
+
 class TestHomogCache:
     """rhs_moments_h + recon_part_sums_cached_lm == the uncached kernels."""
 
