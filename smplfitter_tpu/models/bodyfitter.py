@@ -1488,6 +1488,52 @@ class BodyFitter:
         # Per-call vertex weights ride it too: runtime ω part sums and the
         # weighted-Gramian kernel (lbs_kernels.wgram_moments).
         B = target_vertices.shape[0]
+        # Large-F models: runtime-weighted kernel programs only compile up to
+        # a batch limit in this environment (see lbs_kernels.wgram_batch_limit)
+        # — map the per-instance-independent fit over batch chunks. share_beta
+        # couples instances through the summed Gramian, so it stays unchunked.
+        cb = lbs_kernels.wgram_batch_limit(self.gram.consts_pose.shape[2])
+        if (
+            cb is not None
+            and B > cb
+            and B % cb == 0
+            and not share_beta
+            and (vertex_weights is not None or joint_weights is not None)
+            and lbs_kernels.kernel_mode(B) is not None
+        ):
+            per_batch = dict(
+                target_vertices=target_vertices,
+                target_joints=target_joints,
+                vertex_weights=vertex_weights,
+                joint_weights=joint_weights,
+                initial_pose_rotvecs=initial_pose_rotvecs,
+                initial_shape_betas=initial_shape_betas,
+                initial_kid_factor=initial_kid_factor,
+                batch_mask=batch_mask,
+            )
+            xs = {
+                k: jnp.asarray(v).reshape((B // cb, cb) + jnp.shape(v)[1:])
+                for k, v in per_batch.items()
+                if v is not None
+            }
+
+            def _one_chunk(ch):
+                a = {**{k: None for k in per_batch}, **ch}
+                return self._fit(
+                    a['target_vertices'], a['target_joints'],
+                    a['vertex_weights'], a['joint_weights'],
+                    num_iter, beta_regularizer, beta_regularizer2,
+                    scale_regularizer, kid_regularizer, share_beta,
+                    final_adjust_rots, scale_target, scale_fit,
+                    a['initial_pose_rotvecs'], a['initial_shape_betas'],
+                    a['initial_kid_factor'], requested_keys,
+                    batch_mask=a['batch_mask'],
+                )
+
+            out = jax.lax.map(_one_chunk, xs)
+            return jax.tree.map(
+                lambda x: x.reshape((B,) + x.shape[2:]), out
+            )
         if lbs_kernels.kernel_mode(B) is not None:
             return self._fit_lm(
                 target_vertices, target_joints, vertex_weights, joint_weights,

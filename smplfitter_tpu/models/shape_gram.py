@@ -135,14 +135,15 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
     v_pad = -(-V // vc) * vc
     n_pose = posedirs4.shape[2]
 
+    vc_w = lbs_kernels.wgram_chunk(n_pose + 1)  # F seen by the wgram kernel
     if kintree_parents is not None:
         cl_main = _cl.build_chunk_layout(w, kintree_parents, vc,
                                          sort_vertices=sort_vertices)
-        cl_w = _cl.build_chunk_layout(w, kintree_parents, lbs_kernels.VC_W,
+        cl_w = _cl.build_chunk_layout(w, kintree_parents, vc_w,
                                       sort_vertices=sort_vertices)
     else:
         cl_main = _cl.identity_layout(V, J, vc)
-        cl_w = _cl.identity_layout(V, J, lbs_kernels.VC_W)
+        cl_w = _cl.identity_layout(V, J, vc_w)
     vperm = cl_main.vperm
 
     def make_layout(cl):

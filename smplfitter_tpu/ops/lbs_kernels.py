@@ -1949,6 +1949,28 @@ VC_W = 64  # wgram vertex chunk: the 3·E1 live Jacobian columns bound VMEM
 # sublane tiles, N=tb=128 full lanes — while halving the per-vertex budget).
 
 
+def wgram_chunk(n_feat: int) -> int:
+    """Wgram vertex chunk for a model with ``n_feat`` homogeneous features.
+
+    Large pose-feature models (SMPL-X F=487, SMPL+H F=460) overflow the
+    16 MB scoped-VMEM limit at 64 rows (measured: +340 KB at SMPL-X tb=32);
+    32 rows fit at every batch tile. Must agree between the layout built at
+    GramData construction (models/shape_gram.py) and the kernel launch."""
+    return 32 if n_feat > 320 else VC_W
+
+
+def wgram_batch_limit(n_feat: int) -> int | None:
+    """Largest single-call batch for the runtime-ω kernel path on a model
+    with ``n_feat`` homogeneous features (None = unlimited).
+
+    This environment's chipless remote AOT compiler crashes on the large-F
+    wgram program once the batch grid grows (SMPL-X at vc_w=32: b128
+    (grid 1×328) compiles, b4096 (grid 32×328) kills the compile helper).
+    Per-instance fits decompose exactly over the batch, so the fitter maps
+    runtime-weighted fits over chunks of this size (models/bodyfitter.py)."""
+    return 128 if n_feat > 320 else None
+
+
 def _wgram_kernel(nchunks, rem, E, scale_mode, subset, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
@@ -2091,32 +2113,33 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
     tb = pick_batch_tile(B)
     if tb == 256:
         tb = 128  # the (3E, 6J, tb) T4 operand bounds VMEM
+    vc_w = wgram_chunk(F)
     # Iterate only chunks that contain REAL vertices: v_pad is a multiple of
-    # the (larger) shared VC, so it may hold whole all-padding VC_W chunks at
+    # the (larger) shared VC, so it may hold whole all-padding vc_w chunks at
     # the tail — their rows are zero in the static operands and ω-masked
     # anyway, so they are simply skipped.
-    nchunks = -(-v_t // VC_W)
-    assert tb is not None and v_pad % VC_W == 0 and nchunks * VC_W <= v_pad
+    nchunks = -(-v_t // vc_w)
+    assert tb is not None and v_pad % vc_w == 0 and nchunks * vc_w <= v_pad
     assert omega_vm.shape == (v_t, B), (omega_vm.shape, v_t, B)
     assert (mu_s is not None) == bool(scale_mode)
     grid = (B // tb, nchunks)
     if layout is None:
-        layout = default_layout(weights_pad, VC_W)
+        layout = default_layout(weights_pad, vc_w)
     jp_l, jr = layout.jp, layout.jr
     subset = not layout.full
     pjp = pack_pj(pj_cm, layout)
     t4p = pack_pj(t4_cm, layout)
 
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
-        pl.BlockSpec((3, VC_W, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, vc_w, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC_W, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, VC_W, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, VC_W, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((vc_w, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, vc_w, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, vc_w, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * E, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC_W, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((vc_w, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
     ]
     operands = ([layout.starts] if subset else []) + [
         tgt_vm, pjp, feat_cols, layout.wtsp_sub, consts_pad, sd_cm, t4p,
@@ -2128,7 +2151,7 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
         operands.append(mu_s)
 
     return pl.pallas_call(
-        functools.partial(_wgram_kernel, nchunks, v_t % VC_W, E, scale_mode,
+        functools.partial(_wgram_kernel, nchunks, v_t % vc_w, E, scale_mode,
                           subset),
         grid=grid,
         in_specs=in_specs,
