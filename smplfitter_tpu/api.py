@@ -56,7 +56,11 @@ def hoist_constants(fn, *example_args):
         outs = jax.core.eval_jaxpr(jaxpr.jaxpr, consts, *flat)
         return jax.tree.unflatten(out_tree, outs)
 
-    return wrapped, list(jaxpr.consts)
+    # Commit the constants to the device ONCE: the tracer leaves many of them
+    # as host arrays, and passing those through jit re-uploads them on every
+    # call (measured: ~70 ms/call of hidden transfer on SMPL-X — the whole
+    # point of hoisting is to pass them by device reference).
+    return wrapped, jax.device_put(list(jaxpr.consts))
 
 
 @functools.lru_cache()
