@@ -365,10 +365,13 @@ def fit_shape_gram(
     # --- Gramian of the vertex block through the joint-pair moments ---
     # Fast path: ONE batch-tile Pallas kernel assembles every per-instance
     # quadratic form (term1, sym(Z^T T), (qT)^T T, joints block, SA, rhs
-    # moments) with batch in lanes — no (B, 3J, 3J) HBM intermediates. Gated
-    # on J*3 <= 96 so the in-kernel X (J3^2 rows) and Ksd fit VMEM; larger
-    # models (SMPL-X/SMPL+H) use the XLA assembly below.
-    use_gram_kernel = k_mode is not None and J * 3 <= 96
+    # moments) with batch in lanes — no (B, 3J, 3J) HBM intermediates. Large
+    # models stream Ksd through a second grid axis (lbs_kernels._gram_xblock),
+    # so the kernel covers every SMPL-family J; the XLA assembly below is the
+    # CPU/no-kernel fallback (on SMPL-X it materializes a 446 MB X
+    # intermediate at b4096 — measured ~30 ms of the 82 ms fit before the
+    # blocked kernel replaced it).
+    use_gram_kernel = k_mode is not None
     if use_gram_kernel:
         has_joints = target_joints is not None
         R_cm = jnp.transpose(glob_rotmats, (2, 1, 3, 0)).reshape(3, J * 3, batch)
@@ -776,59 +779,36 @@ def fit_shape_gram_lm(
         )
 
     T_cm = T4.reshape(3, E * J, batch)
-    if J * 3 <= 96:
-        R_cm = jnp.stack(
-            [
-                jnp.stack([glob_lm[a * 3 + c] for c in range(3)], axis=1).reshape(
-                    J * 3, batch
-                )
-                for a in range(3)
-            ],
-            axis=0,
-        )  # (3, 3J, B), rows (j, c)
-        if kernel_joints:
-            P_cm = P4.reshape(3, E * J, batch)
-            bJ_cm = tj_lm - p_j
-        else:
-            P_cm = jnp.zeros((3, 1, batch), dtype)
-            bJ_cm = jnp.zeros((3, 1, batch), dtype)
-        Gk, SAk, rbk, Sbk = lbs_kernels.gram_assembly(
-            R_cm, T_cm, yk, P_cm, bJ_cm, gram.Ksd, gram.Lz_e, gram.sd1_2d,
-            gram.q, gram.W1_col, has_joints=kernel_joints, interpret=interpret,
-        )
-        G = Gk.T.reshape(batch, E, E)
-        SA = SAk.T.reshape(batch, 3, E)
-        r = rk.T + rbk.T
-        Sb = Sbk.T
-        W = jnp.full(
-            (batch,), w_base + (J if kernel_joints else 0), dtype
-        )
+    # The gram kernel streams Ksd in xb-row blocks (lbs_kernels._gram_xblock),
+    # so it covers every SMPL-family J — the XLA gram_assembly_ref fallback
+    # (which materialized a (B, 3J, 3J) X intermediate, ~30 ms of SMPL-X's
+    # b4096 fit) is no longer dispatched from the lane-major path.
+    R_cm = jnp.stack(
+        [
+            jnp.stack([glob_lm[a * 3 + c] for c in range(3)], axis=1).reshape(
+                J * 3, batch
+            )
+            for a in range(3)
+        ],
+        axis=0,
+    )  # (3, 3J, B), rows (j, c)
+    if kernel_joints:
+        P_cm = P4.reshape(3, E * J, batch)
+        bJ_cm = tj_lm - p_j
     else:
-        # Large-J models: XLA gram assembly from the lm operands.
-        hi = _HI
-        G9, SA30, rb, Sb2 = lbs_kernels.gram_assembly_ref(
-            jnp.stack(
-                [
-                    jnp.stack([glob_lm[a * 3 + c] for c in range(3)], axis=1).reshape(
-                        J * 3, batch
-                    )
-                    for a in range(3)
-                ],
-                axis=0,
-            ),
-            T_cm, yk,
-            P4.reshape(3, E * J, batch) if kernel_joints else jnp.zeros((3, 1, batch), dtype),
-            (tj_lm - p_j) if kernel_joints else jnp.zeros((3, 1, batch), dtype),
-            gram.Ksd, gram.Lz_e, gram.sd1_2d, gram.q, gram.W1_col,
-            has_joints=kernel_joints,
-        )
-        G = G9.T.reshape(batch, E, E)
-        SA = SA30.T.reshape(batch, 3, E)
-        r = rk.T + rb.T
-        Sb = Sb2.T
-        W = jnp.full(
-            (batch,), w_base + (J if kernel_joints else 0), dtype
-        )
+        P_cm = jnp.zeros((3, 1, batch), dtype)
+        bJ_cm = jnp.zeros((3, 1, batch), dtype)
+    Gk, SAk, rbk, Sbk = lbs_kernels.gram_assembly(
+        R_cm, T_cm, yk, P_cm, bJ_cm, gram.Ksd, gram.Lz_e, gram.sd1_2d,
+        gram.q, gram.W1_col, has_joints=kernel_joints, interpret=interpret,
+    )
+    G = Gk.T.reshape(batch, E, E)
+    SA = SAk.T.reshape(batch, 3, E)
+    r = rk.T + rbk.T
+    Sb = Sbk.T
+    W = jnp.full(
+        (batch,), w_base + (J if kernel_joints else 0), dtype
+    )
 
     if weighted_joints:
         # Static-jw joints block, assembled in XLA (small (3, E, J, B)

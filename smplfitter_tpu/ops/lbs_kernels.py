@@ -1788,6 +1788,32 @@ def _gram_kernel(has_joints, E, J, r_ref, t_ref, y_ref, p_ref, bj_ref,
     sb_ref[:] = jnp.concatenate(sb_rows, axis=0)  # (3, TB)
 
 
+def _term1_kernel(nxb, rblk_ref, r_ref, ksd_ref, g_ref):
+    """Blocked term1 = Ksd : X with X[(jc),(kd)] = Σ_a R_a[jc] R_a[kd].
+
+    For large models (SMPL-X J3=165) both the full in-kernel X buffer
+    (J3² rows) and the whole Ksd operand exceed scoped VMEM, and the full
+    fused gram kernel's unrolled E-loops overwhelm the Mosaic compiler —
+    so term1 streams Ksd in (xb·J3, E²) row slices over a second grid axis
+    with this minimal body, and the remaining (small) Gramian pieces stay
+    in XLA (see :func:`_gram_mparts_ref`)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    J3 = r_ref.shape[1]
+    xb = rblk_ref.shape[1]
+    TB = r_ref.shape[2]
+    X = None
+    for a in range(3):
+        Xa = (rblk_ref[a][:, None, :] * r_ref[a][None, :, :]).reshape(
+            xb * J3, TB)
+        X = Xa if X is None else X + Xa
+    g_ref[:] += _dot3(ksd_ref[:], X, _C0_0)  # (E*E, TB)
+
+
 def _gram_tile(B: int) -> int:
     """Gram-assembly batch tile: capped at 128 (the in-kernel X buffer is
     (J3², tb)); small batches use the whole-dim block (Mosaic accepts a lane
@@ -1799,6 +1825,80 @@ def _gram_tile(B: int) -> int:
     raise ValueError(f'batch {B} is not kernel-eligible (pick_batch_tile)')
 
 
+def _gram_xblock(J3: int, E: int) -> int | None:
+    """X-row block for the streamed term1 kernel, or None when the whole
+    Ksd fits the single-pass fused kernel (≤ ~2.75 MB — SMPL's 2.51 MB
+    whole-Ksd layout stays as is). When streaming, the largest sublane-legal
+    (multiple-of-8) divisor of the 8-padded row count J3p whose Ksd slice
+    (xb·J3, E²) stays within ~1.5 MB: SMPL-X (J3=165 → J3p=168, E=16)
+    streams at xb=8 (21 steps)."""
+    if J3 * J3 * E * E * 4 <= 2.75 * 2 ** 20:
+        return None
+    J3p = -(-J3 // 8) * 8
+    budget = int(1.5 * 2 ** 20 / (J3 * E * E * 4))
+    best = 8
+    for xb in range(8, J3p, 8):
+        if J3p % xb == 0 and xb <= budget:
+            best = xb
+    return best
+
+
+def _term1_blocked(R_cm, ksd, E: int, tb: int, xb: int, interpret: bool):
+    """(E*E, B) term1 via the streamed-Ksd kernel (see _term1_kernel)."""
+    _, J3, B = R_cm.shape
+    J3p = -(-J3 // 8) * 8
+    nxb = J3p // xb
+    if J3p != J3:
+        # Zero rows at r >= J3 keep both the X blocks and the streamed Ksd
+        # slices exact (cheap: an 8 MB / 28 MB append at SMPL-X shapes).
+        R_blk = jnp.pad(R_cm, ((0, 0), (0, J3p - J3), (0, 0)))
+        ksd = jnp.pad(ksd, ((0, (J3p - J3) * J3), (0, 0)))
+    else:
+        R_blk = R_cm
+    return pl.pallas_call(
+        functools.partial(_term1_kernel, nxb),
+        grid=(B // tb, nxb),
+        in_specs=[
+            pl.BlockSpec((3, xb, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J3, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((xb * J3, E * E), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((E * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E * E, B), jnp.float32),
+        interpret=interpret,
+    )(R_blk, R_cm, ksd)
+
+
+def _gram_mparts_ref(R_cm, T_cm, y_cm, P_cm, bJ_cm, lz, sd1_2d, q, w1,
+                     has_joints: bool):
+    """XLA statement of every Gramian piece EXCEPT term1 (the X:Ksd part).
+
+    These all live in (B, ~E·J) tensors — cheap at any J. Only term1's
+    (B, 3J, 3J) X intermediate is pathological at large J (446 MB at
+    SMPL-X b4096), which the streamed kernel replaces."""
+    _, J3, B = R_cm.shape
+    E = sd1_2d.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    T3 = T_cm.reshape(3, E, -1, B)
+    Z3 = jnp.einsum('jx,ajb->axb', lz, R_cm, precision=hi).reshape(3, E, -1, B)
+    M1 = jnp.einsum('aejb,afjb->efb', Z3, T3, precision=hi)
+    Q3 = jnp.einsum('jk,aekb->aejb', q, T3, precision=hi)
+    M2 = jnp.einsum('aejb,afjb->efb', Q3, T3, precision=hi)
+    G = (M1 + jnp.swapaxes(M1, 0, 1) + M2).reshape(E * E, B)
+    SA = jnp.einsum('je,ajb->aeb', sd1_2d, R_cm, precision=hi) + jnp.einsum(
+        'j,aejb->aeb', w1[:, 0], T3, precision=hi
+    )
+    rb = jnp.einsum('aejb,ajb->eb', T3, y_cm, precision=hi)
+    Sb = jnp.sum(y_cm, axis=1)  # (3, B)
+    if has_joints:
+        P3 = P_cm.reshape(3, E, -1, B)
+        G = G + jnp.einsum('aejb,afjb->efb', P3, P3, precision=hi).reshape(E * E, B)
+        SA = SA + jnp.sum(P3, axis=2)
+        rb = rb + jnp.einsum('aejb,ajb->eb', P3, bJ_cm, precision=hi)
+        Sb = Sb + jnp.sum(bJ_cm, axis=1)
+    return G, SA.reshape(3 * E, B), rb, Sb
+
+
 def _gram_assembly_impl(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
                         has_joints: bool, interpret: bool):
     _, J3, B = R_cm.shape
@@ -1807,6 +1907,16 @@ def _gram_assembly_impl(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
     EJ = T_cm.shape[1]
     PJ = P_cm.shape[1]
     tb = _gram_tile(B)
+    xb = _gram_xblock(J3, E)
+    if xb is not None:
+        # Large-J hybrid: streamed term1 kernel + XLA M-parts. The fused
+        # kernel below cannot hold X/Ksd in VMEM at these shapes, and its
+        # unrolled E-loops overwhelm the Mosaic compiler.
+        G1 = _term1_blocked(R_cm, ksd, E, tb, xb, interpret)
+        G2, SA, rb, Sb = _gram_mparts_ref(
+            R_cm, T_cm, y_cm, P_cm, bJ_cm, lz, sd1_2d, q, w1, has_joints
+        )
+        return G1 + G2, SA, rb, Sb
     grid = (B // tb,)
 
     kern = functools.partial(_gram_kernel, has_joints, E, J)
