@@ -3,6 +3,7 @@ from .sharding import (
     batch_sharding,
     make_mesh,
     make_sharded_fit_fn,
+    padded_global_batch,
     replicated,
     shard_batch,
 )

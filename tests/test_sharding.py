@@ -162,6 +162,55 @@ class TestShardedFit:
             atol=5e-4,
         )
 
+    def test_pad_to_mesh_non_divisible_batch(self, smpl_model, mesh):
+        """Sharded batch ergonomics parity with single-chip fit: a global
+        batch of 100 on 8 devices pads to 128 (ceil(100/8)=13 -> 16 per
+        device) by last-instance replication with a zero batch_mask, which
+        keeps share_beta's summed Gramian exact; outputs come back sliced
+        to 100."""
+        from smplfitter_tpu import BodyFitter
+        from smplfitter_tpu.parallel import (
+            make_sharded_fit_fn,
+            padded_global_batch,
+        )
+
+        assert padded_global_batch(100, 8) == 128
+        # Tiny per-device shards pad up to the 8-wide kernel batch tile.
+        assert padded_global_batch(16, 8) == 64
+        assert padded_global_batch(128, 8) == 128
+        assert padded_global_batch(2100, 8) == 8 * 384
+
+        fitter = BodyFitter(smpl_model)
+        rng = np.random.default_rng(66)
+        B = 100
+        pose = rng.normal(0, 0.1, (B, 72)).astype(np.float32)
+        betas = np.broadcast_to(
+            rng.normal(0, 1, (1, 10)).astype(np.float32), (B, 10)
+        ).copy()
+        trans = rng.normal(0, 0.5, (B, 3)).astype(np.float32)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv, tj = np.asarray(res['vertices']), np.asarray(res['joints'])
+
+        kw = dict(num_iter=2, beta_regularizer=0.0, share_beta=True,
+                  requested_keys=('shape_betas', 'pose_rotvecs'))
+        out = make_sharded_fit_fn(fitter, mesh, **kw)(tv, tj)
+        assert out['shape_betas'].shape[0] == B
+        assert out['pose_rotvecs'].shape[0] == B
+
+        plain = fitter.fit(tv, tj, **kw)
+        # The padded lanes enter the shared sums with weight 0, so the shared
+        # betas must match the unsharded (unpadded) fit.
+        sharded_betas = np.asarray(out['shape_betas'])
+        assert np.all(np.std(sharded_betas, axis=0) < 1e-5)
+        np.testing.assert_allclose(
+            sharded_betas, np.asarray(plain['shape_betas']), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out['pose_rotvecs']),
+            np.asarray(plain['pose_rotvecs']),
+            atol=5e-4,
+        )
+
     def test_gspmd_method_matches(self, smpl_model, mesh):
         """The plain GSPMD jit variant (XLA-derived all-reduce) still works."""
         from smplfitter_tpu import BodyFitter
