@@ -68,7 +68,6 @@ def main():
     args = parser.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_compilation_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
@@ -80,52 +79,19 @@ def main():
     bm = smplfitter_tpu.BodyModel('smpl', 'neutral', model_root=models_dir + '/smpl')
     fitter = smplfitter_tpu.BodyFitter(bm)
 
-    def fit_loss(tv, tj):
-        # Scalar loss over everything the fit publishes on its main path:
-        # forces the full backward graph through rotations + shape solve +
-        # final adjustment.
-        res = fitter.fit(
-            tv, tj, num_iter=args.num_iter, beta_regularizer=1.0,
-            final_adjust_rots=args.final_adjust,
-            use_kernels=not args.xla,
-            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
-        )
-        return (
-            jnp.sum(res['shape_betas'] ** 2)
-            + jnp.sum(res['trans'] ** 2)
-            + jnp.sum(res['pose_rotvecs'] ** 2)
-        )
-
-    if args.chunk:
-        def loss(tv, tj):
-            # Per-instance fits are independent: the summed loss (and so its
-            # grad) decomposes exactly over batch chunks. The scan body is
-            # one chunk-sized fit; its backward is the scan of the chunk's
-            # backward — compile cost stays at the chunk size.
-            n = tv.shape[0] // args.chunk
-            tvc = tv.reshape(n, args.chunk, *tv.shape[1:])
-            tjc = tj.reshape(n, args.chunk, *tj.shape[1:])
-
-            def body(acc, xs):
-                return acc + fit_loss(*xs), None
-
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), (tvc, tjc))
-            return acc
-    else:
-        loss = fit_loss
+    # The canonical production recipe (hoisted constants + lax.scan batch
+    # chunking + per-shape caching) lives in smplfitter_tpu.get_fit_grad_fn;
+    # this harness only measures it.
+    vg = smplfitter_tpu.get_fit_grad_fn(
+        fitter, chunk=args.chunk or None, num_iter=args.num_iter,
+        beta_regularizer=1.0, final_adjust_rots=args.final_adjust,
+        use_kernels=not args.xla,
+    )
 
     rng = np.random.default_rng(0)
     fwd = jax.jit(lambda p, b, t: bm(pose_rotvecs=p, shape_betas=b, trans=t))
 
     for B in [int(x) for x in args.batches.split(',')]:
-        # Hoist the ~50 MB of model constants into jit parameters: inlined
-        # MLIR constants OOM AOT compilers on the grad program (see
-        # smplfitter_tpu.api.hoist_constants). One hoist per batch size.
-        ex_v = jnp.zeros((B, bm.num_vertices, 3), jnp.float32)
-        ex_j = jnp.zeros((B, bm.num_joints, 3), jnp.float32)
-        loss_h, consts = smplfitter_tpu.hoist_constants(loss, ex_v, ex_j)
-        vg_h = jax.jit(jax.value_and_grad(loss_h, argnums=(1, 2)))
-        vg = lambda tv, tj: vg_h(consts, tv, tj)
         targets = []
         for _ in range(args.reps):
             pose = rng.normal(0, 0.3, (B, 72)).astype(np.float32)

@@ -19,7 +19,12 @@ from .models.bodyflipper import BodyFlipper
 from .models.bodyfitter_opt import BodyFitterOpt
 from .models.bodyflipper_opt import BodyFlipperOpt
 from .models.handreplacer import HandReplacer
-from .api import get_cached_body_model, get_cached_fit_fn, hoist_constants
+from .api import (
+    get_cached_body_model,
+    get_cached_fit_fn,
+    get_fit_grad_fn,
+    hoist_constants,
+)
 from .ops.precision import set_matmul_precision, get_matmul_precision
 
 __all__ = [
@@ -32,6 +37,7 @@ __all__ = [
     'HandReplacer',
     'get_cached_body_model',
     'get_cached_fit_fn',
+    'get_fit_grad_fn',
     'hoist_constants',
     'set_matmul_precision',
     'get_matmul_precision',

@@ -63,6 +63,85 @@ def hoist_constants(fn, *example_args):
     return wrapped, jax.device_put(list(jaxpr.consts))
 
 
+def get_fit_grad_fn(
+    fitter: 'BodyFitter',
+    chunk: Optional[int] = 128,
+    num_iter: int = 3,
+    beta_regularizer: float = 1.0,
+    final_adjust_rots: bool = True,
+    use_kernels: bool = True,
+    loss_fn=None,
+):
+    """The production recipe for differentiating THROUGH the fit.
+
+    Returns ``vg(target_vertices, target_joints) -> (value, (g_tv, g_tj))``,
+    the jitted value-and-grad of a scalar loss of the fit results (default:
+    the summed squares of pose/betas/trans — pass ``loss_fn(result_dict)``
+    for your own). Mirrors the differentiability contract of
+    /root/reference/tests/pt/test_fitter_grad.py:1-60 at production batch
+    sizes. Three ingredients make this compile and run fast (see
+    docs/howto.md "Differentiate through the fit"):
+
+    - :func:`hoist_constants`: model constants become jit parameters instead
+      of inlined MLIR constants (99 MB -> 4 MB of MLIR at b32), and the fit
+      records WITHOUT a JVP tracer so the fused-kernel path (custom-VJP
+      backward kernels) is what gets differentiated;
+    - ``chunk``: fits are per-instance independent, so the summed loss (and
+      its grad) decomposes exactly over batch chunks — the compiled program
+      is ONE ``lax.scan``'d chunk-sized forward+backward, not the monolithic
+      batch (which exceeds AOT compiler budgets at b4096). Applied when the
+      batch is a larger multiple of ``chunk``; pass None to disable.
+    - per-shape caching: one hoist + jit per input shape, reused across calls.
+
+    Not for ``share_beta`` losses (chunking would break the cross-instance
+    coupling) — pass ``chunk=None`` and a small batch for those.
+    """
+    import numpy as np  # noqa: F401  (kept symmetrical with module style)
+
+    def fit_loss(tv, tj):
+        res = fitter.fit(
+            tv, tj, num_iter=num_iter, beta_regularizer=beta_regularizer,
+            final_adjust_rots=final_adjust_rots, use_kernels=use_kernels,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+        )
+        if loss_fn is not None:
+            return loss_fn(res)
+        return (
+            jnp.sum(res['shape_betas'] ** 2)
+            + jnp.sum(res['trans'] ** 2)
+            + jnp.sum(res['pose_rotvecs'] ** 2)
+        )
+
+    def loss(tv, tj):
+        B = tv.shape[0]
+        if chunk and B > chunk and B % chunk == 0:
+            n = B // chunk
+            tvc = tv.reshape(n, chunk, *tv.shape[1:])
+            tjc = tj.reshape(n, chunk, *tj.shape[1:])
+
+            def body(acc, xs):
+                return acc + fit_loss(*xs), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), (tvc, tjc))
+            return acc
+        return fit_loss(tv, tj)
+
+    cache: dict = {}
+
+    def vg(tv, tj):
+        tv = jnp.asarray(tv)
+        tj = jnp.asarray(tj)
+        key = (tv.shape, tj.shape)
+        if key not in cache:
+            loss_h, consts = hoist_constants(loss, tv, tj)
+            vg_h = jax.jit(jax.value_and_grad(loss_h, argnums=(1, 2)))
+            cache[key] = (vg_h, consts)
+        vg_h, consts = cache[key]
+        return vg_h(consts, tv, tj)
+
+    return vg
+
+
 @functools.lru_cache()
 def get_cached_body_model(
     model_name: str = 'smpl', gender: str = 'neutral', model_root: Optional[str] = None

@@ -31,6 +31,8 @@ def warm(
     with_joints: bool = True,
     cache_dir: str = DEFAULT_CACHE_DIR,
     synthetic_fallback: bool = False,
+    grad_chunk: int = 0,
+    check_parity: bool = False,
 ) -> None:
     import jax
 
@@ -73,6 +75,32 @@ def warm(
             jax.block_until_ready(fit_nj(res['vertices']))
         print(f'  batch {batch}: compiled in {time.perf_counter() - t0:.1f}s')
 
+    if grad_chunk:
+        # Warm the grad-of-fit executable into the persistent cache: the
+        # chunked value+grad program compiles in ~1.5-2 minutes cold (see
+        # docs/howto.md "Differentiate through the fit") — pay it once per
+        # cache directory, not once per production process.
+        from .api import get_fit_grad_fn
+
+        vg = get_fit_grad_fn(fitter, chunk=grad_chunk, num_iter=num_iter)
+        for batch in batch_sizes:
+            if batch < grad_chunk or batch % grad_chunk:
+                continue
+            pose = rng.normal(0, 0.2, (batch, bm.num_joints * 3)).astype(np.float32)
+            betas = rng.normal(0, 1, (batch, num_betas)).astype(np.float32)
+            res = jax.block_until_ready(fwd(pose, betas))
+            t0 = time.perf_counter()
+            jax.block_until_ready(vg(res['vertices'], res['joints']))
+            print(f'  grad batch {batch} (chunk {grad_chunk}): compiled in '
+                  f'{time.perf_counter() - t0:.1f}s')
+
+    if check_parity:
+        rep = fitter.check_kernel_parity(num_iter=num_iter)
+        print(f'  kernel parity: ok={rep["ok"]} '
+              f'max|dbetas|={rep["max_dbetas"]:.2e} '
+              f'v2v kernel={rep["v2v_kernel_mm"]:.4f}mm '
+              f'xla={rep["v2v_xla_mm"]:.4f}mm')
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__.split('\n')[0])
@@ -86,6 +114,16 @@ def main(argv=None) -> int:
     parser.add_argument('--synthetic', action='store_true',
                         help='use synthetic model files (benchmarking without '
                              'licensed data)')
+    parser.add_argument('--grad', type=int, nargs='?', const=128, default=0,
+                        metavar='CHUNK',
+                        help='also warm the chunked grad-of-fit executable '
+                             '(lax.scan batch chunk size; default 128 — the '
+                             'documented production sweet spot)')
+    parser.add_argument('--check-parity', action='store_true',
+                        help='run BodyFitter.check_kernel_parity() after '
+                             'warming: one batch, fused-kernel path vs the '
+                             'pure-XLA formulation (guards the 5-term blend '
+                             'packing on YOUR model; exits nonzero on failure)')
     args = parser.parse_args(argv)
     warm(
         args.model,
@@ -96,6 +134,8 @@ def main(argv=None) -> int:
         args.num_betas,
         cache_dir=args.cache_dir,
         synthetic_fallback=args.synthetic,
+        grad_chunk=args.grad,
+        check_parity=args.check_parity,
     )
     return 0
 

@@ -80,7 +80,8 @@ def train_post_lbs_regressor(
     optimizer = optax.adam(lr)
 
     @jax.jit
-    def train_phase(params, key, mask, steps_arr):
+    def train_phase(params, mask, steps_arr):
+        # Per-step PRNG keys arrive via ``steps_arr`` (scanned).
         opt_state = optimizer.init(params)
 
         def step(carry, k):
@@ -92,15 +93,14 @@ def train_post_lbs_regressor(
         (params, _), _ = jax.lax.scan(step, (params, opt_state), steps_arr)
         return params
 
-    key = jax.random.PRNGKey(seed)
-    keys1 = jax.random.split(key, num_steps)
-    params = train_phase(params0, key, jnp.ones((J, n_sub), dtype), keys1)
+    keys1 = jax.random.split(jax.random.PRNGKey(seed), num_steps)
+    params = train_phase(params0, jnp.ones((J, n_sub), dtype), keys1)
 
     # Threshold and fine-tune under a fixed sparsity mask.
     w = np.asarray(regressor(params))
     mask = jnp.asarray((w > keep_threshold).astype(np.float32))
     keys2 = jax.random.split(jax.random.PRNGKey(seed + 1), finetune_steps)
-    params = train_phase(params, key, mask, keys2)
+    params = train_phase(params, mask, keys2)
 
     return np.asarray(regressor(params, mask))
 

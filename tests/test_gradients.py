@@ -252,3 +252,47 @@ class TestHoistConstants:
             float(np.sum(np.asarray(smpl_model.data.v_template))),
             rtol=1e-5,
         )
+
+
+class TestGetFitGradFn:
+    """smplfitter_tpu.get_fit_grad_fn: the packaged production grad recipe
+    (hoisted constants + lax.scan batch chunking + per-shape caching)."""
+
+    def test_chunked_matches_monolithic(self, smpl_model):
+        import smplfitter_tpu
+
+        fitter = smplfitter_tpu.BodyFitter(smpl_model)
+        pose, betas, trans = random_params(8, seed=104, pose_std=0.1)
+        res = smpl_model(pose_rotvecs=pose, shape_betas=betas, trans=trans)
+        tv, tj = jnp.asarray(res['vertices']), jnp.asarray(res['joints'])
+
+        kw = dict(num_iter=2, final_adjust_rots=False)
+        vg_mono = smplfitter_tpu.get_fit_grad_fn(fitter, chunk=None, **kw)
+        vg_chunk = smplfitter_tpu.get_fit_grad_fn(fitter, chunk=4, **kw)
+        v_m, (g_tv_m, g_tj_m) = vg_mono(tv, tj)
+        v_c, (g_tv_c, g_tj_c) = vg_chunk(tv, tj)
+
+        g = np.asarray(g_tv_c)
+        assert np.isfinite(g).all() and np.abs(g).max() > 0
+        # Fits are per-instance independent: the chunked summed loss and its
+        # grad must equal the monolithic ones (up to f32 reduction order).
+        np.testing.assert_allclose(float(v_c), float(v_m), rtol=1e-5)
+        # f32 reduction order differs between the scanned and monolithic
+        # programs; tolerances sized to that noise on O(1e-1) grads.
+        np.testing.assert_allclose(g, np.asarray(g_tv_m), rtol=2e-3, atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(g_tj_c), np.asarray(g_tj_m), rtol=2e-3, atol=5e-4
+        )
+
+
+class TestCheckKernelParity:
+    def test_self_check_passes(self, smpl_model):
+        """BodyFitter.check_kernel_parity: the library-level guard behind the
+        5-term blend packing (runs the kernels in interpret mode on CPU)."""
+        import smplfitter_tpu
+
+        fitter = smplfitter_tpu.BodyFitter(smpl_model)
+        rep = fitter.check_kernel_parity(batch=8, num_iter=2)
+        assert rep['ok']
+        assert rep['max_dbetas'] <= 1e-3
+        assert abs(rep['v2v_kernel_mm'] - rep['v2v_xla_mm']) <= 0.05
