@@ -2666,6 +2666,95 @@ class BodyFitter:
             result['scale_corr'] = scale_corr
         return result
 
+    def check_kernel_parity(
+        self,
+        batch: int = 32,
+        num_iter: int = 2,
+        seed: int = 0,
+        betas_atol: float = 1e-3,
+        v2v_atol_mm: float = 0.05,
+        raise_on_fail: bool = True,
+    ) -> dict:
+        """Cheap kernel-vs-XLA self-check on THIS fitter's model.
+
+        Generates one on-manifold synthetic batch from the fitter's own body
+        model, runs the same fit on the fused-kernel path and on the pure-XLA
+        formulation (``use_kernels=False`` — identical math, no Pallas), and
+        compares the fitted betas plus the reconstruction residual of each
+        result against the targets.
+
+        This is the library-level guard behind the 5-term blend packing's
+        parity promise (``ops/lbs_kernels.BLEND_TERMS``): bench.py's oracle
+        gate only ever runs on the benchmark models, while this check runs on
+        ANY model/configuration a user constructs — call it once after
+        building a fitter for a new model file, or via
+        ``python -m smplfitter_tpu.precompile --check-parity``. If a model
+        trips it, set ``lbs_kernels.BLEND_TERMS = 6`` (full f32 emulation)
+        and re-check.
+
+        On hosts where the fused kernels don't engage (CPU), the kernels run
+        in interpret mode so the check still exercises the kernel math.
+
+        Returns ``dict(ok, max_dbetas, v2v_kernel_mm, v2v_xla_mm)``; raises
+        ``AssertionError`` out of tolerance unless ``raise_on_fail=False``.
+        """
+        bm = self.body_model.data
+        rng = np.random.default_rng(seed)
+        pose = rng.normal(0, 0.3, (batch, bm.num_joints * 3)).astype(np.float32)
+        betas = rng.normal(0, 1, (batch, self.n_betas)).astype(np.float32)
+        trans = rng.normal(0, 0.5, (batch, 3)).astype(np.float32)
+
+        fwd = jax.jit(
+            lambda p, b, t: forward(bm, pose_rotvecs=p, shape_betas=b, trans=t)
+        )
+        res = jax.block_until_ready(fwd(pose, betas, trans))
+        tv, tj = res['vertices'], res['joints']
+
+        kw = dict(
+            num_iter=num_iter, beta_regularizer=1.0, final_adjust_rots=True,
+            requested_keys=('pose_rotvecs', 'shape_betas', 'trans'),
+        )
+        force_interp = lbs_kernels.kernel_mode(batch) is None
+        prev = lbs_kernels.FORCE_INTERPRET
+        if force_interp:
+            lbs_kernels.FORCE_INTERPRET = True
+        try:
+            fit_k = jax.jit(lambda v, j: self.fit(v, j, use_kernels=True, **kw))
+            ours_k = jax.block_until_ready(fit_k(tv, tj))
+        finally:
+            lbs_kernels.FORCE_INTERPRET = prev
+        fit_x = jax.jit(lambda v, j: self.fit(v, j, use_kernels=False, **kw))
+        ours_x = jax.block_until_ready(fit_x(tv, tj))
+
+        max_dbetas = float(
+            jnp.max(jnp.abs(ours_k['shape_betas'] - ours_x['shape_betas']))
+        )
+
+        def recon_v2v_mm(params):
+            re = jax.block_until_ready(
+                fwd(params['pose_rotvecs'], params['shape_betas'], params['trans'])
+            )
+            return float(
+                jnp.mean(jnp.linalg.norm(re['vertices'] - tv, axis=-1)) * 1e3
+            )
+
+        v2v_k = recon_v2v_mm(ours_k)
+        v2v_x = recon_v2v_mm(ours_x)
+        ok = max_dbetas <= betas_atol and abs(v2v_k - v2v_x) <= v2v_atol_mm
+        result = dict(
+            ok=ok, max_dbetas=max_dbetas, v2v_kernel_mm=v2v_k, v2v_xla_mm=v2v_x
+        )
+        if raise_on_fail and not ok:
+            raise AssertionError(
+                'kernel-path parity check failed: '
+                f'max|Δbetas|={max_dbetas:.2e} (atol {betas_atol}), '
+                f'v2v kernel={v2v_k:.4f}mm vs XLA={v2v_x:.4f}mm '
+                f'(atol {v2v_atol_mm}mm). Try lbs_kernels.BLEND_TERMS = 6 '
+                '(full f32 emulation) and re-check; please report the model '
+                'configuration.'
+            )
+        return result
+
     # -- helpers --------------------------------------------------------------
 
     def _add_rotation_formats(self, result, glob_rotmats, requested_keys) -> None:
@@ -2762,10 +2851,7 @@ def part_sums_lm(plan: FitterPlan, target_vm, reference_vm=None, reference_spec=
     (V, B) overrides it (per-call vertex weights), making s_w batch-varying."""
     om = plan.omega_pad if omega is None else omega
     if reference_spec is not None:
-        if (
-            reference_spec.get('homog_vm') is not None
-            and (om is None or not lbs_kernels._runtime_omega(om))
-        ):
+        if reference_spec.get('homog_vm') is not None:
             # Homog-cache fast path: the shape solve's rhs kernel already
             # computed the posed template for these rotations.
             raw, s_t, s_a = lbs_kernels.recon_part_sums_cached_lm(
@@ -2887,7 +2973,15 @@ def _fit_rotations_core_lm(plan: FitterPlan, raw, s_t, s_a, s_w, tj_lm, rj_lm,
 
 def fk_positions_ext_lm(bm: BodyModelData, plan: FitterPlan, glob_lm):
     """Lane-major level-batched FK of extended joint positions:
-    (3, 1+E, J, B)."""
+    (3, 1+E, J, B).
+
+    Parent positions are gathered PER SOURCE LEVEL: each level's parents all
+    live in already-computed level chunks, so one static `take` per (level,
+    source-level) pair pulls exactly the needed columns. The obvious
+    alternative — re-concatenating all finished levels every step — copies
+    the growing (3, 1+E, J_done, B) buffer once per level (~1 GB of
+    dynamic-update-slice traffic per call at SMPL-X b4096, measured as the
+    dominant XLA-glue term of the large-model fit)."""
     batch = glob_lm.shape[2]
     bone_lm = jnp.transpose(plan.bone_ext, (1, 2, 0))[:, :, :, None]  # (3, n_ext, J, 1)
     n_ext = bone_lm.shape[1]
@@ -2897,12 +2991,25 @@ def fk_positions_ext_lm(bm: BodyModelData, plan: FitterPlan, glob_lm):
     )
     chunks = [root]
     order = [0]
-    pos_by_joint = {0: 0}
+    chunk_pos = {0: (0, 0)}  # joint -> (chunk index, column within chunk)
     for level in tree_levels(bm.kintree_parents):
         js = np.array(level)
         ps = np.array([bm.kintree_parents[i] for i in level])
-        done = jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
-        parent_pos = np.array([pos_by_joint[int(p)] for p in ps])
+        srcs = [chunk_pos[int(p)] for p in ps]
+        src_chunks = sorted({c for c, _ in srcs})
+        gathered = []
+        gathered_order = []
+        for c in src_chunks:
+            cols = np.array([col for (cc, col) in srcs if cc == c])
+            gathered.append(jnp.take(chunks[c], jnp.asarray(cols), axis=2))
+            gathered_order.extend(i for i, (cc, _) in enumerate(srcs) if cc == c)
+        par = (
+            jnp.concatenate(gathered, axis=2)
+            if len(gathered) > 1 else gathered[0]
+        )
+        if gathered_order != list(range(len(srcs))):
+            inv = np.argsort(np.array(gathered_order))
+            par = jnp.take(par, jnp.asarray(inv), axis=2)
         rotated = jnp.stack(
             [
                 sum(
@@ -2913,11 +3020,12 @@ def fk_positions_ext_lm(bm: BodyModelData, plan: FitterPlan, glob_lm):
             ],
             axis=0,
         )  # (3, n_ext, n_lvl, B): parent rotation applied to the child bone
-        new = done[:, :, parent_pos] + rotated
+        new = par + rotated
+        ci = len(chunks)
         for k, jj in enumerate(level):
-            pos_by_joint[jj] = len(order) + k
+            chunk_pos[jj] = (ci, k)
         order.extend(level)
-        chunks = [done, new]
+        chunks.append(new)
     all_pos = jnp.concatenate(chunks, axis=2) if len(chunks) > 1 else chunks[0]
     return all_pos[:, :, np.argsort(np.array(order))]
 

@@ -754,12 +754,32 @@ def fit_shape_gram_lm(
     p_j, P4, t_lm, T4 = pre['p_j'], pre['P4'], pre['t_lm'], pre['T4']
     pj_cm, feat_cols = pre['pj_cm'], pre['feat_cols']
     # The deferred-recon consumers reuse the posed template computed here
-    # (the homog cache — see lbs_kernels.rhs_moments_h): worth it whenever a
+    # (the homog cache). Small-F models emit it from the rhs kernel when a
     # recon spec is requested (scale solves keep the plain kernel; their
-    # extra outputs already crowd VMEM).
+    # extra outputs already crowd VMEM); large-F models compute it as a
+    # standalone GEMM and run the cached rhs kernel in EVERY configuration.
     homog_vm = None
     want_recon = 'recon_spec' in requested_keys
-    if scale_col:
+    if gram.consts_pose.shape[2] > lbs_kernels.HOMOG_GEMM_MIN_F:
+        # Large-F pipeline: posed template once per iteration as a standalone
+        # GEMM; the rhs kernel reads it instead of re-streaming the
+        # (4, V_pad, F) constants per batch tile (and gets its batch tile
+        # back to 256 — the F operands were what forced the VMEM shrink).
+        homog_vm = lbs_kernels.posed_template_lm(feat_cols, gram.consts_pose,
+                                                 interpret)
+        if scale_col:
+            rk, yk, rtk, ytk, sck = lbs_kernels.rhs_moments_cached(
+                tgt_vm, pj_cm, homog_vm, gram.weights_pad, gram.sd_cm,
+                omega=gram.omega_pad, scale=True, interpret=interpret,
+                layout=gram.blend_layout,
+            )
+        else:
+            rk, yk = lbs_kernels.rhs_moments_cached(
+                tgt_vm, pj_cm, homog_vm, gram.weights_pad, gram.sd_cm,
+                omega=gram.omega_pad, interpret=interpret,
+                layout=gram.blend_layout,
+            )
+    elif scale_col:
         rk, yk, rtk, ytk, sck = lbs_kernels.rhs_moments(
             tgt_vm, pj_cm, feat_cols, gram.weights_pad, gram.consts_pose,
             gram.sd_cm, omega=gram.omega_pad, scale=True, interpret=interpret,
@@ -1203,9 +1223,15 @@ def fit_shape_wgram_lm(
     else:
         mu_s = None
         mu_full = mu
+    # Posed template once per solve (posed_template_lm): consumed by the
+    # wgram kernel AND by this iteration's cached recon kernel — the wgram
+    # kernel otherwise re-streamed the (4, vc_w, F) constants per batch tile
+    # and rebuilt the K=F homog dots at vc_w granularity.
+    homog_vm = lbs_kernels.posed_template_lm(pre['feat_cols'], gram.consts_pose,
+                                             interpret)
     Gk, SAk, rk, Sbk, Wk = lbs_kernels.wgram_moments(
-        tgt_vm, pre['pj_cm'], pre['feat_cols'], t4_cm,
-        gram.weights_pad, gram.consts_pose, gram.sd_cm,
+        tgt_vm, pre['pj_cm'], homog_vm, t4_cm,
+        gram.weights_pad, gram.sd_cm,
         mu.reshape(3 * E, batch), omega_vm,
         mu_s=mu_s, scale_mode=scale_mode,
         interpret=interpret, layout=gram.blend_layout_w,
@@ -1241,6 +1267,7 @@ def fit_shape_wgram_lm(
         batch_mask=batch_mask,
         scale_target=scale_target, scale_fit=scale_fit,
         scale_regularizer=scale_regularizer,
+        homog_vm=homog_vm,
     )
 
 

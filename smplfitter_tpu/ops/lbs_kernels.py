@@ -496,11 +496,22 @@ def _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6, blend=None,
     ]
 
 
-def _rhs_kernel(nchunks, rem, weighted, scale, subset, emit_homog, *refs):
+def _rhs_kernel(nchunks, rem, weighted, scale, subset, emit_homog, cached,
+                *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
-    tgt_ref, pjp_ref, feat_ref, wtsp_ref, wsub_ref, consts_ref, sd_ref = refs[:7]
-    refs = refs[7:]
+    if cached:
+        # Cached-homog variant: the posed template arrives as a per-vertex
+        # input (see posed_template_lm) instead of being recomputed from the
+        # (4, VC, F) constants — which large-F models re-stream per batch
+        # tile (SMPL-X: ~2.6 GB/call at F=487, tb=128).
+        tgt_ref, pjp_ref, hin_ref, wtsp_ref, wsub_ref, sd_ref = refs[:6]
+        refs = refs[6:]
+        feat_ref = consts_ref = None
+    else:
+        tgt_ref, pjp_ref, feat_ref, wtsp_ref, wsub_ref, consts_ref, sd_ref = refs[:7]
+        refs = refs[7:]
+        hin_ref = None
     om_ref = refs.pop(0) if weighted else None
     h_ref = refs.pop() if emit_homog else None
     r_ref, y_small_ref = refs[:2]
@@ -520,7 +531,11 @@ def _rhs_kernel(nchunks, rem, weighted, scale, subset, emit_homog, *refs):
             sc_ref[:] = jnp.zeros_like(sc_ref)
 
     blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
-    homog = _lbs_homog(feat_ref, consts_ref)
+    homog = (
+        [hin_ref[c] for c in range(3)]
+        if cached
+        else _lbs_homog(feat_ref, consts_ref)
+    )
     if emit_homog:
         # Cache the posed template for this iteration's recon kernel: it
         # reuses these channels (plus the solved-beta step) instead of
@@ -586,7 +601,7 @@ def _rhs_kernel(nchunks, rem, weighted, scale, subset, emit_homog, *refs):
 def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
                       omega=None, scale: bool = False,
                       interpret: bool = False, layout: BlendLayout | None = None,
-                      emit_homog: bool = False):
+                      emit_homog: bool = False, homog_vm=None):
     """Fused residual projection of the shape solve.
 
     Args:
@@ -604,6 +619,12 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             None builds the degenerate full-width layout. With a real layout
             every per-vertex operand (targets, consts, sd, ω) must be in the
             layout's vertex order.
+        homog_vm: optional PRECOMPUTED posed template (3, V_pad, B) (see
+            :func:`posed_template_lm`). When given, ``feat_cols``/
+            ``consts_pad`` are ignored (pass None) and the kernel reads the
+            cached channels instead of re-computing the K=F homog dots —
+            large-F models otherwise re-stream the (4, V_pad, F) constants
+            once per batch tile. Mutually exclusive with ``emit_homog``.
 
     Returns:
         r (E, B) = Σ_v [ω_v] (R̄_v SD_v)ᵀ b_v (the rotation part of Σ jacᵀb)
@@ -616,7 +637,9 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     _, v_t, B = tgt_vm.shape
     v_pad = weights_pad.shape[0]
     E = sd_cm.shape[2]
-    F = feat_cols.shape[0]
+    cached = homog_vm is not None
+    assert not (cached and emit_homog)
+    F = 0 if cached else feat_cols.shape[0]
     if layout is None:
         layout = default_layout(weights_pad, VC)
     jp, jr = layout.jp, layout.jr
@@ -624,7 +647,12 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
         pick_batch_tile(B),
         lambda t: (
             3 * VC + 12 * BLEND_TERMS * jp + F + E + 3 * jp
-            + (3 * VC if emit_homog else 0)
+            + (3 * VC if (emit_homog or cached) else 0)
+            # The cached variant's block budget is lean enough that the
+            # in-kernel scratch (12 blend + 3 pos (VC, tb) temporaries)
+            # becomes the binding term — measured: SMPL-X at tb=256
+            # exceeded the 16 MB scoped limit by 40 KB without it.
+            + (15 * VC if cached else 0)
             + ((E + 3 * jp + 3) if scale else 0)
             + (VC if omega is not None else 0)
         ) * t + VC * (BLEND_TERMS * jr + jr + 4 * F + 3 * E),
@@ -636,17 +664,29 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     weighted = omega is not None
     subset = not layout.full
 
-    in_specs = [
-        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, BLEND_TERMS * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-    ]
-    operands = [tgt_vm, pjp, feat_cols, layout.wtsp_sub, layout.w_sub,
-                consts_pad, sd_cm]
+    if cached:
+        in_specs = [
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, BLEND_TERMS * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        ]
+        operands = [tgt_vm, pjp, homog_vm, layout.wtsp_sub, layout.w_sub,
+                    sd_cm]
+    else:
+        in_specs = [
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, BLEND_TERMS * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        ]
+        operands = [tgt_vm, pjp, feat_cols, layout.wtsp_sub, layout.w_sub,
+                    consts_pad, sd_cm]
     if subset:
         in_specs.insert(0, pl.BlockSpec(
             (1, nchunks), lambda i, k: (0, 0), memory_space=pltpu.SMEM))
@@ -681,7 +721,7 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
 
     outs = pl.pallas_call(
         functools.partial(_rhs_kernel, nchunks, v_t % VC, weighted, scale,
-                          subset, emit_homog),
+                          subset, emit_homog, cached),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1911,8 +1951,12 @@ def _gram_assembly_impl(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
     if xb is not None:
         # Large-J hybrid: streamed term1 kernel + XLA M-parts. The fused
         # kernel below cannot hold X/Ksd in VMEM at these shapes, and its
-        # unrolled E-loops overwhelm the Mosaic compiler.
-        G1 = _term1_blocked(R_cm, ksd, E, tb, xb, interpret)
+        # unrolled E-loops overwhelm the Mosaic compiler. The streamed
+        # kernel's VMEM is slim (X block + one Ksd slice), so it takes the
+        # 256 batch tile — halving how often the ~28 MB Ksd operand streams
+        # (once per batch tile).
+        tb1 = 256 if B % 256 == 0 else tb
+        G1 = _term1_blocked(R_cm, ksd, E, tb1, xb, interpret)
         G2, SA, rb, Sb = _gram_mparts_ref(
             R_cm, T_cm, y_cm, P_cm, bJ_cm, lz, sd1_2d, q, w1, has_joints
         )
@@ -2060,13 +2104,14 @@ VC_W = 64  # wgram vertex chunk: the 3·E1 live Jacobian columns bound VMEM
 
 
 def wgram_chunk(n_feat: int) -> int:
-    """Wgram vertex chunk for a model with ``n_feat`` homogeneous features.
-
-    Large pose-feature models (SMPL-X F=487, SMPL+H F=460) overflow the
-    16 MB scoped-VMEM limit at 64 rows (measured: +340 KB at SMPL-X tb=32);
-    32 rows fit at every batch tile. Must agree between the layout built at
-    GramData construction (models/shape_gram.py) and the kernel launch."""
-    return 32 if n_feat > 320 else VC_W
+    """Wgram vertex chunk. With the posed template supplied as a cached
+    input (:func:`posed_template_lm`) the kernel no longer holds the
+    (4, vc_w, F) constants or the (F, tb) features in VMEM, so the 64-row
+    chunk fits every model — including the large-F ones (SMPL-X F=487)
+    that needed 32 rows when the homog dots ran in-kernel. Must agree
+    between the layout built at GramData construction
+    (models/shape_gram.py) and the kernel launch."""
+    return VC_W
 
 
 def wgram_batch_limit(n_feat: int) -> int | None:
@@ -2084,9 +2129,9 @@ def wgram_batch_limit(n_feat: int) -> int | None:
 def _wgram_kernel(nchunks, rem, E, scale_mode, subset, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
-    (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, sd_ref, t4p_ref,
-     mu_ref, om_ref) = refs[:9]
-    refs = refs[9:]
+    (tgt_ref, pjp_ref, h_ref, wtsp_ref, sd_ref, t4p_ref,
+     mu_ref, om_ref) = refs[:8]
+    refs = refs[8:]
     mu_s_ref = refs.pop(0) if scale_mode else None
     g_ref, sa_ref, r_ref, sb_ref, w_ref = refs
     k = pl.program_id(1)
@@ -2101,7 +2146,14 @@ def _wgram_kernel(nchunks, rem, E, scale_mode, subset, *refs):
         w_ref[:] = jnp.zeros_like(w_ref)
 
     blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
-    pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6, blend)
+    # Posed template from the cached channels (posed_template_lm) — the
+    # in-kernel K=F homog dots (and the (4, vc_w, F) consts re-streamed per
+    # batch tile) are gone from this kernel entirely.
+    homog = [h_ref[c] for c in range(3)]
+    pos = [
+        sum(blend[a * 4 + c] * homog[c] for c in range(3)) + blend[a * 4 + 3]
+        for a in range(3)
+    ]
     om = _mask_tail_rows(om_ref[:], k, nchunks, rem)  # (VC_W, TB)
     # √ω factorization: the ω-weighted quadratic block is Σ (√ω jac)(√ω jac)ᵀ,
     # so only ONE weighted copy of the Jacobian is ever live — the 3·E1
@@ -2181,7 +2233,7 @@ def _wgram_kernel(nchunks, rem, E, scale_mode, subset, *refs):
 
 
 @functools.partial(jax.jit, static_argnames=('scale_mode', 'interpret'))
-def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
+def wgram_moments(tgt_vm, pj_cm, homog_vm, t4_cm, weights_pad,
                   sd_cm, mu_cm, omega_vm, mu_s=None, scale_mode: int = 0,
                   interpret: bool = False,
                   layout: BlendLayout | None = None):
@@ -2190,10 +2242,11 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
     Args:
         tgt_vm: (3, V, B) targets, component-major (edge chunk masked).
         pj_cm: (12, J, B) per-joint [R|t] entries, leading index (a, c4).
-        feat_cols: (F, B) homogeneous features (pose feature + constant 1).
+        homog_vm: (3, V_pad, B) cached posed template
+            (:func:`posed_template_lm`) — replaces the in-kernel K=F homog
+            dots and the per-batch-tile (4, vc_w, F) consts streaming.
         t4_cm: (3E, J, B) FK translation beta-Jacobians, rows (a, e) a-major.
         weights_pad: (V_pad, J) skinning weights (zero rows in padding).
-        consts_pad: (4, V_pad, F) homogeneous template projector.
         sd_cm: (3, V_pad, E) shape directions, component-major.
         mu_cm: (3E, B) ω-weighted Jacobian mean, rows (a, e) a-major —
             subtracted from every per-vertex Jacobian (centering; see
@@ -2219,11 +2272,10 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
     J = weights_pad.shape[1]
     E = sd_cm.shape[2]
     E1 = E + (1 if scale_mode else 0)
-    F = feat_cols.shape[0]
     tb = pick_batch_tile(B)
     if tb == 256:
         tb = 128  # the (3E, 6J, tb) T4 operand bounds VMEM
-    vc_w = wgram_chunk(F)
+    vc_w = wgram_chunk(0)
     # Iterate only chunks that contain REAL vertices: v_pad is a multiple of
     # the (larger) shared VC, so it may hold whole all-padding vc_w chunks at
     # the tail — their rows are zero in the static operands and ω-masked
@@ -2243,16 +2295,15 @@ def wgram_moments(tgt_vm, pj_cm, feat_cols, t4_cm, weights_pad, consts_pad,
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((3, vc_w, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, vc_w, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((vc_w, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, vc_w, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, vc_w, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * E, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((vc_w, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
     ]
     operands = ([layout.starts] if subset else []) + [
-        tgt_vm, pjp, feat_cols, layout.wtsp_sub, consts_pad, sd_cm, t4p,
+        tgt_vm, pjp, homog_vm, layout.wtsp_sub, sd_cm, t4p,
         mu_cm, omega_vm]
     if scale_mode:
         in_specs.append(
@@ -2377,6 +2428,308 @@ def rhs_moments_h(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
                          sd_cm, omega, interpret, layout)
 
 
+HOMOG_GEMM_MIN_F = 320
+# Pipeline gate for the UNWEIGHTED solve path: models whose homogeneous
+# feature is wider than this (SMPL-X F=487, SMPL+H F=460) compute the posed
+# template once per iteration as a standalone 3-pass GEMM
+# (posed_template_lm) and run the cached-homog rhs kernel; the in-kernel
+# homog dots would otherwise re-stream the (4, V_pad, F) constants once per
+# batch tile (SMPL-X b4096: ~2.6 GB/call) and force the batch tile down to
+# 128 by VMEM. Small-F models keep the in-kernel dots (the cache's extra
+# (3, V_pad, B) HBM round trip costs about what the consts streaming does).
+# The runtime-ω wgram kernel uses the cache at EVERY F (its vc_w=64 chunks
+# re-stream consts B/tb >= 16 times, so the cache always wins there).
+
+
+def _dot3_mask(a, b, dimension_numbers):
+    """XLA-level 3-pass f32-emulated dot (trace-level twin of the kernels'
+    :func:`_dot3`): hi parts via fold-proof mantissa masking
+    (:func:`_trunc_bf16` — the astype split would be constant-folded under
+    ``--xla_allow_excess_precision``), each pass one bf16 MXU pass
+    (``Precision.DEFAULT`` on f32 operands)."""
+    a_hi = _trunc_bf16(a)
+    b_hi = _trunc_bf16(b)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(a_hi, b_hi) + d(a - a_hi, b_hi) + d(a_hi, b - b_hi)
+
+
+def _posed_template_kernel(feat_ref, consts_ref, out_ref):
+    for c in range(3):
+        out_ref[c] = _mm3(consts_ref[c], feat_ref[:])
+
+
+def _posed_template_impl(feat_cols, consts_pad, interpret: bool):
+    """One-pass Pallas statement of the posed-template GEMM.
+
+    Grid is CHUNK-OUTER / batch-inner: the (4, VC, F) consts block index is
+    constant over the inner batch sweep, so the constants are fetched once
+    per chunk — i.e. ONCE per call — and each output block is written
+    exactly once (no accumulation, so this grid order is legal, unlike the
+    reduction kernels'). The in-VMEM 3-pass accumulation is what an XLA
+    dot_general chain can NOT express: emulated at the XLA level the nine
+    per-pass (V_pad, B) partials materialize in HBM (measured ~16 ms of the
+    SMPL-X b4096 fit vs ~3 ms for this kernel)."""
+    F, B = feat_cols.shape
+    v_pad = consts_pad.shape[1]
+    tb = pick_batch_tile(B)
+    assert tb is not None and v_pad % VC == 0
+    grid = (v_pad // VC, B // tb)
+    return pl.pallas_call(
+        _posed_template_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((F, tb), lambda k, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, VC, F), lambda k, i: (0, k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, VC, tb), lambda k, i: (0, k, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32),
+        interpret=interpret,
+    )(feat_cols, consts_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def posed_template_lm(feat_cols, consts_pad, interpret: bool = False):
+    """Posed zero-beta template, component-major (3, V_pad, B): the K=F
+    "homog" channels homog_c = consts_c · feat shared by every extended-LBS
+    kernel of one iteration (same rotations → same posed template). Computed
+    as one standalone Pallas GEMM so the (4, V_pad, F) constants are read
+    ONCE per iteration instead of once per batch tile inside each kernel;
+    consumers take the ``homog_vm`` operand (rhs_moments_cached /
+    wgram_moments / recon_part_sums_cached_lm). Channel 3 is identically 1
+    (see models/shape_gram.build_gram_data) and is not materialized."""
+    if kernel_mode(feat_cols.shape[1]) is None and not interpret:
+        # Non-kernel environments (plain CPU paths) state the same math at
+        # XLA level — fold-proof mantissa-masked 3-pass emulation.
+        return jnp.stack(
+            [_dot3_mask(consts_pad[c], feat_cols, _MM) for c in range(3)],
+            axis=0,
+        )
+    return _posed_template_impl(feat_cols, consts_pad, interpret)
+
+
+def _posed_template_fwd(feat_cols, consts_pad, interpret):
+    return posed_template_lm(feat_cols, consts_pad, interpret), consts_pad
+
+
+def _posed_template_bwd(interpret, consts_pad, dh):
+    # Linear in feat: dfeat = Σ_c consts_cᵀ dh_c, same 3-pass emulation (the
+    # bitmask splits are not differentiable, hence the custom VJP).
+    dfeat = sum(_dot3_mask(consts_pad[c], dh[c], _C0_0) for c in range(3))
+    return dfeat, jnp.zeros_like(consts_pad)
+
+
+posed_template_lm.defvjp(_posed_template_fwd, _posed_template_bwd)
+
+
+def _rhs_cached_bwd_kernel(nchunks, rem, weighted, subset, *refs):
+    refs = list(refs)
+    starts_ref = refs.pop(0) if subset else None
+    if weighted:
+        (gr_ref, gy_ref, tgt_ref, pjp_ref, h_ref, wtsp_ref, wfull_ref,
+         sd_ref, om_ref, dtgt_ref, dpj_ref, dh_ref) = refs
+    else:
+        (gr_ref, gy_ref, tgt_ref, pjp_ref, h_ref, wtsp_ref, wfull_ref,
+         sd_ref, dtgt_ref, dpj_ref, dh_ref) = refs
+    k = pl.program_id(1)
+    s6 = _blend_s6(starts_ref, k)
+    w = wfull_ref[:]  # (VC, J) plain full-width weights
+    homog = [h_ref[c] for c in range(3)]
+    blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
+    pos = [
+        sum(blend[a * 4 + c] * homog[c] for c in range(3)) + blend[a * 4 + 3]
+        for a in range(3)
+    ]
+    b = [
+        _mask_tail_rows(tgt_ref[a], k, nchunks, rem) - pos[a] for a in range(3)
+    ]
+    G = [_mm3(sd_ref[c], gr_ref[:]) for c in range(3)]
+    contract_j0 = (((1,), (0,)), ((), ()))
+    db = []
+    for a in range(3):
+        db_a = _dot3(w, gy_ref[a], contract_j0)  # (VC, TB)
+        for c in range(3):
+            db_a += blend[a * 4 + c] * G[c]
+        if weighted:
+            db_a = db_a * om_ref[:]
+        dtgt_ref[a] = db_a
+        db.append(db_a)
+    if weighted:
+        b = [x * om_ref[:] for x in b]
+
+    @pl.when(k == 0)
+    def _():
+        dpj_ref[:] = jnp.zeros_like(dpj_ref)
+
+    for a in range(3):
+        for c in range(4):
+            dblend = -db[a] * homog[c] if c < 3 else -db[a]
+            if c < 3:
+                dblend = dblend + G[c] * b[a]
+            dpj_ref[a * 4 + c] += _dot3(dblend, w, _C0_0)  # (TB, J)
+    # The homog cotangent is PER-VERTEX (written once per chunk, not
+    # accumulated) — posed_template_lm's own VJP folds it onto feat.
+    for c in range(3):
+        dh_ref[c] = -sum(blend[a * 4 + c] * db[a] for a in range(3))
+
+
+def _rhs_cached_bwd(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, gr, gy,
+                    omega=None, interpret=False, layout=None):
+    _, v_t, B = tgt_vm.shape
+    v_pad = weights_pad.shape[0]
+    J = weights_pad.shape[1]
+    E = sd_cm.shape[2]
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    tb = _shrink_tb(
+        pick_batch_tile(B),
+        # 12·VC input/output blocks + ~21·VC in-kernel scratch (blend, pos,
+        # G, db temporaries) per batch column.
+        lambda t: (
+            33 * VC + 12 * BLEND_TERMS * layout.jp + E + 3 * J + 12 * J
+        ) * t + VC * (BLEND_TERMS * layout.jr + J + 3 * E),
+    )
+    nchunks = v_pad // VC
+    grid = (B // tb, nchunks)
+    pjp = pack_pj(pj_cm, layout)
+    weighted = omega is not None
+    subset = not layout.full
+
+    in_specs = ([_starts_spec(nchunks)] if subset else []) + [
+        pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, BLEND_TERMS * layout.jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, BLEND_TERMS * layout.jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = ([layout.starts] if subset else []) + [
+        gr, gy, tgt_vm, pjp, homog_vm, layout.wtsp_sub, weights_pad, sd_cm]
+    if weighted:
+        in_specs.append(
+            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(omega)
+
+    dtgt, dpj, dh = pl.pallas_call(
+        functools.partial(_rhs_cached_bwd_kernel, nchunks, v_t % VC, weighted,
+                          subset),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, v_t, B), jnp.float32),
+            jax.ShapeDtypeStruct((12, B, J), jnp.float32),
+            jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return dtgt, jnp.transpose(dpj, (0, 2, 1)), dh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _rhs_c_diff(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, interpret,
+                layout):
+    return _rhs_moments_impl(tgt_vm, pj_cm, None, weights_pad, None, sd_cm,
+                             interpret=interpret, layout=layout,
+                             homog_vm=homog_vm)
+
+
+def _rhs_c_fwd(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, interpret,
+               layout):
+    out = _rhs_moments_impl(tgt_vm, pj_cm, None, weights_pad, None, sd_cm,
+                            interpret=interpret, layout=layout,
+                            homog_vm=homog_vm)
+    return out, (tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, layout)
+
+
+def _rhs_c_bwd_rule(interpret, res, g):
+    tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, layout = res
+    gr, gy = g
+    dtgt, dpj, dh = _rhs_cached_bwd(
+        tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, gr, gy,
+        interpret=interpret, layout=layout,
+    )
+    return (dtgt, dpj, dh, jnp.zeros_like(weights_pad),
+            jnp.zeros_like(sd_cm), jax.tree.map(jnp.zeros_like, layout))
+
+
+_rhs_c_diff.defvjp(_rhs_c_fwd, _rhs_c_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _rhs_c_w_diff(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, omega,
+                  interpret, layout):
+    return _rhs_moments_impl(tgt_vm, pj_cm, None, weights_pad, None, sd_cm,
+                             omega=omega, interpret=interpret, layout=layout,
+                             homog_vm=homog_vm)
+
+
+def _rhs_c_w_fwd(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, omega,
+                 interpret, layout):
+    out = _rhs_moments_impl(tgt_vm, pj_cm, None, weights_pad, None, sd_cm,
+                            omega=omega, interpret=interpret, layout=layout,
+                            homog_vm=homog_vm)
+    return out, (tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, omega, layout)
+
+
+def _rhs_c_w_bwd_rule(interpret, res, g):
+    tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, omega, layout = res
+    gr, gy = g
+    dtgt, dpj, dh = _rhs_cached_bwd(
+        tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, gr, gy, omega=omega,
+        interpret=interpret, layout=layout,
+    )
+    return (dtgt, dpj, dh, jnp.zeros_like(weights_pad),
+            jnp.zeros_like(sd_cm), jnp.zeros_like(omega),
+            jax.tree.map(jnp.zeros_like, layout))
+
+
+_rhs_c_w_diff.defvjp(_rhs_c_w_fwd, _rhs_c_w_bwd_rule)
+
+
+@functools.partial(jax.jit, static_argnames=('scale', 'interpret'))
+def rhs_moments_cached(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm,
+                       omega=None, scale: bool = False,
+                       interpret: bool = False,
+                       layout: BlendLayout | None = None):
+    """:func:`rhs_moments` from a CACHED posed template (see
+    :func:`posed_template_lm`): identical outputs, no feat/consts operands.
+    Differentiable for the None / static-(V_pad, 1) ``omega`` cases (the
+    homog cotangent flows back through posed_template_lm's VJP); scale and
+    runtime-ω variants follow ``autodiff_policy`` like their uncached twins.
+    """
+    if layout is None:
+        layout = default_layout(weights_pad, VC)
+    if scale:
+        return _rhs_moments_impl(tgt_vm, pj_cm, None, weights_pad, None,
+                                 sd_cm, omega=omega, scale=True,
+                                 interpret=interpret, layout=layout,
+                                 homog_vm=homog_vm)
+    if omega is None:
+        return _rhs_c_diff(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm,
+                           interpret, layout)
+    if _runtime_omega(omega):
+        return _rhs_moments_impl(tgt_vm, pj_cm, None, weights_pad, None,
+                                 sd_cm, omega=omega, interpret=interpret,
+                                 layout=layout, homog_vm=homog_vm)
+    return _rhs_c_w_diff(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, omega,
+                         interpret, layout)
+
+
 def _sdx_chunk(sd_ref, x_ref, E):
     """sd·x per chunk on the VPU: E rank-1 broadcast updates per channel
     (the MXU form would pad K=E to a full 128 lane tile)."""
@@ -2462,9 +2815,7 @@ def _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
     operands = ([layout.starts] if subset else []) + [
         tgt_vm, pjp, x_cols, layout.wtsp_sub, sd_cm, homog_vm, pm]
     if weighted:
-        in_specs.append(
-            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
-        )
+        in_specs.append(_omega_spec(omega, tb))
         operands.append(omega)
 
     return pl.pallas_call(
@@ -2675,13 +3026,19 @@ def recon_part_sums_cached_lm(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
                               layout: BlendLayout | None = None):
     """Lane-major recon+part-sums from a CACHED posed template (see the
     section comment): same outputs as :func:`recon_part_sums_lm`. ``x_cols``
-    (E, B) is the solved beta step; ``homog_vm`` the rhs kernel's emitted
-    channels. ``omega`` must be None or the static (V_pad, 1) column."""
+    (E, B) is the solved beta step; ``homog_vm`` the cached posed template
+    (emitted by the rhs kernel or computed by :func:`posed_template_lm`).
+    ``omega``: None, the static (V_pad, 1) column, or a runtime (V, B)
+    operand (that last variant carries no custom VJP)."""
     if layout is None:
         layout = default_layout(weights_pad, VC)
     if omega is None:
         return _recon_cached_diff(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
                                   weights_pad, layout, interpret)
-    assert not _runtime_omega(omega)
+    if _runtime_omega(omega):
+        # Per-call (V, B) ω: no custom VJP (runtime-weighted fits follow
+        # ``autodiff_policy`` onto the XLA formulation under grad traces).
+        return _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
+                                  layout, omega=omega, interpret=interpret)
     return _recon_cached_w_diff(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
                                 weights_pad, layout, omega, interpret)

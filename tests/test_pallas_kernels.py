@@ -367,6 +367,95 @@ class TestKernelVJPs:
         )
 
 
+class TestCachedHomogKernels:
+    """posed_template_lm + the cached-homog rhs kernel (the large-F pipeline
+    that stops re-streaming the (4, V_pad, F) constants per batch tile)."""
+
+    _setup = TestKernelVJPs._setup
+    _xla_pos = staticmethod(TestKernelVJPs._xla_pos)
+    _assert_close = TestKernelVJPs._assert_close
+
+    def test_posed_template_matches_einsum(self):
+        import jax
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        d = self._setup()
+        h = K.posed_template_lm(d['feat'], d['consts'], True)  # Pallas path
+        h_x = K.posed_template_lm(d['feat'], d['consts'])      # XLA fallback
+        h_ref = jnp.einsum('cvf,fb->cvb', d['consts'][:3], d['feat'])
+        scale = float(np.abs(np.asarray(h_ref)).max())
+        np.testing.assert_allclose(
+            np.asarray(h) / scale, np.asarray(h_ref) / scale, atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_x) / scale, np.asarray(h_ref) / scale, atol=5e-5
+        )
+        # Linear-map VJP (the bitmask splits are not differentiable, so the
+        # custom VJP must carry the gradient).
+        g = jax.grad(lambda f: jnp.sum(jnp.sin(
+            K.posed_template_lm(f, d['consts']) * 0.1)))(d['feat'])
+        g_ref = jax.grad(lambda f: jnp.sum(jnp.sin(
+            jnp.einsum('cvf,fb->cvb', d['consts'][:3], f) * 0.1)))(d['feat'])
+        self._assert_close((g,), (g_ref,))
+
+    def test_rhs_cached_matches_uncached(self):
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        d = self._setup()
+        h = K.posed_template_lm(d['feat'], d['consts'], True)
+        r0, y0 = K.rhs_moments(
+            d['tgt'], d['pj'], d['feat'], d['wts'], d['consts'], d['sd_cm'],
+            interpret=True,
+        )
+        r1, y1 = K.rhs_moments_cached(
+            d['tgt'], d['pj'], h, d['wts'], d['sd_cm'], interpret=True,
+        )
+        # Same math; the posed template's split rounding differs (mantissa
+        # truncation vs RTN), so agreement is at the emulation error floor.
+        sr = max(1.0, float(np.abs(np.asarray(r0)).max()))
+        np.testing.assert_allclose(
+            np.asarray(r1) / sr, np.asarray(r0) / sr, atol=5e-5
+        )
+        sy = max(1.0, float(np.abs(np.asarray(y0)).max()))
+        np.testing.assert_allclose(
+            np.asarray(y1) / sy, np.asarray(y0) / sy, atol=5e-5
+        )
+
+    def test_rhs_cached_vjp(self):
+        import jax
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        d = self._setup()
+
+        def loss_k(tgt, pj, feat):
+            h = K.posed_template_lm(feat, d['consts'], True)
+            r, y = K.rhs_moments_cached(tgt, pj, h, d['wts'], d['sd_cm'],
+                                        interpret=True)
+            return jnp.sum(jnp.sin(r * 1e-3)) + jnp.sum(jnp.cos(y * 1e-2))
+
+        def loss_x(tgt, pj, feat):
+            pos, blended = self._xla_pos(d, pj, feat, return_blended=True)
+            b = tgt - pos
+            g = jnp.einsum('acvb,avb->cvb', blended[:, :3], b)
+            r = jnp.einsum('cve,cvb->eb', d['sd_cm'], g)
+            y = jnp.einsum('avb,vj->ajb', b, d['wts'])
+            return jnp.sum(jnp.sin(r * 1e-3)) + jnp.sum(jnp.cos(y * 1e-2))
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(d['tgt'], d['pj'], d['feat'])
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(d['tgt'], d['pj'], d['feat'])
+        # The cached pipeline treats the 4th homog channel as the literal
+        # constant 1, so the cotangent onto feat's CONSTANT last row (which
+        # the fit discards — the row is pinned to 1) is absent by design;
+        # compare everything else.
+        gk = (gk[0], gk[1], gk[2][:-1])
+        gx = (gx[0], gx[1], gx[2][:-1])
+        self._assert_close(gk, gx)
+
+
 class TestGramAssembly:
     @pytest.mark.parametrize('has_joints', [False, True])
     def test_matches_ref(self, has_joints):
