@@ -1,10 +1,17 @@
 """Time each fused kernel of the fit in isolation at production shapes.
 
 Each case is measured pipelined over distinct inputs (the remote runtime
-memoizes identical executions; per-dispatch latency ~25 ms). Shapes are the
-SMPL b4096 flagship configuration.
+memoizes identical executions; per-dispatch latency ~25 ms). Default shapes
+are the SMPL b4096 flagship configuration; ``--model smplx`` measures the
+large-F/J regime (cached-homog pipeline). ``--bwd`` adds the backward
+(custom-VJP) kernels — the grad-of-fit cost accounting.
 
-Usage: python benchmark/kernel_breakdown.py [--batch 4096]
+The big target buffers are shared across calls (HBM: a b4096 SMPL-X target
+is 515 MB); distinct small operands (pj/feat) defeat the runtime's
+memoization.
+
+Usage: python benchmark/kernel_breakdown.py [--batch 4096] [--model smplx]
+                                            [--bwd]
 """
 
 from __future__ import annotations
@@ -25,15 +32,33 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 N_CALLS = 32
 
+# v5e roofline constants: one MXU at 197 bf16 TFLOP/s, HBM ~819 GB/s.
+MXU_TFLOPS = 197e12
+HBM_BPS = 819e9
 
-def timed(name, fn, inputs):
-    """fn(one input pytree) -> outputs; inputs: list of distinct pytrees."""
+
+def timed(name, fn, inputs, mxu_flops=None, hbm_bytes=None):
+    """fn(one input pytree) -> outputs; inputs: list of distinct pytrees.
+
+    ``mxu_flops``/``hbm_bytes`` are the kernel's algorithmic minima (flops as
+    ISSUED by the chosen emulation — unpadded K/M/N, counting each bf16 pass;
+    bytes = every HBM operand/output touched once); the printout adds the
+    roofline minima and the utilization against the binding one.
+    """
     jax.block_until_ready(fn(inputs[0]))  # compile+warm
     t0 = time.perf_counter()
     outs = [fn(x) for x in inputs]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / len(inputs)
-    print(f'{name:34s} {dt * 1e3:8.3f} ms')
+    line = f'{name:34s} {dt * 1e3:8.3f} ms'
+    if mxu_flops is not None:
+        mxu_ms = mxu_flops / MXU_TFLOPS * 1e3
+        hbm_ms = (hbm_bytes or 0) / HBM_BPS * 1e3
+        floor = max(mxu_ms, hbm_ms)
+        bound = 'MXU' if mxu_ms >= hbm_ms else 'HBM'
+        line += (f'   min {floor:6.3f} ms ({bound}-bound: mxu {mxu_ms:5.3f} /'
+                 f' hbm {hbm_ms:5.3f})  util {floor / dt * 100:4.0f}%')
+    print(line, flush=True)
     return dt
 
 
@@ -41,6 +66,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--batch', type=int, default=4096)
     p.add_argument('--model', default='smpl')
+    p.add_argument('--bwd', action='store_true',
+                   help='also time the backward (custom-VJP) kernels')
     args = p.parse_args()
     B = args.batch
 
@@ -68,13 +95,19 @@ def main():
     rng = np.random.default_rng(0)
     J = data.num_joints
     V = data.num_vertices
+    V_pad = gram.weights_pad.shape[0]
     E = gram.n_ext
     F = gram.consts_pose.shape[2]
+    cached_pipeline = F > lbs_kernels.HOMOG_GEMM_MIN_F
 
     def mk_inputs(n, maker):
         return [maker(i) for i in range(n)]
 
-    # Device-resident distinct inputs
+    # Device-resident distinct inputs. Big per-vertex buffers are shared
+    # across calls (HBM budget!), small per-call operands vary.
+    tgt_bytes = 3 * V * B * 4
+    n_big = max(2, min(6, int(2.5e9 // tgt_bytes)))
+
     def tgt(i):
         return jnp.asarray(
             rng.normal(0, 0.5, (3, V, B)).astype(np.float32))
@@ -85,58 +118,119 @@ def main():
     def feat(i, f=F):
         return jnp.asarray(rng.normal(0, 1, (f, B)).astype(np.float32))
 
-    # Few big target buffers (HBM!), many distinct small operands — the
-    # runtime memoizes on the full input tuple, so varying pj/feat alone
-    # defeats memoization without 32 copies of the 339 MB targets.
-    N_BIG = 6
-    tgts = (mk_inputs(N_BIG, tgt) * N_CALLS)[:N_CALLS]
+    tgts = (mk_inputs(n_big, tgt) * N_CALLS)[:N_CALLS]
     pjs = mk_inputs(N_CALLS, pj)
     feats = mk_inputs(N_CALLS, feat)
-    tgt_bm = [jnp.transpose(t, (2, 1, 0)) for t in tgts[:N_BIG]]
-    jax.block_until_ready([tgts[:N_BIG], pjs, feats, tgt_bm])
+    jax.block_until_ready([tgts[:n_big], pjs, feats])
 
-    print(f'B={B} V={V} J={J} E={E} F={F}')
+    print(f'B={B} V={V} J={J} E={E} F={F} n_big={n_big} '
+          f'cached_pipeline={cached_pipeline}')
 
-    # --- transpose ---
+    # --- transpose --- (derived inputs freed right after)
+    tgt_bm = [jnp.transpose(t, (2, 1, 0)) for t in tgts[:n_big]]
+    jax.block_until_ready(tgt_bm)
     tr = jax.jit(lambda t: lbs_kernels.to_vertex_major(t) * 1.0000001)
-    timed('to_vertex_major (+eps mul)', tr, tgt_bm)
+    timed('to_vertex_major (+eps mul)', tr, tgt_bm,
+          mxu_flops=0, hbm_bytes=2 * tgt_bytes)
+    del tgt_bm
 
     print(f'blend layout: jr={getattr(gram.blend_layout, "jr", None)} '
           f'jp={getattr(gram.blend_layout, "jp", None)}')
 
-    # --- rhs_moments: subset layout vs degenerate full-width ---
+    # --- posed-template GEMM (the cached-homog producer) ---
+    f_pt = jax.jit(lambda f: lbs_kernels.posed_template_lm(f, gram.consts_pose))
+    homog_bytes = 3 * V_pad * B * 4
+    timed('posed_template_lm', f_pt, feats,
+          mxu_flops=9 * V_pad * F * B * 2,
+          hbm_bytes=V_pad * 4 * F * 4 + homog_bytes)
+    homogs = (
+        [f_pt(f) for f in feats[:n_big]] * N_CALLS
+    )[:N_CALLS]
+    jax.block_until_ready(homogs[:n_big])
+
+    # --- rhs_moments: production path per model ---
+    if cached_pipeline:
+        f_rhs_c = jax.jit(lambda t, p, h: lbs_kernels.rhs_moments_cached(
+            t, p, h, gram.weights_pad, gram.sd_cm, layout=gram.blend_layout))
+        jr = gram.blend_layout.jr
+        timed('rhs_moments_cached', lambda x: f_rhs_c(*x),
+              list(zip(tgts, pjs, homogs)),
+              mxu_flops=(12 * lbs_kernels.BLEND_TERMS * jr  # blends, 1 pass
+                         + 9 * jr                           # y dots, 3 passes
+                         + 9 * E) * V_pad * B * 2,          # jac_proj
+              hbm_bytes=tgt_bytes + homog_bytes)
     f_rhs = jax.jit(lambda t, p, f: lbs_kernels.rhs_moments(
         t, p, f, gram.weights_pad, gram.consts_pose, gram.sd_cm,
         layout=gram.blend_layout))
-    timed('rhs_moments (subset)', lambda x: f_rhs(*x), list(zip(tgts, pjs, feats)))
-    f_rhs0 = jax.jit(lambda t, p, f: lbs_kernels.rhs_moments(
-        t, p, f, gram.weights_pad, gram.consts_pose, gram.sd_cm, layout=None))
-    timed('rhs_moments (full)', lambda x: f_rhs0(*x), list(zip(tgts, pjs, feats)))
+    jr = gram.blend_layout.jr
+    consts_bytes_per_tile = V_pad * 4 * F * 4
+    def n_tiles(tb_guess=256):
+        return max(1, B // tb_guess)
+    timed('rhs_moments (in-kernel homog)', lambda x: f_rhs(*x),
+          list(zip(tgts, pjs, feats)),
+          mxu_flops=(12 * lbs_kernels.BLEND_TERMS * jr + 9 * jr + 9 * E
+                     + 9 * F) * V_pad * B * 2,
+          hbm_bytes=tgt_bytes
+          + consts_bytes_per_tile * n_tiles(128 if cached_pipeline else 256))
 
-    # --- recon_part_sums (consts_full: F + E channels) ---
+    # --- recon: cached (production) and uncached ---
+    xs = mk_inputs(N_CALLS, lambda i: feat(i, E))
+    f_rec_c = jax.jit(lambda t, p, x, h: lbs_kernels.recon_part_sums_cached_lm(
+        t, p, x, gram.sd_cm, h, plan.pm_t_pad, gram.weights_pad,
+        layout=gram.blend_layout))
+    timed('recon_part_sums_cached_lm', lambda x: f_rec_c(*x),
+          list(zip(tgts, pjs, xs, homogs)),
+          mxu_flops=(12 * lbs_kernels.BLEND_TERMS * jr   # blends
+                     + 2 * (9 + 3 + 3) * J) * V_pad * B * 2,  # part dots, 2-pass
+          hbm_bytes=tgt_bytes + homog_bytes)
     featsE = mk_inputs(N_CALLS, lambda i: feat(i, F + E))
     f_rec = jax.jit(lambda t, p, f: lbs_kernels.recon_part_sums_lm(
         t, p, f, gram.weights_pad, gram.consts_full, plan.pm_t_pad,
         layout=gram.blend_layout))
-    timed('recon_part_sums_lm (subset)', lambda x: f_rec(*x),
-          list(zip(tgts, pjs, featsE)))
-    f_rec0 = jax.jit(lambda t, p, f: lbs_kernels.recon_part_sums_lm(
-        t, p, f, gram.weights_pad, gram.consts_full, plan.pm_t_pad,
-        layout=None))
-    timed('recon_part_sums_lm (full)', lambda x: f_rec0(*x),
-          list(zip(tgts, pjs, featsE)))
+    timed('recon_part_sums_lm (uncached)', lambda x: f_rec(*x),
+          list(zip(tgts, pjs, featsE)),
+          mxu_flops=(12 * lbs_kernels.BLEND_TERMS * jr + 9 * (F + E)
+                     + 2 * 15 * J) * V_pad * B * 2,
+          hbm_bytes=tgt_bytes + V_pad * 4 * (F + E) * 4
+          * n_tiles(128 if cached_pipeline else 256))
 
     # --- part_sums_vm ---
-    ref_vm = jnp.asarray(rng.normal(0, 0.5, (3, gram.weights_pad.shape[0], 1))
-                         .astype(np.float32))
+    ref_vm = jnp.asarray(rng.normal(0, 0.5, (3, V_pad, 1)).astype(np.float32))
     f_ps = jax.jit(lambda t: lbs_kernels.part_sums_vm_lm(
         t, ref_vm, plan.pm_t_pad))
-    timed('part_sums_vm_lm', f_ps, tgts[:N_BIG])
+    timed('part_sums_vm_lm', f_ps, tgts[:n_big],
+          mxu_flops=2 * 15 * J * V_pad * B * 2, hbm_bytes=tgt_bytes)
 
     # --- lbs_points ---
     f_lbs = jax.jit(lambda p, f: lbs_kernels.lbs_points(
         p, f, gram.weights_pad, gram.consts_full))
-    timed('lbs_points', lambda x: f_lbs(*x), list(zip(pjs, featsE)))
+    timed('lbs_points', lambda x: f_lbs(*x), list(zip(pjs, featsE)),
+          mxu_flops=(12 * lbs_kernels.BLEND_TERMS * jr + 9 * (F + E))
+          * V_pad * B * 2,
+          hbm_bytes=homog_bytes + V_pad * 4 * (F + E) * 4
+          * n_tiles(128 if cached_pipeline else 256))
+
+    # --- wgram_moments (runtime-omega weighted solve) ---
+    omegas = (
+        [jnp.asarray((0.2 + rng.random((V, B))).astype(np.float32))
+         for _ in range(n_big)] * N_CALLS
+    )[:N_CALLS]
+    jax.block_until_ready(omegas[:n_big])
+    t4s = mk_inputs(N_CALLS, lambda i: jnp.asarray(
+        rng.normal(0, 1, (3 * E, J, B)).astype(np.float32)))
+    mu0 = jnp.zeros((3 * E, B), jnp.float32)
+    f_wg = jax.jit(lambda t, p, h, t4, om: lbs_kernels.wgram_moments(
+        t, p, h, t4, gram.weights_pad, gram.sd_cm, mu0, om,
+        layout=gram.blend_layout_w))
+    jr_w = gram.blend_layout_w.jr
+    jp_w = gram.blend_layout_w.jp
+    timed('wgram_moments (cached homog)', lambda x: f_wg(*x),
+          list(zip(tgts, pjs, homogs, t4s, omegas)),
+          mxu_flops=(12 + 3 * E) * lbs_kernels.BLEND_TERMS * jr_w
+          * V_pad * B * 2,
+          hbm_bytes=2 * tgt_bytes + homog_bytes  # tgt + omega + homog
+          + 3 * E * lbs_kernels.BLEND_TERMS * jp_w * B * 4
+          * max(1, B // 128))
 
     # --- gram_assembly ---
     J3 = J * 3
@@ -152,6 +246,51 @@ def main():
         R, T, y, P_dummy, bJ_dummy, gram.Ksd, gram.Lz_e, gram.sd1_2d,
         jnp.asarray(gram.q), gram.W1_col, has_joints=False))
     timed('gram_assembly', lambda x: f_gram(*x), list(zip(R_cm, T_cm, y_cm)))
+
+    if not args.bwd:
+        return
+
+    # --- backward kernels (the custom-VJP passes of the grad recipe) ---
+    print('--- backward kernels ---')
+    grs = mk_inputs(N_CALLS, lambda i: feat(i, E))
+    gys = mk_inputs(N_CALLS, lambda i: jnp.asarray(
+        rng.normal(0, 1, (3, J, B)).astype(np.float32)))
+    if cached_pipeline:
+        f_rhs_b = jax.jit(lambda t, p, h, gr, gy: lbs_kernels._rhs_cached_bwd(
+            t, p, h, gram.weights_pad, gram.sd_cm, gr, gy,
+            layout=gram.blend_layout))
+        timed('rhs_cached bwd', lambda x: f_rhs_b(*x),
+              list(zip(tgts, pjs, homogs, grs, gys)))
+    f_rhs_b0 = jax.jit(lambda t, p, f, gr, gy: lbs_kernels._rhs_moments_bwd(
+        t, p, f, gram.weights_pad, gram.consts_pose, gram.sd_cm, gr, gy,
+        layout=gram.blend_layout))
+    timed('rhs_moments bwd', lambda x: f_rhs_b0(*x),
+          list(zip(tgts, pjs, feats, grs, gys)))
+
+    graws = mk_inputs(N_CALLS, lambda i: jnp.asarray(
+        rng.normal(0, 1, (9, J, B)).astype(np.float32)))
+    f_rec_b = jax.jit(
+        lambda t, p, f, graw, gst, gsa: lbs_kernels._recon_part_sums_bwd(
+            t, p, f, gram.weights_pad, gram.consts_full, plan.pm_t_pad,
+            graw, gst, gsa, layout=gram.blend_layout))
+    timed('recon_part_sums bwd', lambda x: f_rec_b(*x),
+          list(zip(tgts, pjs, featsE, graws, gys, gys)))
+
+    f_rec_cb = jax.jit(
+        lambda t, p, x, h, graw, gst, gsa: lbs_kernels._recon_cached_bwd(
+            t, p, x, gram.sd_cm, h, plan.pm_t_pad, gram.weights_pad,
+            gram.blend_layout, graw, gst, gsa))
+    timed('recon_cached bwd', lambda x: f_rec_cb(*x),
+          list(zip(tgts, pjs, xs, homogs, graws, gys, gys)))
+
+    gpts = (
+        [jnp.asarray(rng.normal(0, 1, (3, V_pad, B)).astype(np.float32))
+         for _ in range(n_big)] * N_CALLS
+    )[:N_CALLS]
+    f_lbs_b = jax.jit(lambda p, f, g: lbs_kernels._lbs_points_bwd(
+        p, f, gram.weights_pad, gram.consts_full, g, False))
+    timed('lbs_points bwd', lambda x: f_lbs_b(*x),
+          list(zip(pjs, featsE, gpts)))
 
 
 if __name__ == '__main__':
