@@ -155,7 +155,7 @@ def main():
         jr = gram.blend_layout.jr
         timed('rhs_moments_cached', lambda x: f_rhs_c(*x),
               list(zip(tgts, pjs, homogs)),
-              mxu_flops=(12 * lbs_kernels.BLEND_TERMS * jr  # blends, 1 pass
+              mxu_flops=(12 * gram.blend_layout.nt * jr  # blends, 1 pass
                          + 9 * jr                           # y dots, 3 passes
                          + 9 * E) * V_pad * B * 2,          # jac_proj
               hbm_bytes=tgt_bytes + homog_bytes)
@@ -163,12 +163,13 @@ def main():
         t, p, f, gram.weights_pad, gram.consts_pose, gram.sd_cm,
         layout=gram.blend_layout))
     jr = gram.blend_layout.jr
+    nt = gram.blend_layout.nt
     consts_bytes_per_tile = V_pad * 4 * F * 4
     def n_tiles(tb_guess=256):
         return max(1, B // tb_guess)
     timed('rhs_moments (in-kernel homog)', lambda x: f_rhs(*x),
           list(zip(tgts, pjs, feats)),
-          mxu_flops=(12 * lbs_kernels.BLEND_TERMS * jr + 9 * jr + 9 * E
+          mxu_flops=(12 * nt * jr + 9 * jr + 9 * E
                      + 9 * F) * V_pad * B * 2,
           hbm_bytes=tgt_bytes
           + consts_bytes_per_tile * n_tiles(128 if cached_pipeline else 256))
@@ -180,7 +181,7 @@ def main():
         layout=gram.blend_layout))
     timed('recon_part_sums_cached_lm', lambda x: f_rec_c(*x),
           list(zip(tgts, pjs, xs, homogs)),
-          mxu_flops=(12 * lbs_kernels.BLEND_TERMS * jr   # blends
+          mxu_flops=(12 * nt * jr   # blends
                      + 2 * (9 + 3 + 3) * J) * V_pad * B * 2,  # part dots, 2-pass
           hbm_bytes=tgt_bytes + homog_bytes)
     featsE = mk_inputs(N_CALLS, lambda i: feat(i, F + E))
@@ -189,7 +190,7 @@ def main():
         layout=gram.blend_layout))
     timed('recon_part_sums_lm (uncached)', lambda x: f_rec(*x),
           list(zip(tgts, pjs, featsE)),
-          mxu_flops=(12 * lbs_kernels.BLEND_TERMS * jr + 9 * (F + E)
+          mxu_flops=(12 * nt * jr + 9 * (F + E)
                      + 2 * 15 * J) * V_pad * B * 2,
           hbm_bytes=tgt_bytes + V_pad * 4 * (F + E) * 4
           * n_tiles(128 if cached_pipeline else 256))
@@ -205,7 +206,7 @@ def main():
     f_lbs = jax.jit(lambda p, f: lbs_kernels.lbs_points(
         p, f, gram.weights_pad, gram.consts_full))
     timed('lbs_points', lambda x: f_lbs(*x), list(zip(pjs, featsE)),
-          mxu_flops=(12 * lbs_kernels.BLEND_TERMS * jr + 9 * (F + E))
+          mxu_flops=(12 * nt * jr + 9 * (F + E))
           * V_pad * B * 2,
           hbm_bytes=homog_bytes + V_pad * 4 * (F + E) * 4
           * n_tiles(128 if cached_pipeline else 256))
@@ -226,10 +227,10 @@ def main():
     jp_w = gram.blend_layout_w.jp
     timed('wgram_moments (cached homog)', lambda x: f_wg(*x),
           list(zip(tgts, pjs, homogs, t4s, omegas)),
-          mxu_flops=(12 + 3 * E) * lbs_kernels.BLEND_TERMS * jr_w
+          mxu_flops=(12 + 3 * E) * gram.blend_layout_w.nt * jr_w
           * V_pad * B * 2,
           hbm_bytes=2 * tgt_bytes + homog_bytes  # tgt + omega + homog
-          + 3 * E * lbs_kernels.BLEND_TERMS * jp_w * B * 4
+          + 3 * E * gram.blend_layout_w.nt * jp_w * B * 4
           * max(1, B // 128))
 
     # --- gram_assembly ---

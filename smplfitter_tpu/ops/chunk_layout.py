@@ -172,11 +172,11 @@ def identity_layout(V: int, J: int, chunk: int) -> ChunkLayout:
 # [b0,b1,b0,b2,b1,b0] (all cross terms of the 3-way bf16 splits down to
 # 2^-16, accumulating a0b0 + (a0b1+a1b0) + (a0b2+a1b1+a2b0) in f32).
 
-def _lhs_terms():
-    # stay in sync with the kernels' packing (lbs_kernels.BLEND_TERMS)
+def _lhs_terms(nt: int):
+    # stay in sync with the kernels' packing (lbs_kernels.pick_blend_terms)
     from . import lbs_kernels
 
-    return lbs_kernels._terms()[0]
+    return lbs_kernels._terms(nt)[0]
 
 
 def _trunc_bf16_np(x: np.ndarray) -> np.ndarray:
@@ -195,10 +195,10 @@ def split3_np(x: np.ndarray):
     return x0, x1, x2
 
 
-def pack6_lhs_j_np(w_cols: np.ndarray) -> np.ndarray:
-    """(V, Jr) weight columns -> (V, T·Jr) j-major K-packed LHS."""
+def pack6_lhs_j_np(w_cols: np.ndarray, nt: int) -> np.ndarray:
+    """(V, Jr) weight columns -> (V, nt·Jr) j-major K-packed LHS."""
     s = split3_np(w_cols)
-    stacked = np.stack([s[t] for t in _lhs_terms()], axis=2)  # (V, Jr, T)
+    stacked = np.stack([s[t] for t in _lhs_terms(nt)], axis=2)  # (V, Jr, T)
     return stacked.reshape(w_cols.shape[0], -1)
 
 
@@ -211,6 +211,8 @@ def build_blend_operands(weights: np.ndarray, layout: ChunkLayout,
     DFS joint range [starts_k, starts_k + jr) (columns in DFS order; ranges
     may extend into the zero pad [J, jp)).
     """
+    from . import lbs_kernels
+
     w = np.asarray(weights, np.float32)
     V, J = w.shape
     w_sorted = np.zeros((V, layout.jp), np.float32)
@@ -220,7 +222,7 @@ def build_blend_operands(weights: np.ndarray, layout: ChunkLayout,
     assert v_pad >= V and v_pad % chunk == 0 and nchunks == v_pad // chunk or (
         nchunks == -(-V // chunk)), (v_pad, V, nchunks, chunk)
     jr = layout.jr
-    nt = len(_lhs_terms())
+    nt = lbs_kernels.pick_blend_terms(jr)
     wtsp_sub = np.zeros((v_pad, nt * jr), np.float32)
     w_sub = np.zeros((v_pad, jr), np.float32)
     for k in range(nchunks):
@@ -229,6 +231,6 @@ def build_blend_operands(weights: np.ndarray, layout: ChunkLayout,
         s = int(layout.starts[k])
         cols = w_sorted[lo:hi, s:s + jr]
         w_sub[lo:hi] = cols
-        wtsp_sub[lo:hi] = pack6_lhs_j_np(cols)
+        wtsp_sub[lo:hi] = pack6_lhs_j_np(cols, nt)
     starts = layout.starts.reshape(1, -1).astype(np.int32)
     return wtsp_sub, w_sub, starts

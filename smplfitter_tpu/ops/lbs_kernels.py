@@ -151,18 +151,37 @@ VC = 256  # vertex chunk (sublane dim of per-vertex tiles)
 # emulation). BLEND_TERMS=5 drops the single smallest term (a2*b0, the
 # weights' third-order bits against the rotations' leading bits, ~2^-16
 # relative on the blend) so SMPL's K drops from 6*24=144 (two MXU K-tiles)
-# to 120 (one tile). Gated by the oracle parity check — flip back to 6 if a
-# model/config trips it.
+# to 120 (one tile). Large-J models additionally drop a1*b1 (4-term packing,
+# residual ~2·2^-16 on the blend) WHEN that saves a whole K tile — SMPL-X's
+# K goes 5·55=275 (three tiles) -> 4·55=220 (two); models where 4 terms
+# round to the same tile count keep 5 (see pick_blend_terms). Gated by the
+# oracle parity check and BodyFitter.check_kernel_parity — set
+# BLEND_TERMS = 6 to restore full emulation everywhere.
 BLEND_TERMS = 5
 _LHS_TERMS6 = (0, 0, 1, 0, 1, 2)
 _RHS_TERMS6 = (0, 1, 0, 2, 1, 0)
 _LHS_TERMS5 = (0, 0, 1, 0, 1)
 _RHS_TERMS5 = (0, 1, 0, 2, 1)
+_LHS_TERMS4 = (0, 0, 1, 0)
+_RHS_TERMS4 = (0, 1, 0, 2)
 
 
-def _terms():
+def pick_blend_terms(jr: int) -> int:
+    """Terms per joint for a blend contraction over ``jr`` joints: the
+    narrowest packing whose accuracy class the parity gates accept AND that
+    actually buys a K tile (K pads to 128 lanes)."""
     if BLEND_TERMS == 6:
+        return 6
+    if -(-5 * jr // 128) > -(-4 * jr // 128):
+        return 4
+    return 5
+
+
+def _terms(nt: int):
+    if nt == 6:
         return _LHS_TERMS6, _RHS_TERMS6
+    if nt == 4:
+        return _LHS_TERMS4, _RHS_TERMS4
     return _LHS_TERMS5, _RHS_TERMS5
 
 
@@ -175,17 +194,17 @@ def _interleave6(cat, axis, terms, J):
     return jnp.take(cat, jnp.asarray(idx), axis=axis)
 
 
-def _pack6_lhs_j(a, axis):
-    """j-major K-packed LHS: per-joint term blocks (see BLEND_TERMS) are
-    contiguous along the expanded ``axis``."""
+def _pack6_lhs_j(a, axis, nt: int):
+    """j-major K-packed LHS: per-joint term blocks (``nt`` of them, see
+    pick_blend_terms) are contiguous along the expanded ``axis``."""
     cat = jnp.concatenate(_split3_bf16(a), axis=axis)
-    return _interleave6(cat, axis, _terms()[0], a.shape[axis])
+    return _interleave6(cat, axis, _terms(nt)[0], a.shape[axis])
 
 
-def _pack6_rhs_j(b, axis):
+def _pack6_rhs_j(b, axis, nt: int):
     """j-major K-packed RHS twin of :func:`_pack6_lhs_j`."""
     cat = jnp.concatenate(_split3_bf16(b), axis=axis)
-    return _interleave6(cat, axis, _terms()[1], b.shape[axis])
+    return _interleave6(cat, axis, _terms(nt)[1], b.shape[axis])
 
 
 from flax import struct as _struct
@@ -214,6 +233,13 @@ class BlendLayout:
     jperm: tuple = _struct.field(pytree_node=False)
 
     @property
+    def nt(self) -> int:
+        """Blend terms per joint for THIS layout (pick_blend_terms(jr)) —
+        deterministic from jr, so the trace-time packers and the host-side
+        GramData packers always agree."""
+        return pick_blend_terms(self.jr)
+
+    @property
     def full(self) -> bool:
         """Full-width layout: every chunk uses the whole joint axis (starts
         all zero by construction), so kernels take static offsets."""
@@ -228,7 +254,7 @@ def default_layout(weights_pad, chunk: int = VC) -> BlendLayout:
     """Trace-time degenerate layout: full joint width, no reordering."""
     v_pad, J = weights_pad.shape
     return BlendLayout(
-        wtsp_sub=_pack6_lhs_j(weights_pad, axis=1),
+        wtsp_sub=_pack6_lhs_j(weights_pad, axis=1, nt=pick_blend_terms(J)),
         w_sub=weights_pad,
         starts=jnp.zeros((1, v_pad // chunk), jnp.int32),
         jr=J,
@@ -247,7 +273,7 @@ def pack_pj(pj_cm, layout: BlendLayout):
         pad = [(0, 0)] * pj_cm.ndim
         pad[1] = (0, layout.jp - J)
         pj_cm = jnp.pad(pj_cm, pad)
-    return _pack6_rhs_j(pj_cm, axis=1)
+    return _pack6_rhs_j(pj_cm, axis=1, nt=layout.nt)
 
 
 def unpermute_joints(x, layout: BlendLayout, axis: int = 1):
@@ -444,13 +470,13 @@ def from_vertex_major(x_vm: jax.Array, num_vertices: int,
     return jnp.transpose(x_vm[:, :num_vertices], (2, 1, 0))
 
 
-def _blend_s6(starts_ref, k):
-    """Per-chunk K offset into the j-major packed joint operands: 6 x the
+def _blend_s6(starts_ref, k, nt: int):
+    """Per-chunk K offset into the j-major packed joint operands: nt x the
     chunk's DFS range start. ``starts_ref`` is None in the degenerate
     (full-width) layout — the offset is then the static 0."""
     if starts_ref is None:
         return 0
-    return pl.multiple_of(starts_ref[0, k] * BLEND_TERMS, 8 * BLEND_TERMS)
+    return pl.multiple_of(starts_ref[0, k] * nt, 8 * nt)
 
 
 def _lbs_blend(pjp_ref, wtsp_ref, s6):
@@ -496,7 +522,7 @@ def _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6, blend=None,
     ]
 
 
-def _rhs_kernel(nchunks, rem, weighted, scale, subset, emit_homog, cached,
+def _rhs_kernel(nt, nchunks, rem, weighted, scale, subset, emit_homog, cached,
                 *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
@@ -517,7 +543,7 @@ def _rhs_kernel(nchunks, rem, weighted, scale, subset, emit_homog, cached,
     r_ref, y_small_ref = refs[:2]
     rt_ref, yt_ref, sc_ref = refs[2:] if scale else (None, None, None)
     k = pl.program_id(1)
-    s6 = _blend_s6(starts_ref, k)
+    s6 = _blend_s6(starts_ref, k, nt)
     st = 0 if starts_ref is None else pl.multiple_of(starts_ref[0, k], 8)
     jr = wsub_ref.shape[1]
 
@@ -646,7 +672,7 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     tb = _shrink_tb(
         pick_batch_tile(B),
         lambda t: (
-            3 * VC + 12 * BLEND_TERMS * jp + F + E + 3 * jp
+            3 * VC + 12 * layout.nt * jp + F + E + 3 * jp
             + (3 * VC if (emit_homog or cached) else 0)
             # The cached variant's block budget is lean enough that the
             # in-kernel scratch (12 blend + 3 pos (VC, tb) temporaries)
@@ -655,7 +681,7 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             + (15 * VC if cached else 0)
             + ((E + 3 * jp + 3) if scale else 0)
             + (VC if omega is not None else 0)
-        ) * t + VC * (BLEND_TERMS * jr + jr + 4 * F + 3 * E),
+        ) * t + VC * (layout.nt * jr + jr + 4 * F + 3 * E),
     )
     nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0 and nchunks * VC >= v_t > (nchunks - 1) * VC
@@ -667,9 +693,9 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     if cached:
         in_specs = [
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, BLEND_TERMS * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, layout.nt * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((VC, jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         ]
@@ -678,9 +704,9 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     else:
         in_specs = [
             pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, BLEND_TERMS * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, layout.nt * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((VC, jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
@@ -720,7 +746,7 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
         out_shape.append(jax.ShapeDtypeStruct((3, v_pad, B), jnp.float32))
 
     outs = pl.pallas_call(
-        functools.partial(_rhs_kernel, nchunks, v_t % VC, weighted, scale,
+        functools.partial(_rhs_kernel, layout.nt, nchunks, v_t % VC, weighted, scale,
                           subset, emit_homog, cached),
         grid=grid,
         in_specs=in_specs,
@@ -742,11 +768,11 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     return res
 
 
-def _lbs_points_kernel(subset, *refs):
+def _lbs_points_kernel(nt, subset, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
     pjp_ref, feat_ref, wtsp_ref, consts_ref, out_ref = refs
-    s6 = _blend_s6(starts_ref, pl.program_id(1))
+    s6 = _blend_s6(starts_ref, pl.program_id(1), nt)
     pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6)
     for a in range(3):
         out_ref[a] = pos[a]
@@ -770,8 +796,8 @@ def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
     jp, jr = layout.jp, layout.jr
     tb = _shrink_tb(
         pick_batch_tile(B),
-        lambda t: (12 * BLEND_TERMS * jp + F + 3 * VC) * t
-        + VC * (BLEND_TERMS * jr + 4 * F),
+        lambda t: (12 * layout.nt * jp + F + 3 * VC) * t
+        + VC * (layout.nt * jr + 4 * F),
     )
     assert tb is not None and v_pad % VC == 0
     nchunks = v_pad // VC
@@ -780,9 +806,9 @@ def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
     subset = not layout.full
 
     in_specs = [
-        pl.BlockSpec((12, BLEND_TERMS * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, layout.nt * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
     ]
     operands = [pjp, feat_cols, layout.wtsp_sub, consts_pad]
@@ -792,7 +818,7 @@ def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
         operands.insert(0, layout.starts)
 
     return pl.pallas_call(
-        functools.partial(_lbs_points_kernel, subset),
+        functools.partial(_lbs_points_kernel, layout.nt, subset),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -988,13 +1014,13 @@ def _lbs_grads_chunk(g, pjp_ref, feat_ref, wtsp_ref, wfull_ref, consts_ref,
         )  # (F, TB)
 
 
-def _lbs_points_bwd_kernel(subset, *refs):
+def _lbs_points_bwd_kernel(nt, subset, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
     (g_ref, pjp_ref, feat_ref, wtsp_ref, wfull_ref, consts_ref,
      dpj_ref, dfeat_ref) = refs
     k = pl.program_id(1)
-    s6 = _blend_s6(starts_ref, k)
+    s6 = _blend_s6(starts_ref, k, nt)
     g = [g_ref[a] for a in range(3)]
     _lbs_grads_chunk(g, pjp_ref, feat_ref, wtsp_ref, wfull_ref, consts_ref,
                      dpj_ref, dfeat_ref, k, s6)
@@ -1011,9 +1037,9 @@ def _bwd_common_specs(layout, tb, F):
     jp_l, jr = layout.jp, layout.jr
     J = len(layout.jperm)
     return [
-        pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, layout.nt * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
     ]
@@ -1029,8 +1055,8 @@ def _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad, g, interpret,
     tb = _shrink_tb(
         pick_batch_tile(B),
         lambda t: (
-            6 * VC + 12 * BLEND_TERMS * layout.jp + 2 * F + 12 * J
-        ) * t + VC * (BLEND_TERMS * layout.jr + J + 4 * F),
+            6 * VC + 12 * layout.nt * layout.jp + 2 * F + 12 * J
+        ) * t + VC * (layout.nt * layout.jr + J + 4 * F),
     )
     nchunks = v_pad // VC
     grid = (B // tb, nchunks)
@@ -1044,7 +1070,7 @@ def _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad, g, interpret,
         g, pjp, feat_cols, layout.wtsp_sub, weights_pad, consts_pad]
 
     dpj, dfeat = pl.pallas_call(
-        functools.partial(_lbs_points_bwd_kernel, subset),
+        functools.partial(_lbs_points_bwd_kernel, layout.nt, subset),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -1086,7 +1112,7 @@ def _lbs_points_bwd_rule(interpret, res, g):
 _lbs_points_diff.defvjp(_lbs_points_fwd, _lbs_points_bwd_rule)
 
 
-def _rhs_bwd_kernel(nchunks, rem, weighted, subset, with_gh, *refs):
+def _rhs_bwd_kernel(nt, nchunks, rem, weighted, subset, with_gh, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
     gh_ref = refs.pop(-4) if with_gh else None  # before the 3 outputs
@@ -1097,7 +1123,7 @@ def _rhs_bwd_kernel(nchunks, rem, weighted, subset, with_gh, *refs):
         (gr_ref, gy_ref, tgt_ref, pjp_ref, feat_ref, wtsp_ref, wfull_ref,
          consts_ref, sd_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
     k = pl.program_id(1)
-    s6 = _blend_s6(starts_ref, k)
+    s6 = _blend_s6(starts_ref, k, nt)
     w = wfull_ref[:]  # (VC, J) plain full-width weights
     homog = _lbs_homog(feat_ref, consts_ref)
     blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
@@ -1160,8 +1186,8 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     tb = _shrink_tb(
         pick_batch_tile(B),
         lambda t: (
-            9 * VC + 12 * BLEND_TERMS * layout.jp + 2 * F + E + 3 * J + 12 * J
-        ) * t + VC * (BLEND_TERMS * layout.jr + J + 4 * F + 3 * E),
+            9 * VC + 12 * layout.nt * layout.jp + 2 * F + E + 3 * J + 12 * J
+        ) * t + VC * (layout.nt * layout.jr + J + 4 * F + 3 * E),
     )
     nchunks = v_pad // VC
     grid = (B // tb, nchunks)
@@ -1191,7 +1217,7 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
         operands.append(gh)
 
     dtgt, dpj, dfeat = pl.pallas_call(
-        functools.partial(_rhs_bwd_kernel, nchunks, v_t % VC, weighted, subset,
+        functools.partial(_rhs_bwd_kernel, layout.nt, nchunks, v_t % VC, weighted, subset,
                           with_gh),
         grid=grid,
         in_specs=in_specs,
@@ -1310,7 +1336,7 @@ def lbs_points(pj_cm, feat_cols, weights_pad, consts_pad,
                             interpret, layout)
 
 
-def _recon_part_sums_kernel(nchunks, rem, weighted, subset, *refs):
+def _recon_part_sums_kernel(nt, nchunks, rem, weighted, subset, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
     if weighted:
@@ -1320,7 +1346,7 @@ def _recon_part_sums_kernel(nchunks, rem, weighted, subset, *refs):
         (tgt_ref, pjp_ref, feat_ref, wtsp_ref, consts_ref, pm_ref,
          raw_ref, st_ref, sa_ref) = refs
     k = pl.program_id(1)
-    s6 = _blend_s6(starts_ref, k)
+    s6 = _blend_s6(starts_ref, k, nt)
 
     @pl.when(k == 0)
     def _():
@@ -1360,8 +1386,8 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     jp_l, jr = layout.jp, layout.jr
     tb = _shrink_tb(
         pick_batch_tile(B),
-        lambda t: (3 * VC + 12 * BLEND_TERMS * jp_l + F + 15 * J) * t
-        + VC * (BLEND_TERMS * jr + 4 * F + J),
+        lambda t: (3 * VC + 12 * layout.nt * jp_l + F + 15 * J) * t
+        + VC * (layout.nt * jr + 4 * F + J),
     )
     nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0
@@ -1373,9 +1399,9 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
 
     in_specs = [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, layout.nt * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
     ]
@@ -1389,7 +1415,7 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
         operands.append(omega)
 
     return pl.pallas_call(
-        functools.partial(_recon_part_sums_kernel, nchunks, v_t % VC, weighted,
+        functools.partial(_recon_part_sums_kernel, layout.nt, nchunks, v_t % VC, weighted,
                           subset),
         grid=grid,
         in_specs=in_specs,
@@ -1407,7 +1433,7 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     )(*operands)
 
 
-def _recon_part_sums_bwd_kernel(nchunks, rem, weighted, subset, *refs):
+def _recon_part_sums_bwd_kernel(nt, nchunks, rem, weighted, subset, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
     if weighted:
@@ -1418,7 +1444,7 @@ def _recon_part_sums_bwd_kernel(nchunks, rem, weighted, subset, *refs):
         (tgt_ref, pjp_ref, feat_ref, wtsp_ref, wfull_ref, consts_ref, pm_ref,
          graw_ref, gst_ref, gsa_ref, dtgt_ref, dpj_ref, dfeat_ref) = refs
     k = pl.program_id(1)
-    s6 = _blend_s6(starts_ref, k)
+    s6 = _blend_s6(starts_ref, k, nt)
     pm = pm_ref[:]  # (J, VC)
     contract_j = (((0,), (0,)), ((), ()))  # pm dim0 (J) with grad dim0 (J)
     pos = _lbs_pos(pjp_ref, feat_ref, wtsp_ref, consts_ref, s6)
@@ -1455,8 +1481,8 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     tb = _shrink_tb(
         pick_batch_tile(B),
         lambda t: (
-            6 * VC + 12 * BLEND_TERMS * layout.jp + 2 * F + 15 * J + 12 * Jw
-        ) * t + VC * (BLEND_TERMS * layout.jr + Jw + 4 * F + J),
+            6 * VC + 12 * layout.nt * layout.jp + 2 * F + 15 * J + 12 * Jw
+        ) * t + VC * (layout.nt * layout.jr + Jw + 4 * F + J),
     )
     nchunks = v_pad // VC
     grid = (B // tb, nchunks)
@@ -1484,7 +1510,7 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     operands += [graw, gst, gsa]
 
     dtgt, dpj, dfeat = pl.pallas_call(
-        functools.partial(_recon_part_sums_bwd_kernel, nchunks, v_t % VC,
+        functools.partial(_recon_part_sums_bwd_kernel, layout.nt, nchunks, v_t % VC,
                           weighted, subset),
         grid=grid,
         in_specs=in_specs,
@@ -1915,10 +1941,14 @@ def _gram_mparts_ref(R_cm, T_cm, y_cm, P_cm, bJ_cm, lz, sd1_2d, q, w1,
 
     These all live in (B, ~E·J) tensors — cheap at any J. Only term1's
     (B, 3J, 3J) X intermediate is pathological at large J (446 MB at
-    SMPL-X b4096), which the streamed kernel replaces."""
+    SMPL-X b4096), which the streamed kernel replaces.
+
+    Precision: HIGH (bf16_3x — measured ~1.4e-5 rel on this TPU), the same
+    emulation class as the kernels' 3-pass dots; HIGHEST (6-pass) doubled
+    this path's MXU time for accuracy the moments don't need."""
     _, J3, B = R_cm.shape
     E = sd1_2d.shape[1]
-    hi = jax.lax.Precision.HIGHEST
+    hi = jax.lax.Precision.HIGH
     T3 = T_cm.reshape(3, E, -1, B)
     Z3 = jnp.einsum('jx,ajb->axb', lz, R_cm, precision=hi).reshape(3, E, -1, B)
     M1 = jnp.einsum('aejb,afjb->efb', Z3, T3, precision=hi)
@@ -2126,7 +2156,7 @@ def wgram_batch_limit(n_feat: int) -> int | None:
     return 128 if n_feat > 320 else None
 
 
-def _wgram_kernel(nchunks, rem, E, scale_mode, subset, *refs):
+def _wgram_kernel(nt, nchunks, rem, E, scale_mode, subset, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
     (tgt_ref, pjp_ref, h_ref, wtsp_ref, sd_ref, t4p_ref,
@@ -2135,7 +2165,7 @@ def _wgram_kernel(nchunks, rem, E, scale_mode, subset, *refs):
     mu_s_ref = refs.pop(0) if scale_mode else None
     g_ref, sa_ref, r_ref, sb_ref, w_ref = refs
     k = pl.program_id(1)
-    s6 = _blend_s6(starts_ref, k)
+    s6 = _blend_s6(starts_ref, k, nt)
 
     @pl.when(k == 0)
     def _():
@@ -2294,11 +2324,11 @@ def wgram_moments(tgt_vm, pj_cm, homog_vm, t4_cm, weights_pad,
 
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((3, vc_w, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, layout.nt * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, vc_w, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((vc_w, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((vc_w, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, vc_w, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * E, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * E, layout.nt * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((vc_w, tb), lambda i, k: (k, i), memory_space=pltpu.VMEM),
     ]
@@ -2312,7 +2342,7 @@ def wgram_moments(tgt_vm, pj_cm, homog_vm, t4_cm, weights_pad,
         operands.append(mu_s)
 
     return pl.pallas_call(
-        functools.partial(_wgram_kernel, nchunks, v_t % vc_w, E, scale_mode,
+        functools.partial(_wgram_kernel, layout.nt, nchunks, v_t % vc_w, E, scale_mode,
                           subset),
         grid=grid,
         in_specs=in_specs,
@@ -2529,7 +2559,7 @@ def _posed_template_bwd(interpret, consts_pad, dh):
 posed_template_lm.defvjp(_posed_template_fwd, _posed_template_bwd)
 
 
-def _rhs_cached_bwd_kernel(nchunks, rem, weighted, subset, *refs):
+def _rhs_cached_bwd_kernel(nt, nchunks, rem, weighted, subset, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
     if weighted:
@@ -2539,7 +2569,7 @@ def _rhs_cached_bwd_kernel(nchunks, rem, weighted, subset, *refs):
         (gr_ref, gy_ref, tgt_ref, pjp_ref, h_ref, wtsp_ref, wfull_ref,
          sd_ref, dtgt_ref, dpj_ref, dh_ref) = refs
     k = pl.program_id(1)
-    s6 = _blend_s6(starts_ref, k)
+    s6 = _blend_s6(starts_ref, k, nt)
     w = wfull_ref[:]  # (VC, J) plain full-width weights
     homog = [h_ref[c] for c in range(3)]
     blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
@@ -2593,8 +2623,8 @@ def _rhs_cached_bwd(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, gr, gy,
         # 12·VC input/output blocks + ~21·VC in-kernel scratch (blend, pos,
         # G, db temporaries) per batch column.
         lambda t: (
-            33 * VC + 12 * BLEND_TERMS * layout.jp + E + 3 * J + 12 * J
-        ) * t + VC * (BLEND_TERMS * layout.jr + J + 3 * E),
+            33 * VC + 12 * layout.nt * layout.jp + E + 3 * J + 12 * J
+        ) * t + VC * (layout.nt * layout.jr + J + 3 * E),
     )
     nchunks = v_pad // VC
     grid = (B // tb, nchunks)
@@ -2606,9 +2636,9 @@ def _rhs_cached_bwd(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, gr, gy,
         pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, BLEND_TERMS * layout.jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, layout.nt * layout.jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, BLEND_TERMS * layout.jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, layout.nt * layout.jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
     ]
@@ -2621,7 +2651,7 @@ def _rhs_cached_bwd(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, gr, gy,
         operands.append(omega)
 
     dtgt, dpj, dh = pl.pallas_call(
-        functools.partial(_rhs_cached_bwd_kernel, nchunks, v_t % VC, weighted,
+        functools.partial(_rhs_cached_bwd_kernel, layout.nt, nchunks, v_t % VC, weighted,
                           subset),
         grid=grid,
         in_specs=in_specs,
@@ -2743,7 +2773,7 @@ def _sdx_chunk(sd_ref, x_ref, E):
     return out
 
 
-def _recon_cached_kernel(nchunks, rem, E, weighted, subset, *refs):
+def _recon_cached_kernel(nt, nchunks, rem, E, weighted, subset, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
     if weighted:
@@ -2753,7 +2783,7 @@ def _recon_cached_kernel(nchunks, rem, E, weighted, subset, *refs):
         (tgt_ref, pjp_ref, x_ref, wtsp_ref, sd_ref, h_ref, pm_ref,
          raw_ref, st_ref, sa_ref) = refs
     k = pl.program_id(1)
-    s6 = _blend_s6(starts_ref, k)
+    s6 = _blend_s6(starts_ref, k, nt)
 
     @pl.when(k == 0)
     def _():
@@ -2793,8 +2823,8 @@ def _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
     jp_l, jr = layout.jp, layout.jr
     tb = _shrink_tb(
         pick_batch_tile(B),
-        lambda t: (6 * VC + 12 * BLEND_TERMS * jp_l + E + 15 * J) * t
-        + VC * (BLEND_TERMS * jr + 3 * E + J),
+        lambda t: (6 * VC + 12 * layout.nt * jp_l + E + 15 * J) * t
+        + VC * (layout.nt * jr + 3 * E + J),
     )
     nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0
@@ -2805,9 +2835,9 @@ def _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
 
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, layout.nt * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
@@ -2819,7 +2849,7 @@ def _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
         operands.append(omega)
 
     return pl.pallas_call(
-        functools.partial(_recon_cached_kernel, nchunks, v_t % VC, E,
+        functools.partial(_recon_cached_kernel, layout.nt, nchunks, v_t % VC, E,
                           weighted, subset),
         grid=grid,
         in_specs=in_specs,
@@ -2837,7 +2867,7 @@ def _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
     )(*operands)
 
 
-def _recon_cached_bwd_kernel(nchunks, rem, E, weighted, subset, *refs):
+def _recon_cached_bwd_kernel(nt, nchunks, rem, E, weighted, subset, *refs):
     refs = list(refs)
     starts_ref = refs.pop(0) if subset else None
     if weighted:
@@ -2849,7 +2879,7 @@ def _recon_cached_bwd_kernel(nchunks, rem, E, weighted, subset, *refs):
          graw_ref, gst_ref, gsa_ref,
          dtgt_ref, dpj_ref, dx_ref, dh_ref) = refs
     k = pl.program_id(1)
-    s6 = _blend_s6(starts_ref, k)
+    s6 = _blend_s6(starts_ref, k, nt)
     pm = pm_ref[:]
     contract_j = (((0,), (0,)), ((), ()))
     blend = _lbs_blend(pjp_ref, wtsp_ref, s6)
@@ -2905,8 +2935,8 @@ def _recon_cached_bwd(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
     tb = _shrink_tb(
         pick_batch_tile(B),
         lambda t: (
-            12 * VC + 12 * BLEND_TERMS * jp_l + 2 * E + 15 * J + 12 * Jw
-        ) * t + VC * (BLEND_TERMS * jr + Jw + 3 * E + J),
+            12 * VC + 12 * layout.nt * jp_l + 2 * E + 15 * J + 12 * Jw
+        ) * t + VC * (layout.nt * jr + Jw + 3 * E + J),
     )
     nchunks = v_pad // VC
     grid = (B // tb, nchunks)
@@ -2916,9 +2946,9 @@ def _recon_cached_bwd(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
 
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((12, BLEND_TERMS * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((12, layout.nt * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, BLEND_TERMS * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((VC, Jw), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
@@ -2939,7 +2969,7 @@ def _recon_cached_bwd(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
     operands += [graw, gst, gsa]
 
     dtgt, dpj, dx, dh = pl.pallas_call(
-        functools.partial(_recon_cached_bwd_kernel, nchunks, v_t % VC, E,
+        functools.partial(_recon_cached_bwd_kernel, layout.nt, nchunks, v_t % VC, E,
                           weighted, subset),
         grid=grid,
         in_specs=in_specs,
