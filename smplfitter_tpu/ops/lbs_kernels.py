@@ -2823,8 +2823,16 @@ def _recon_cached_impl(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm,
     jp_l, jr = layout.jp, layout.jr
     tb = _shrink_tb(
         pick_batch_tile(B),
-        lambda t: (6 * VC + 12 * layout.nt * jp_l + E + 15 * J) * t
+        # 6·VC double-buffered input/output blocks + ~24·VC single-buffered
+        # in-kernel scratch (blend, sdx, hfull, pos temporaries) per batch
+        # column. Scratch is NOT double-buffered, so it enters the 8×-scaled
+        # model at half weight, against the real 16 MB scoped limit (15 MB
+        # with margin). Measured: the block-only model kept tb=256 at SMPL-X
+        # b1024 and overflowed scoped VMEM (17.3 MB > 16 MB); SMPL at tb=256
+        # fits (~13 MB) and must not shrink.
+        lambda t: (6 * VC + 12 * VC + 12 * layout.nt * jp_l + E + 15 * J) * t
         + VC * (layout.nt * jr + 3 * E + J),
+        limit_bytes=15 * 2 ** 20,
     )
     nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0
@@ -2934,8 +2942,10 @@ def _recon_cached_bwd(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
     jp_l, jr = layout.jp, layout.jr
     tb = _shrink_tb(
         pick_batch_tile(B),
+        # 12·VC input/output blocks + ~21·VC in-kernel scratch (blend, dpos,
+        # dh, tgt temporaries) per batch column, as in _rhs_cached_bwd.
         lambda t: (
-            12 * VC + 12 * layout.nt * jp_l + 2 * E + 15 * J + 12 * Jw
+            33 * VC + 12 * layout.nt * jp_l + 2 * E + 15 * J + 12 * Jw
         ) * t + VC * (layout.nt * jr + Jw + 3 * E + J),
     )
     nchunks = v_pad // VC
