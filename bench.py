@@ -29,10 +29,11 @@ import numpy as np
 BASELINE_FITS_PER_SEC = 9481.0  # reference PT backend, RTX 3090, README.md:15
 BATCH = int(os.getenv('BENCH_BATCH', '4096'))
 NUM_ITER = 3
-# 16 distinct in-flight reps: the tunnel's fixed pipeline overhead (~29 ms
-# per run, measured by sweeping the pipeline depth) amortizes to <2 ms/batch;
-# deeper would double the distinct-target HBM footprint (16 x 339 MB).
-REPS = int(os.getenv('BENCH_REPS', '16'))
+# 32 distinct in-flight reps: the tunnel's fixed pipeline overhead (~29 ms
+# per run, measured by sweeping the pipeline depth) amortizes to <1 ms/batch.
+# The distinct-target HBM footprint (32 x 339 MB = 10.9 GB) fits v5e's 16 GB
+# only because main() frees it before the secondary stages run.
+REPS = int(os.getenv('BENCH_REPS', '32'))
 
 
 def main() -> None:
@@ -126,6 +127,9 @@ def main() -> None:
     )
 
     if os.getenv('BENCH_SECONDARY', '1') == '1':
+        # Free the headline stage's in-flight targets (REPS x 340 MB) before
+        # the secondary stages allocate theirs.
+        del targets, outs, out, refit
         try:
             secondary(jax, smplfitter_tpu, models_dir, rng)
         except Exception as e:  # secondary metrics are informational only

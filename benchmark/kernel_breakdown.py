@@ -57,7 +57,7 @@ def timed(name, fn, inputs, mxu_flops=None, hbm_bytes=None):
         floor = max(mxu_ms, hbm_ms)
         bound = 'MXU' if mxu_ms >= hbm_ms else 'HBM'
         line += (f'   min {floor:6.3f} ms ({bound}-bound: mxu {mxu_ms:5.3f} /'
-                 f' hbm {hbm_ms:5.3f})  util {floor / dt * 100:4.0f}%')
+                 f' hbm {hbm_ms:5.3f})  util {floor / (dt * 1e3) * 100:4.0f}%')
     print(line, flush=True)
     return dt
 
@@ -91,6 +91,12 @@ def main():
     gram = fitter.gram
     plan = fitter.plan
     data = bm.data
+    # Synthetic models have scattered vertex orders -> degenerate (None)
+    # layouts; resolve to the same full-width layout the kernels build.
+    layout = gram.blend_layout or lbs_kernels.default_layout(
+        gram.weights_pad, lbs_kernels.VC)
+    layout_w = gram.blend_layout_w or lbs_kernels.default_layout(
+        gram.weights_pad, lbs_kernels.VC_W)
 
     rng = np.random.default_rng(0)
     J = data.num_joints
@@ -126,16 +132,21 @@ def main():
     print(f'B={B} V={V} J={J} E={E} F={F} n_big={n_big} '
           f'cached_pipeline={cached_pipeline}')
 
-    # --- transpose --- (derived inputs freed right after)
+    # --- transpose --- (derived inputs freed right after; the distinct
+    # scalar multiplies BEFORE the transpose — like the fit's fused
+    # centering — and defeats the runtime's memoization of repeated
+    # executions / recognition of inverse transposes)
     tgt_bm = [jnp.transpose(t, (2, 1, 0)) for t in tgts[:n_big]]
     jax.block_until_ready(tgt_bm)
-    tr = jax.jit(lambda t: lbs_kernels.to_vertex_major(t) * 1.0000001)
-    timed('to_vertex_major (+eps mul)', tr, tgt_bm,
+    tr = jax.jit(lambda t, s: lbs_kernels.to_vertex_major(t * s))
+    scalars = [jnp.float32(1.0 + 1e-7 * i) for i in range(N_CALLS)]
+    timed('to_vertex_major (+eps mul)', lambda x: tr(*x),
+          list(zip((tgt_bm * N_CALLS)[:N_CALLS], scalars)),
           mxu_flops=0, hbm_bytes=2 * tgt_bytes)
     del tgt_bm
 
-    print(f'blend layout: jr={getattr(gram.blend_layout, "jr", None)} '
-          f'jp={getattr(gram.blend_layout, "jp", None)}')
+    print(f'blend layout: jr={layout.jr} '
+          f'jp={layout.jp}')
 
     # --- posed-template GEMM (the cached-homog producer) ---
     f_pt = jax.jit(lambda f: lbs_kernels.posed_template_lm(f, gram.consts_pose))
@@ -151,19 +162,19 @@ def main():
     # --- rhs_moments: production path per model ---
     if cached_pipeline:
         f_rhs_c = jax.jit(lambda t, p, h: lbs_kernels.rhs_moments_cached(
-            t, p, h, gram.weights_pad, gram.sd_cm, layout=gram.blend_layout))
-        jr = gram.blend_layout.jr
+            t, p, h, gram.weights_pad, gram.sd_cm, layout=layout))
+        jr = layout.jr
         timed('rhs_moments_cached', lambda x: f_rhs_c(*x),
               list(zip(tgts, pjs, homogs)),
-              mxu_flops=(12 * gram.blend_layout.nt * jr  # blends, 1 pass
+              mxu_flops=(12 * layout.nt * jr  # blends, 1 pass
                          + 9 * jr                           # y dots, 3 passes
                          + 9 * E) * V_pad * B * 2,          # jac_proj
               hbm_bytes=tgt_bytes + homog_bytes)
     f_rhs = jax.jit(lambda t, p, f: lbs_kernels.rhs_moments(
         t, p, f, gram.weights_pad, gram.consts_pose, gram.sd_cm,
-        layout=gram.blend_layout))
-    jr = gram.blend_layout.jr
-    nt = gram.blend_layout.nt
+        layout=layout))
+    jr = layout.jr
+    nt = layout.nt
     consts_bytes_per_tile = V_pad * 4 * F * 4
     def n_tiles(tb_guess=256):
         return max(1, B // tb_guess)
@@ -178,7 +189,7 @@ def main():
     xs = mk_inputs(N_CALLS, lambda i: feat(i, E))
     f_rec_c = jax.jit(lambda t, p, x, h: lbs_kernels.recon_part_sums_cached_lm(
         t, p, x, gram.sd_cm, h, plan.pm_t_pad, gram.weights_pad,
-        layout=gram.blend_layout))
+        layout=layout))
     timed('recon_part_sums_cached_lm', lambda x: f_rec_c(*x),
           list(zip(tgts, pjs, xs, homogs)),
           mxu_flops=(12 * nt * jr   # blends
@@ -187,7 +198,7 @@ def main():
     featsE = mk_inputs(N_CALLS, lambda i: feat(i, F + E))
     f_rec = jax.jit(lambda t, p, f: lbs_kernels.recon_part_sums_lm(
         t, p, f, gram.weights_pad, gram.consts_full, plan.pm_t_pad,
-        layout=gram.blend_layout))
+        layout=layout))
     timed('recon_part_sums_lm (uncached)', lambda x: f_rec(*x),
           list(zip(tgts, pjs, featsE)),
           mxu_flops=(12 * nt * jr + 9 * (F + E)
@@ -195,11 +206,12 @@ def main():
           hbm_bytes=tgt_bytes + V_pad * 4 * (F + E) * 4
           * n_tiles(128 if cached_pipeline else 256))
 
-    # --- part_sums_vm ---
-    ref_vm = jnp.asarray(rng.normal(0, 0.5, (3, V_pad, 1)).astype(np.float32))
-    f_ps = jax.jit(lambda t: lbs_kernels.part_sums_vm_lm(
-        t, ref_vm, plan.pm_t_pad))
-    timed('part_sums_vm_lm', f_ps, tgts[:n_big],
+    # --- part_sums_vm --- (distinct ref_vm per call defeats memoization)
+    ref_vms = mk_inputs(N_CALLS, lambda i: jnp.asarray(
+        rng.normal(0, 0.5, (3, V_pad, 1)).astype(np.float32)))
+    f_ps = jax.jit(lambda t, r: lbs_kernels.part_sums_vm_lm(
+        t, r, plan.pm_t_pad))
+    timed('part_sums_vm_lm', lambda x: f_ps(*x), list(zip(tgts, ref_vms)),
           mxu_flops=2 * 15 * J * V_pad * B * 2, hbm_bytes=tgt_bytes)
 
     # --- lbs_points ---
@@ -222,15 +234,15 @@ def main():
     mu0 = jnp.zeros((3 * E, B), jnp.float32)
     f_wg = jax.jit(lambda t, p, h, t4, om: lbs_kernels.wgram_moments(
         t, p, h, t4, gram.weights_pad, gram.sd_cm, mu0, om,
-        layout=gram.blend_layout_w))
-    jr_w = gram.blend_layout_w.jr
-    jp_w = gram.blend_layout_w.jp
+        layout=layout_w))
+    jr_w = layout_w.jr
+    jp_w = layout_w.jp
     timed('wgram_moments (cached homog)', lambda x: f_wg(*x),
           list(zip(tgts, pjs, homogs, t4s, omegas)),
-          mxu_flops=(12 + 3 * E) * gram.blend_layout_w.nt * jr_w
+          mxu_flops=(12 + 3 * E) * layout_w.nt * jr_w
           * V_pad * B * 2,
           hbm_bytes=2 * tgt_bytes + homog_bytes  # tgt + omega + homog
-          + 3 * E * gram.blend_layout_w.nt * jp_w * B * 4
+          + 3 * E * layout_w.nt * jp_w * B * 4
           * max(1, B // 128))
 
     # --- gram_assembly ---
@@ -252,46 +264,89 @@ def main():
         return
 
     # --- backward kernels (the custom-VJP passes of the grad recipe) ---
-    print('--- backward kernels ---')
-    grs = mk_inputs(N_CALLS, lambda i: feat(i, E))
-    gys = mk_inputs(N_CALLS, lambda i: jnp.asarray(
-        rng.normal(0, 1, (3, J, B)).astype(np.float32)))
-    if cached_pipeline:
-        f_rhs_b = jax.jit(lambda t, p, h, gr, gy: lbs_kernels._rhs_cached_bwd(
-            t, p, h, gram.weights_pad, gram.sd_cm, gr, gy,
-            layout=gram.blend_layout))
-        timed('rhs_cached bwd', lambda x: f_rhs_b(*x),
-              list(zip(tgts, pjs, homogs, grs, gys)))
-    f_rhs_b0 = jax.jit(lambda t, p, f, gr, gy: lbs_kernels._rhs_moments_bwd(
-        t, p, f, gram.weights_pad, gram.consts_pose, gram.sd_cm, gr, gy,
-        layout=gram.blend_layout))
-    timed('rhs_moments bwd', lambda x: f_rhs_b0(*x),
-          list(zip(tgts, pjs, feats, grs, gys)))
+    # Measured at the PRODUCTION grad chunk (get_fit_grad_fn chunk=128): a
+    # batch-grid of one is also what lets these kernels fit scoped VMEM —
+    # with a single batch tile Mosaic needs no second buffer for the
+    # batch-indexed blocks, while any larger grid double-buffers them
+    # (measured: _rhs_moments_bwd at B=4096/tb=128 wants 19.6 MB > 16 MB).
+    Bb = min(B, 128)
+    print(f'--- grad-chunk kernels: lax.scan over {max(1, B // Bb)} chunks '
+          f'of b{Bb} in ONE jit (the production grad program shape; isolated '
+          f'b{Bb} calls are dispatch-overhead-dominated) ---')
+    NCH = min(32, max(1, B // Bb))
+    N_SETS = 4
 
-    graws = mk_inputs(N_CALLS, lambda i: jnp.asarray(
-        rng.normal(0, 1, (9, J, B)).astype(np.float32)))
-    f_rec_b = jax.jit(
+    def timed_scan(name, fn, sets):
+        """Each set is a tuple of (NCH, ...)-stacked chunk inputs; the row is
+        the per-chunk time inside a jitted lax.scan over the NCH chunks."""
+        def prog(*stacked):
+            def body(c, xs):
+                return c, fn(*xs)
+            _, ys = jax.lax.scan(body, 0, stacked)
+            return ys
+        dt = timed(f'{name} (scan/{NCH})', lambda x: jax.jit(prog)(*x), sets)
+        print(f'{"":34s} {dt * 1e3 / NCH:8.3f} ms/chunk(b{Bb})'
+              f'  -> {dt * 1e3 / NCH * (B // Bb):6.2f} ms/b{B}', flush=True)
+
+    def stackb(maker):
+        return [
+            jnp.asarray(np.stack([maker() for _ in range(NCH)]))
+            for _ in range(N_SETS)
+        ]
+
+    s_tgt = stackb(lambda: rng.normal(0, 0.5, (3, V, Bb)).astype(np.float32))
+    s_pj = stackb(lambda: rng.normal(0, 1, (12, J, Bb)).astype(np.float32))
+    s_feat = stackb(lambda: rng.normal(0, 1, (F, Bb)).astype(np.float32))
+    s_featE = stackb(
+        lambda: rng.normal(0, 1, (F + E, Bb)).astype(np.float32))
+    s_x = stackb(lambda: rng.normal(0, 1, (E, Bb)).astype(np.float32))
+    s_gr = stackb(lambda: rng.normal(0, 1, (E, Bb)).astype(np.float32))
+    s_gy = stackb(lambda: rng.normal(0, 1, (3, J, Bb)).astype(np.float32))
+    s_graw = stackb(lambda: rng.normal(0, 1, (9, J, Bb)).astype(np.float32))
+    s_h = stackb(
+        lambda: rng.normal(0, 1, (3, V_pad, Bb)).astype(np.float32))
+    jax.block_until_ready([s_tgt, s_h])
+
+    # Forward kernels at the chunk shape (the VJP's primal re-run):
+    timed_scan('rhs_moments fwd', lambda t, p, f: lbs_kernels.rhs_moments(
+        t, p, f, gram.weights_pad, gram.consts_pose, gram.sd_cm,
+        layout=layout), list(zip(s_tgt, s_pj, s_feat)))
+    timed_scan(
+        'recon_cached fwd',
+        lambda t, p, x, h: lbs_kernels.recon_part_sums_cached_lm(
+            t, p, x, gram.sd_cm, h, plan.pm_t_pad, gram.weights_pad,
+            layout=layout), list(zip(s_tgt, s_pj, s_x, s_h)))
+
+    if cached_pipeline:
+        timed_scan(
+            'rhs_cached bwd',
+            lambda t, p, h, gr, gy: lbs_kernels._rhs_cached_bwd(
+                t, p, h, gram.weights_pad, gram.sd_cm, gr, gy,
+                layout=layout),
+            list(zip(s_tgt, s_pj, s_h, s_gr, s_gy)))
+    timed_scan(
+        'rhs_moments bwd',
+        lambda t, p, f, gr, gy: lbs_kernels._rhs_moments_bwd(
+            t, p, f, gram.weights_pad, gram.consts_pose, gram.sd_cm, gr, gy,
+            layout=layout),
+        list(zip(s_tgt, s_pj, s_feat, s_gr, s_gy)))
+    timed_scan(
+        'recon_part_sums bwd',
         lambda t, p, f, graw, gst, gsa: lbs_kernels._recon_part_sums_bwd(
             t, p, f, gram.weights_pad, gram.consts_full, plan.pm_t_pad,
-            graw, gst, gsa, layout=gram.blend_layout))
-    timed('recon_part_sums bwd', lambda x: f_rec_b(*x),
-          list(zip(tgts, pjs, featsE, graws, gys, gys)))
-
-    f_rec_cb = jax.jit(
+            graw, gst, gsa, layout=layout),
+        list(zip(s_tgt, s_pj, s_featE, s_graw, s_gy, s_gy)))
+    timed_scan(
+        'recon_cached bwd',
         lambda t, p, x, h, graw, gst, gsa: lbs_kernels._recon_cached_bwd(
             t, p, x, gram.sd_cm, h, plan.pm_t_pad, gram.weights_pad,
-            gram.blend_layout, graw, gst, gsa))
-    timed('recon_cached bwd', lambda x: f_rec_cb(*x),
-          list(zip(tgts, pjs, xs, homogs, graws, gys, gys)))
-
-    gpts = (
-        [jnp.asarray(rng.normal(0, 1, (3, V_pad, B)).astype(np.float32))
-         for _ in range(n_big)] * N_CALLS
-    )[:N_CALLS]
-    f_lbs_b = jax.jit(lambda p, f, g: lbs_kernels._lbs_points_bwd(
-        p, f, gram.weights_pad, gram.consts_full, g, False))
-    timed('lbs_points bwd', lambda x: f_lbs_b(*x),
-          list(zip(pjs, featsE, gpts)))
+            layout, graw, gst, gsa),
+        list(zip(s_tgt, s_pj, s_x, s_h, s_graw, s_gy, s_gy)))
+    timed_scan(
+        'lbs_points bwd',
+        lambda p, f, g: lbs_kernels._lbs_points_bwd(
+            p, f, gram.weights_pad, gram.consts_full, g, False),
+        list(zip(s_pj, s_featE, s_h)))
 
 
 if __name__ == '__main__':

@@ -2843,6 +2843,42 @@ def _centered_cov_lm(raw9, s_t, s_a, s_w, c_t, c_a):
     )
 
 
+def _part_sums_static_ref_lm(plan: FitterPlan, target_vm, reference_vm, om):
+    """Per-part sums against a BATCH-CONSTANT reference as ONE XLA GEMM.
+
+    With the reference (3, V_pad, 1) fixed across the batch (the T-pose
+    template of the initial rotation fit), every statistic factors into a
+    static LHS against the targets: raw[(c,d), j, b] = Σ_v (pm_jv ref_dv)
+    tgt_cvb and s_t[c, j, b] = Σ_v pm_jv tgt_cvb share one
+    (3J+J, V) x (3, V, B) contraction — a single HBM pass over the targets
+    at the GEMM roofline, where the generic part-sums kernel (built for
+    per-batch references) measured 1.38 ms at SMPL b4096 vs ~0.45 ms HBM
+    floor. A static ω column folds into the LHS rows. s_a (the per-part
+    reference sums) is batch-constant."""
+    J = plan.pm_t_pad.shape[0]
+    v_t = target_vm.shape[1]
+    pm = plan.pm_t_pad[:, :v_t]
+    ref = reference_vm[:, :v_t, 0]  # (3, V)
+    if om is not None:
+        pm = pm * jnp.transpose(om[:v_t])  # static (V_pad, 1) column
+    lhs = jnp.concatenate(
+        [(pm[None] * ref[:, None]).reshape(3 * J, v_t), pm], axis=0
+    )
+    # HIGH (bf16_3x) like the gram-assembly M-parts: ~1.4e-5 rel on this
+    # chip, far inside the envelope of an initial rotation estimate that two
+    # further iterations refine; parity-gated by bench.py's oracle check.
+    out = jnp.einsum(
+        'mv,cvb->cmb', lhs, target_vm, precision=jax.lax.Precision.HIGH
+    )
+    raw = jnp.concatenate(
+        [out[c, d * J:(d + 1) * J][None] for c in range(3) for d in range(3)],
+        axis=0,
+    )  # (9, J, B), rows (c, d) matching the kernel's raw[c*3+d]
+    s_t = out[:, 3 * J:]  # (3, J, B)
+    s_a = jnp.einsum('jv,dv->dj', pm, ref)[:, :, None]  # (3, J, 1)
+    return raw, s_t, s_a
+
+
 def part_sums_lm(plan: FitterPlan, target_vm, reference_vm=None, reference_spec=None,
                  omega=None):
     """Lane-major per-part sums (kernel path only): raw (9, J, B) rows (c, d),
@@ -2869,6 +2905,9 @@ def part_sums_lm(plan: FitterPlan, target_vm, reference_vm=None, reference_spec=
                 interpret=reference_spec['interpret'],
                 layout=reference_spec.get('layout'),
             )
+    elif reference_vm.shape[2] == 1 and not lbs_kernels._runtime_omega(om):
+        raw, s_t, s_a = _part_sums_static_ref_lm(plan, target_vm,
+                                                 reference_vm, om)
     else:
         k_mode = lbs_kernels.kernel_mode(target_vm.shape[2])
         raw, s_t, s_a = lbs_kernels.part_sums_vm_lm(

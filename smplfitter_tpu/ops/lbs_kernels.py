@@ -681,7 +681,7 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             + (15 * VC if cached else 0)
             + ((E + 3 * jp + 3) if scale else 0)
             + (VC if omega is not None else 0)
-        ) * t + VC * (layout.nt * jr + jr + 4 * F + 3 * E),
+        ) * t + VC * (layout.nt * jr + jr + 3 * F + 3 * E),
     )
     nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0 and nchunks * VC >= v_t > (nchunks - 1) * VC
@@ -708,7 +708,7 @@ def _rhs_moments_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((VC, jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         ]
         operands = [tgt_vm, pjp, feat_cols, layout.wtsp_sub, layout.w_sub,
@@ -797,7 +797,7 @@ def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
     tb = _shrink_tb(
         pick_batch_tile(B),
         lambda t: (12 * layout.nt * jp + F + 3 * VC) * t
-        + VC * (layout.nt * jr + 4 * F),
+        + VC * (layout.nt * jr + 3 * F),
     )
     assert tb is not None and v_pad % VC == 0
     nchunks = v_pad // VC
@@ -809,7 +809,7 @@ def _lbs_points_impl(pj_cm, feat_cols, weights_pad, consts_pad,
         pl.BlockSpec((12, layout.nt * jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
     ]
     operands = [pjp, feat_cols, layout.wtsp_sub, consts_pad]
     if subset:
@@ -1387,7 +1387,7 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     tb = _shrink_tb(
         pick_batch_tile(B),
         lambda t: (3 * VC + 12 * layout.nt * jp_l + F + 15 * J) * t
-        + VC * (layout.nt * jr + 4 * F + J),
+        + VC * (layout.nt * jr + 3 * F + J),
     )
     nchunks = v_pad // VC
     assert tb is not None and v_pad % VC == 0
@@ -1402,7 +1402,7 @@ def _recon_part_sums_impl(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
         pl.BlockSpec((12, layout.nt * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
     ]
     operands = [tgt_vm, pjp, feat_cols, layout.wtsp_sub, consts_pad, pm]
@@ -2515,7 +2515,7 @@ def _posed_template_impl(feat_cols, consts_pad, interpret: bool):
         grid=grid,
         in_specs=[
             pl.BlockSpec((F, tb), lambda k, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, VC, F), lambda k, i: (0, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, VC, F), lambda k, i: (0, k, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (3, VC, tb), lambda k, i: (0, k, i), memory_space=pltpu.VMEM
