@@ -65,7 +65,7 @@ def hoist_constants(fn, *example_args):
 
 def get_fit_grad_fn(
     fitter: 'BodyFitter',
-    chunk: Optional[int] = 128,
+    chunk: Optional[int] = None,
     num_iter: int = 3,
     beta_regularizer: float = 1.0,
     final_adjust_rots: bool = True,
@@ -86,15 +86,23 @@ def get_fit_grad_fn(
       of inlined MLIR constants (99 MB -> 4 MB of MLIR at b32), and the fit
       records WITHOUT a JVP tracer so the fused-kernel path (custom-VJP
       backward kernels) is what gets differentiated;
+    - monolithic by default (``chunk=None``): since the backward kernels
+      halve their vertex chunk whenever the batch grid has more than one
+      tile (``lbs_kernels._bwd_vc`` — double-buffered blocks + scratch
+      exceeded scoped VMEM at full chunk), the whole b4096 forward+backward
+      compiles and runs at full-batch kernel efficiency: 62.5 ms/batch
+      value+grad on v5e (4.3x the forward fit; the chunked recipe measures
+      89.7 ms at chunk 256, 107.7 at 128 — single-batch-tile grids cost ~3x
+      per instance);
     - ``chunk``: fits are per-instance independent, so the summed loss (and
-      its grad) decomposes exactly over batch chunks — the compiled program
-      is ONE ``lax.scan``'d chunk-sized forward+backward, not the monolithic
-      batch (which exceeds AOT compiler budgets at b4096). Applied when the
-      batch is a larger multiple of ``chunk``; pass None to disable.
+      its grad) decomposes exactly over batch chunks — pass e.g. 256 to
+      bound residual memory on very large batches (the compiled program is
+      ONE ``lax.scan``'d chunk-sized forward+backward). Applied when the
+      batch is a larger multiple of ``chunk``.
     - per-shape caching: one hoist + jit per input shape, reused across calls.
 
-    Not for ``share_beta`` losses (chunking would break the cross-instance
-    coupling) — pass ``chunk=None`` and a small batch for those.
+    ``share_beta`` losses must NOT be chunked (chunking would break the
+    cross-instance coupling) — the default monolithic mode is fine.
     """
     import numpy as np  # noqa: F401  (kept symmetrical with module style)
 

@@ -1031,7 +1031,31 @@ def _starts_spec(nchunks):
                         memory_space=pltpu.SMEM)
 
 
-def _bwd_common_specs(layout, tb, F):
+def _bwd_vc(B: int, tb: int) -> int:
+    """Vertex chunk for the backward kernels.
+
+    Full VC when the batch grid is a single tile: with one batch tile Mosaic
+    needs no second buffer for the batch-indexed blocks, and the kernel fits
+    scoped VMEM. Any larger grid double-buffers the big (vc, tb) blocks on
+    top of the in-kernel scratch — measured 19.6 MB (> the 16 MB limit) for
+    the rhs backward at vc=256/tb=128 — so the chunk halves, which halves
+    both the blocks and the scratch. This is what lets the grad recipe scan
+    chunks LARGER than one batch tile (get_fit_grad_fn chunk 512/1024): at
+    chunk 128 every kernel runs a single-tile grid at ~3x its large-batch
+    cost per instance."""
+    return VC if B <= tb else VC // 2
+
+
+def _starts_at(layout: BlendLayout, vc: int):
+    """``layout.starts`` re-granulated to ``vc``-row chunks: the layouts are
+    built at VC-chunk granularity, and each VC-chunk's DFS joint-range start
+    applies to all of its VC//vc sub-chunks."""
+    if vc == VC:
+        return layout.starts
+    return jnp.repeat(layout.starts, VC // vc, axis=1)
+
+
+def _bwd_common_specs(layout, tb, F, vc=VC):
     """The (pjp, feat, wtsp_sub, weights_pad, consts) spec block shared by
     the backward kernels."""
     jp_l, jr = layout.jp, layout.jr
@@ -1039,9 +1063,9 @@ def _bwd_common_specs(layout, tb, F):
     return [
         pl.BlockSpec((12, layout.nt * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, VC, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((vc, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((vc, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, vc, F), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
     ]
 
 
@@ -1058,15 +1082,16 @@ def _lbs_points_bwd(pj_cm, feat_cols, weights_pad, consts_pad, g, interpret,
             6 * VC + 12 * layout.nt * layout.jp + 2 * F + 12 * J
         ) * t + VC * (layout.nt * layout.jr + J + 4 * F),
     )
-    nchunks = v_pad // VC
+    vc = _bwd_vc(B, tb)
+    nchunks = v_pad // vc
     grid = (B // tb, nchunks)
     pjp = pack_pj(pj_cm, layout)
     subset = not layout.full
 
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
-        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-    ] + _bwd_common_specs(layout, tb, F)
-    operands = ([layout.starts] if subset else []) + [
+        pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+    ] + _bwd_common_specs(layout, tb, F, vc)
+    operands = ([_starts_at(layout, vc)] if subset else []) + [
         g, pjp, feat_cols, layout.wtsp_sub, weights_pad, consts_pad]
 
     dpj, dfeat = pl.pallas_call(
@@ -1189,7 +1214,8 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
             9 * VC + 12 * layout.nt * layout.jp + 2 * F + E + 3 * J + 12 * J
         ) * t + VC * (layout.nt * layout.jr + J + 4 * F + 3 * E),
     )
-    nchunks = v_pad // VC
+    vc = _bwd_vc(B, tb)
+    nchunks = v_pad // vc
     grid = (B // tb, nchunks)
     pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
@@ -1198,31 +1224,31 @@ def _rhs_moments_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, sd_cm,
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-    ] + _bwd_common_specs(layout, tb, F) + [
-        pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+    ] + _bwd_common_specs(layout, tb, F, vc) + [
+        pl.BlockSpec((3, vc, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
     ]
-    operands = ([layout.starts] if subset else []) + [
+    operands = ([_starts_at(layout, vc)] if subset else []) + [
         gr, gy, tgt_vm, pjp, feat_cols, layout.wtsp_sub, weights_pad,
         consts_pad, sd_cm]
     if weighted:
         in_specs.append(
-            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((vc, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
         )
         operands.append(omega)
     with_gh = gh is not None
     if with_gh:
         in_specs.append(pl.BlockSpec(
-            (3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM))
+            (3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM))
         operands.append(gh)
 
     dtgt, dpj, dfeat = pl.pallas_call(
-        functools.partial(_rhs_bwd_kernel, layout.nt, nchunks, v_t % VC, weighted, subset,
+        functools.partial(_rhs_bwd_kernel, layout.nt, nchunks, v_t % vc, weighted, subset,
                           with_gh),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((12, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -1484,22 +1510,23 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
             6 * VC + 12 * layout.nt * layout.jp + 2 * F + 15 * J + 12 * Jw
         ) * t + VC * (layout.nt * layout.jr + Jw + 4 * F + J),
     )
-    nchunks = v_pad // VC
+    vc = _bwd_vc(B, tb)
+    nchunks = v_pad // vc
     grid = (B // tb, nchunks)
     pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
     subset = not layout.full
 
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
-        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-    ] + _bwd_common_specs(layout, tb, F) + [
-        pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+    ] + _bwd_common_specs(layout, tb, F, vc) + [
+        pl.BlockSpec((J, vc), lambda i, k: (0, k), memory_space=pltpu.VMEM),
     ]
-    operands = ([layout.starts] if subset else []) + [
+    operands = ([_starts_at(layout, vc)] if subset else []) + [
         tgt_vm, pjp, feat_cols, layout.wtsp_sub, weights_pad, consts_pad, pm]
     if weighted:
         in_specs.append(
-            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((vc, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
         )
         operands.append(omega)
     in_specs += [
@@ -1510,12 +1537,12 @@ def _recon_part_sums_bwd(tgt_vm, pj_cm, feat_cols, weights_pad, consts_pad, pm,
     operands += [graw, gst, gsa]
 
     dtgt, dpj, dfeat = pl.pallas_call(
-        functools.partial(_recon_part_sums_bwd_kernel, layout.nt, nchunks, v_t % VC,
+        functools.partial(_recon_part_sums_bwd_kernel, layout.nt, nchunks, v_t % vc,
                           weighted, subset),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((12, tb, weights_pad.shape[1]), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -2127,10 +2154,12 @@ def gram_assembly(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
 # ---------------------------------------------------------------------------
 
 
-VC_W = 64  # wgram vertex chunk: the 3·E1 live Jacobian columns bound VMEM
-# (at VC_W=128 the kernel still exceeded the 16M scoped-VMEM limit by ~0.7M
-# at tb=128; 64 rows keep every dot unpadded — M=64 is a whole number of f32
-# sublane tiles, N=tb=128 full lanes — while halving the per-vertex budget).
+VC_W = 128  # wgram vertex chunk. Historical: 64 was forced when the kernel
+# held the (4, vc_w, F) constants and (F, tb) features in VMEM for in-kernel
+# homog dots (vc_w=128 exceeded the scoped limit by ~0.7M then); with the
+# cached posed template those operands are gone, and 128 rows double the
+# M-utilization of the per-(a,e) T̄ blend dots (M=64 fills half the MXU's
+# 128 systolic rows)..
 
 
 def wgram_chunk(n_feat: int) -> int:
@@ -2626,7 +2655,8 @@ def _rhs_cached_bwd(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, gr, gy,
             33 * VC + 12 * layout.nt * layout.jp + E + 3 * J + 12 * J
         ) * t + VC * (layout.nt * layout.jr + J + 3 * E),
     )
-    nchunks = v_pad // VC
+    vc = _bwd_vc(B, tb)
+    nchunks = v_pad // vc
     grid = (B // tb, nchunks)
     pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
@@ -2635,30 +2665,30 @@ def _rhs_cached_bwd(tgt_vm, pj_cm, homog_vm, weights_pad, sd_cm, gr, gy,
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
         pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, J, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((12, layout.nt * layout.jp, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, layout.nt * layout.jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((vc, layout.nt * layout.jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((vc, J), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, vc, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
     ]
-    operands = ([layout.starts] if subset else []) + [
+    operands = ([_starts_at(layout, vc)] if subset else []) + [
         gr, gy, tgt_vm, pjp, homog_vm, layout.wtsp_sub, weights_pad, sd_cm]
     if weighted:
         in_specs.append(
-            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((vc, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
         )
         operands.append(omega)
 
     dtgt, dpj, dh = pl.pallas_call(
-        functools.partial(_rhs_cached_bwd_kernel, layout.nt, nchunks, v_t % VC, weighted,
+        functools.partial(_rhs_cached_bwd_kernel, layout.nt, nchunks, v_t % vc, weighted,
                           subset),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((12, tb, J), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((3, v_t, B), jnp.float32),
@@ -2948,27 +2978,28 @@ def _recon_cached_bwd(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
             33 * VC + 12 * layout.nt * jp_l + 2 * E + 15 * J + 12 * Jw
         ) * t + VC * (layout.nt * jr + Jw + 3 * E + J),
     )
-    nchunks = v_pad // VC
+    vc = _bwd_vc(B, tb)
+    nchunks = v_pad // vc
     grid = (B // tb, nchunks)
     pjp = pack_pj(pj_cm, layout)
     weighted = omega is not None
     subset = not layout.full
 
     in_specs = ([_starts_spec(nchunks)] if subset else []) + [
-        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((12, layout.nt * jp_l, tb), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((VC, Jw), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, VC, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((J, VC), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((vc, layout.nt * jr), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((vc, Jw), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, vc, E), lambda i, k: (0, k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, vc), lambda i, k: (0, k), memory_space=pltpu.VMEM),
     ]
-    operands = ([layout.starts] if subset else []) + [
+    operands = ([_starts_at(layout, vc)] if subset else []) + [
         tgt_vm, pjp, x_cols, layout.wtsp_sub, weights_pad, sd_cm, homog_vm, pm]
     if weighted:
         in_specs.append(
-            pl.BlockSpec((VC, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((vc, 1), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
         )
         operands.append(omega)
     in_specs += [
@@ -2979,15 +3010,15 @@ def _recon_cached_bwd(tgt_vm, pj_cm, x_cols, sd_cm, homog_vm, pm, weights_pad,
     operands += [graw, gst, gsa]
 
     dtgt, dpj, dx, dh = pl.pallas_call(
-        functools.partial(_recon_cached_bwd_kernel, layout.nt, nchunks, v_t % VC, E,
+        functools.partial(_recon_cached_bwd_kernel, layout.nt, nchunks, v_t % vc, E,
                           weighted, subset),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((12, tb, Jw), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((E, tb), lambda i, k: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, VC, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, vc, tb), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((3, v_t, B), jnp.float32),

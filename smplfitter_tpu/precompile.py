@@ -31,7 +31,7 @@ def warm(
     with_joints: bool = True,
     cache_dir: str = DEFAULT_CACHE_DIR,
     synthetic_fallback: bool = False,
-    grad_chunk: int = 0,
+    grad_chunk: int | None = 0,
     check_parity: bool = False,
 ) -> None:
     import jax
@@ -75,16 +75,18 @@ def warm(
             jax.block_until_ready(fit_nj(res['vertices']))
         print(f'  batch {batch}: compiled in {time.perf_counter() - t0:.1f}s')
 
-    if grad_chunk:
+    if grad_chunk != 0:
         # Warm the grad-of-fit executable into the persistent cache: the
-        # chunked value+grad program compiles in ~1.5-2 minutes cold (see
+        # value+grad program compiles in ~1.5-2 minutes cold (see
         # docs/howto.md "Differentiate through the fit") — pay it once per
-        # cache directory, not once per production process.
+        # cache directory, not once per production process. grad_chunk=None
+        # warms the (faster, default) monolithic program; an integer warms
+        # the lax.scan-chunked one.
         from .api import get_fit_grad_fn
 
         vg = get_fit_grad_fn(fitter, chunk=grad_chunk, num_iter=num_iter)
         for batch in batch_sizes:
-            if batch < grad_chunk or batch % grad_chunk:
+            if grad_chunk and (batch < grad_chunk or batch % grad_chunk):
                 continue
             pose = rng.normal(0, 0.2, (batch, bm.num_joints * 3)).astype(np.float32)
             betas = rng.normal(0, 1, (batch, num_betas)).astype(np.float32)
@@ -93,6 +95,7 @@ def warm(
             jax.block_until_ready(vg(res['vertices'], res['joints']))
             print(f'  grad batch {batch} (chunk {grad_chunk}): compiled in '
                   f'{time.perf_counter() - t0:.1f}s')
+
 
     if check_parity:
         rep = fitter.check_kernel_parity(num_iter=num_iter)
@@ -114,11 +117,13 @@ def main(argv=None) -> int:
     parser.add_argument('--synthetic', action='store_true',
                         help='use synthetic model files (benchmarking without '
                              'licensed data)')
-    parser.add_argument('--grad', type=int, nargs='?', const=128, default=0,
+    parser.add_argument('--grad', type=int, nargs='?', const=-1, default=0,
                         metavar='CHUNK',
-                        help='also warm the chunked grad-of-fit executable '
-                             '(lax.scan batch chunk size; default 128 — the '
-                             'documented production sweet spot)')
+                        help='also warm the grad-of-fit executable. Bare '
+                             '--grad warms the monolithic (default, fastest) '
+                             'program; --grad N warms the lax.scan-chunked '
+                             'one at batch chunk N (the memory-bounded '
+                             'recipe)')
     parser.add_argument('--check-parity', action='store_true',
                         help='run BodyFitter.check_kernel_parity() after '
                              'warming: one batch, fused-kernel path vs the '
@@ -134,7 +139,7 @@ def main(argv=None) -> int:
         args.num_betas,
         cache_dir=args.cache_dir,
         synthetic_fallback=args.synthetic,
-        grad_chunk=args.grad,
+        grad_chunk=None if args.grad == -1 else args.grad,
         check_parity=args.check_parity,
     )
     return 0

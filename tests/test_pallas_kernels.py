@@ -565,3 +565,49 @@ class TestForcedKernelFitVerticesOnly:
             np.asarray(kernel['pose_rotvecs']), np.asarray(plain['pose_rotvecs']),
             atol=5e-3,
         )
+
+
+class TestBackwardVertexChunkHalving:
+    """The backward kernels halve their vertex chunk whenever the batch grid
+    has more than one tile (lbs_kernels._bwd_vc) — the regime where Mosaic
+    double-buffers the batch-indexed blocks and the full-chunk kernels
+    overflow scoped VMEM. Fits decompose per batch instance, so the B=512
+    call (vc=128, grid > 1) must agree with a B=256 call (vc=256, single
+    tile) on the shared instances."""
+
+    def test_bwd_halved_chunk_matches_full(self):
+        import jax.numpy as jnp
+
+        from smplfitter_tpu.ops import lbs_kernels as K
+
+        assert K._bwd_vc(512, 256) == K.VC // 2
+        assert K._bwd_vc(256, 256) == K.VC
+
+        rng = np.random.default_rng(0)
+        V, J, E, F, B = 700, 24, 10, 208, 512
+        v_pad = -(-V // K.VC) * K.VC
+        tgt = jnp.asarray(rng.normal(size=(3, V, B)).astype(np.float32))
+        pj = jnp.asarray(rng.normal(size=(12, J, B)).astype(np.float32))
+        feat = jnp.asarray(rng.normal(size=(F, B)).astype(np.float32))
+        w = np.zeros((v_pad, J), np.float32)
+        w[:V] = rng.random((V, J)).astype(np.float32)
+        w = jnp.asarray(w)
+        consts = jnp.asarray(rng.normal(size=(4, v_pad, F)).astype(np.float32))
+        sd = jnp.asarray(rng.normal(size=(3, v_pad, E)).astype(np.float32))
+        gr = jnp.asarray(rng.normal(size=(E, B)).astype(np.float32))
+        gy = jnp.asarray(rng.normal(size=(3, J, B)).astype(np.float32))
+
+        full = K._rhs_moments_bwd(
+            tgt, pj, feat, w, consts, sd, gr, gy, interpret=True
+        )
+        half = K._rhs_moments_bwd(
+            tgt[..., :256], pj[..., :256], feat[..., :256], w, consts, sd,
+            gr[..., :256], gy[..., :256], interpret=True,
+        )
+        for a, b in zip(full, half):
+            a = np.asarray(a)[..., :256]
+            b = np.asarray(b)
+            # f32 accumulation-order noise only: magnitudes are ~1e4 here,
+            # so compare relative to the output scale.
+            scale = np.max(np.abs(b)) or 1.0
+            assert np.max(np.abs(a - b)) <= 1e-5 * scale
