@@ -135,7 +135,7 @@ def build_gram_data(weights: np.ndarray, shapedirs: np.ndarray,
     v_pad = -(-V // vc) * vc
     n_pose = posedirs4.shape[2]
 
-    vc_w = lbs_kernels.wgram_chunk(n_pose + 1)  # F seen by the wgram kernel
+    vc_w = lbs_kernels.wgram_chunk(J)
     if kintree_parents is not None:
         cl_main = _cl.build_chunk_layout(w, kintree_parents, vc,
                                          sort_vertices=sort_vertices)

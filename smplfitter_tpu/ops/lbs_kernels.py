@@ -2154,23 +2154,25 @@ def gram_assembly(R_cm, T_cm, y_cm, P_cm, bJ_cm, ksd, lz, sd1_2d, q, w1,
 # ---------------------------------------------------------------------------
 
 
-VC_W = 128  # wgram vertex chunk. Historical: 64 was forced when the kernel
-# held the (4, vc_w, F) constants and (F, tb) features in VMEM for in-kernel
-# homog dots (vc_w=128 exceeded the scoped limit by ~0.7M then); with the
-# cached posed template those operands are gone, and 128 rows double the
-# M-utilization of the per-(a,e) T̄ blend dots (M=64 fills half the MXU's
-# 128 systolic rows)..
+VC_W = 128  # wgram vertex chunk for small models (see wgram_chunk). With
+# the cached posed template the (4, vc_w, F) constants and (F, tb) features
+# are gone from the kernel, and 128 rows double the M-utilization of the
+# per-(a,e) T̄ blend dots (M=64 fills half the MXU's 128 systolic rows).
+VC_W_LARGE = 64  # large-J models: the 3·E1 live Jacobian columns plus the
+# (3E, nt·jp, tb) T4 operand exceed scoped VMEM at 128 rows (measured:
+# SMPL-X at vc_w=128 wants 17.2 MB > 16 MB even at tb=32)..
 
 
-def wgram_chunk(n_feat: int) -> int:
-    """Wgram vertex chunk. With the posed template supplied as a cached
-    input (:func:`posed_template_lm`) the kernel no longer holds the
-    (4, vc_w, F) constants or the (F, tb) features in VMEM, so the 64-row
-    chunk fits every model — including the large-F ones (SMPL-X F=487)
-    that needed 32 rows when the homog dots ran in-kernel. Must agree
-    between the layout built at GramData construction
-    (models/shape_gram.py) and the kernel launch."""
-    return VC_W
+def wgram_chunk(num_joints: int) -> int:
+    """Wgram vertex chunk per model size. With the posed template supplied
+    as a cached input (:func:`posed_template_lm`) the kernel no longer holds
+    the (4, vc_w, F) constants or the (F, tb) features in VMEM, so small-J
+    models take 128-row chunks (full MXU M on the T̄ dots); large-J models
+    (their E is large too, and the T4 operand scales with both) stay at 64.
+    MUST agree between the layout built at GramData construction
+    (models/shape_gram.py) and the kernel launch — both pass the model's
+    joint count."""
+    return VC_W if num_joints <= 32 else VC_W_LARGE
 
 
 def wgram_batch_limit(n_feat: int) -> int | None:
@@ -2334,7 +2336,7 @@ def wgram_moments(tgt_vm, pj_cm, homog_vm, t4_cm, weights_pad,
     tb = pick_batch_tile(B)
     if tb == 256:
         tb = 128  # the (3E, 6J, tb) T4 operand bounds VMEM
-    vc_w = wgram_chunk(0)
+    vc_w = wgram_chunk(J)
     # Iterate only chunks that contain REAL vertices: v_pad is a multiple of
     # the (larger) shared VC, so it may hold whole all-padding vc_w chunks at
     # the tail — their rows are zero in the static operands and ω-masked
